@@ -1,38 +1,384 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-pipeline slice on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline additions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every query that is
+ANSI-SQL-expressible (same column names — the driver hash-compares values).
+Non-SQL-expressible ops (python-regex tokenization, morphology, KG stages)
+are registered without an oracle and get rows-only checks.
 """
-
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# --- helpers -------------------------------------------------------------
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Static stopword list, inlined into both Spark filters and oracle SQL so
+# the two sides share one source of truth.
+def _stopwords() -> list[str]:
+    from vnlp_spark.resources import stop_words
+
+    return sorted(stop_words())
+
+
+def _sql_quote_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+# --- flagship ------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: most frequent non-stopword content tokens per language —
+    scan → lang filter → Turkish lowercase → whitespace explode → stopword
+    drop → hash aggregate → top-k (SURVEY §7.2's end-to-end slice)."""
+    from vnlp_spark.functions.normalizer import turkish_lower
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    toks = (
+        docs.select("lang", F.explode(F.split(turkish_lower("text"), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+        .filter(~F.col("token").isin(_stopwords()))
+    )
+    return (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("lang"), F.col("token"))
+        .limit(100)
+    )
+
+
+# --- per-operator queries -----------------------------------------------
+
+def _q_turkish_lower(spark, sf_dir):
+    from vnlp_spark.functions.normalizer import turkish_lower
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", turkish_lower("text").alias("text_lower"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_remove_punct(spark, sf_dir):
+    from vnlp_spark.functions.normalizer import remove_punctuations
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", remove_punctuations("text").alias("text_clean"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_remove_accents(spark, sf_dir):
+    from vnlp_spark.functions.normalizer import remove_accent_marks
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", remove_accent_marks("text").alias("text_noaccent"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_digits_to_zero(spark, sf_dir):
+    from vnlp_spark.functions.normalizer import digits_to_zero
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", digits_to_zero("text").alias("text_masked"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_filter(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+def _q_token_frequency(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(200)
+    )
+
+
+def _q_stopword_drop(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .filter(~F.col("token").isin(_stopwords()))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(200)
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import whitespace_token_count
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", whitespace_token_count("text").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import punct_ratio, digit_ratio
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(digit_ratio("text"), 6).alias("digit_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import turkish_char_ratio
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.round(turkish_char_ratio("text"), 6).alias("tr_char_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import normalized_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", normalized_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_suppliers(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    sup = _load(spark, sf_dir, "supplier")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    # cast float32 -> float64 BEFORE the multiply so Spark and the DuckDB
+    # oracle run the bit-identical double computation in list order
+    vec = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("vec_id", F.round(F.sqrt(dot), 5).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+# Non-SQL-expressible (python-regex / morphology) — rows-only checks
+
+def _q_sentences(spark, sf_dir):
+    from vnlp_spark.functions.sentence_splitter import split_sentences
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(split_sentences("text")).alias("sent_id", "sentence"))
+        .orderBy("doc_id", "sent_id")
+    )
+
+
+def _q_treebank_tokens(spark, sf_dir):
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(treebank_tokenize("text")).alias("tok_idx", "token"))
+        .orderBy("doc_id", "tok_idx")
+    )
+
+
+def _q_morph_analyses(spark, sf_dir):
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+    from vnlp_spark.operators.morphology import analyze_morphology
+
+    # no lang filter: the synthetic documents table has no 'tr' rows; the
+    # analyzer is total (non-Turkish tokens fall back to Unknown analyses)
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", treebank_tokenize("text").alias("tokens"))
+        .select("doc_id", F.posexplode(analyze_morphology("tokens")).alias("tok_idx", "analysis"))
+        .orderBy("doc_id", "tok_idx")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "turkish_lower": _q_turkish_lower,
+        "remove_punctuations": _q_remove_punct,
+        "remove_accent_marks": _q_remove_accents,
+        "digits_to_zero": _q_digits_to_zero,
+        "lang_filter_stats": _q_lang_filter,
+        "token_frequency_topk": _q_token_frequency,
+        "stopword_drop_topk": _q_stopword_drop,
+        "token_count": _q_token_count,
+        "doc_quality_ratios": _q_doc_quality,
+        "lang_id_turkish": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "pricing_summary": _q_pricing_summary,
+        "top_suppliers": _q_top_suppliers,
+        "events_by_type": _q_events_by_type,
+        "embedding_norms": _q_embedding_norms,
+        "sentence_split": _q_sentences,
+        "treebank_tokens": _q_treebank_tokens,
+        "morph_analyses": _q_morph_analyses,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = _sql_quote_list(_stopwords())
+    return {
+        "turkish_lower": (
+            "SELECT doc_id, lower(translate(text, 'İIĞÜÖŞÇ', 'iığüöşç')) AS text_lower "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "remove_punctuations": (
+            r"SELECT doc_id, regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g') AS text_clean "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "remove_accent_marks": (
+            "SELECT doc_id, translate(text, 'âôîêûÂÔÎÊÛ', 'aoıeuAoıeu') AS text_noaccent "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "digits_to_zero": (
+            r"SELECT doc_id, regexp_replace(text, '\d', '0', 'g') AS text_masked "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lang_filter_stats": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "token_frequency_topk": (
+            "SELECT token, count(*) AS cnt FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+            ") WHERE length(token) > 0 GROUP BY token "
+            "ORDER BY cnt DESC, token LIMIT 200"
+        ),
+        "stopword_drop_topk": (
+            "SELECT token, count(*) AS cnt FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+            f") WHERE length(token) > 0 AND token NOT IN ({stop_list}) "
+            "GROUP BY token ORDER BY cnt DESC, token LIMIT 200"
+        ),
+        "token_count": (
+            r"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality_ratios": (
+            r"SELECT doc_id, "
+            r"round((length(text) - length(regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g'))) "
+            r"  / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio, "
+            r"round((length(text) - length(regexp_replace(text, '\d', '', 'g'))) "
+            r"  / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lang_id_turkish": (
+            "SELECT doc_id, round((length(text) - length(translate(text, 'ğüşıöçĞÜŞİÖÇ', ''))) "
+            "  / greatest(length(text), 1)::DOUBLE, 6) AS tr_char_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dedup_exact": (
+            "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', '', 'g'), "
+            "' +', ' ', 'g'))) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dupes "
+            "FROM documents GROUP BY fp ORDER BY keep_doc_id"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "top_suppliers": (
+            "SELECT s_suppkey, s_name, revenue FROM ("
+            "  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "  FROM lineitem GROUP BY l_suppkey"
+            ") JOIN supplier ON l_suppkey = s_suppkey "
+            "ORDER BY revenue DESC, s_suppkey LIMIT 20"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 5) AS l2_norm "
+            "FROM embeddings ORDER BY vec_id"
+        ),
+    }

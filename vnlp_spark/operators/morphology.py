@@ -1,0 +1,390 @@
+"""Turkish morphological analysis: candidate generation + disambiguation.
+
+Reference semantics: the Yildiz-style stem/suffix candidate generator
+(vnlp/stemmer_morph_analyzer/_yildiz_analyzer.py:369-469 — splits, phonology
+rules, lexicon probes) and the ``StemmerAnalyzer.predict`` surface
+(stemmer_morph_analyzer.py:116-232): per token, emit the best
+``root+Tag1+Tag2…`` string with ``^DB`` derivation boundaries.
+
+Disambiguation: the reference scores candidates with a context GRU whose
+weights live on S3 and are unavailable offline, so selection here is a
+deterministic context-aware heuristic (lexicon membership, root length,
+sentence-position verb/imperative logic, possessive-case priors) that
+reproduces the reference's published golden outputs; swap
+``HeuristicDisambiguator`` for a learned scorer without touching the Spark
+plumbing (both implement ``select(candidates, idx, tokens) -> int``).
+
+The suffix dictionary is a generated morphotactic fixture
+(scripts/gen_suffix_fixture.py) because the reference's full
+``Suffixes&Tags.txt`` is absent from the snapshot.
+
+Spark mapping: one pandas-UDF row = one tokenized sentence
+(``array<string> -> array<string>``); the three lexicons are process-local
+singletons inside the Python worker (shipped with the wheel — no per-task
+deserialization, no driver broadcast traffic).
+"""
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .. import resources
+
+NUM_MAX_ANALYSIS = 10  # reference stemmer_morph_analyzer.py:34
+
+_CONSONANTS = set("bcdfgğhjklmnprsştvyzxwqBCDFGĞHJKLMNPRSŞTVYZXWQ")
+_STARTS_UPPER = re.compile(r"^[ABCÇDEFGĞHIİJKLMNOÖPRSŞTUÜQVYXZ]")
+_ENDS_SOFT = re.compile(r"[bcdğBCDĞgG]$")
+_ENDS_TWO_CONSONANT = re.compile(
+    r"[bcdfgğhjklmnprsştvyzxwqBCDFGĞHJKLMNPRSŞTVYZXWQ]{2}$"
+)
+_STARTS_VOWEL = re.compile(r"^[aeıioöuüAEIİOÖUÜ]")
+_ENDS_NARROW = re.compile(r"[uüıiUÜIİ]$")
+_TAG_SEP = re.compile(r"[\+\^]")
+_NON_WORD = re.compile(r"^[^A-Za-zışğüçöÜĞİŞÇÖ]+$")
+_HAS_DIGIT = re.compile(r"[0-9]")
+
+_ROOT_TRANSFORM = {
+    "tıp": "tıb", "prof.": "profesör", "dr.": "doktor",
+    "yi": "ye", "ed": "et", "di": "de",
+}
+_SOFTEN = {"b": "p", "B": "P", "c": "ç", "C": "Ç", "d": "t", "D": "T",
+           "ğ": "k", "Ğ": "K", "g": "k", "G": "K"}
+
+
+def to_lower(text: str) -> str:
+    for k, v in zip("İIĞÜÖŞÇ", "iığüöşç"):
+        text = text.replace(k, v)
+    return text.lower()
+
+
+def _asciify(text: str) -> str:
+    for k, v in zip("İÇĞÜŞÖıçğüşö", "ICGUSOicgusö"):
+        text = text.replace(k, v)
+    return text
+
+
+def capitalize(text: str) -> str:
+    if len(text) > 1:
+        return _asciify(text[0]).upper() + to_lower(text[1:])
+    return text
+
+
+class CandidateGenerator:
+    """Rule engine producing (root, suffix, tags) candidates per token."""
+
+    def __init__(self, stem_dic=None, suffix_dic=None, exact_table=None):
+        self.stem_dic = stem_dic if stem_dic is not None else resources.stem_dict()
+        self.suffix_dic = suffix_dic if suffix_dic is not None else resources.suffix_dict()
+        self.exact = exact_table if exact_table is not None else resources.exact_lookup()
+
+    # --- split enumeration + phonology ---------------------------------
+
+    def _add(self, stem: str, suffix: str, roots: list, suffixes: list) -> None:
+        if "'" in suffix:
+            roots.append(stem)
+            suffixes.append(suffix)
+            return
+        # bana/sana -> ben/sen
+        swap = {"ban": "ben", "Ban": "Ben", "san": "sen", "San": "Sen"}
+        if stem in swap and suffix == "a":
+            roots.append(swap[stem])
+            suffixes.append("a")
+            return
+        roots.append(stem)
+        suffixes.append(suffix)
+        # consonant derivation: his+si -> hissi (doubled final consonant)
+        if (
+            len(stem) > 2
+            and suffix
+            and stem[-1] == suffix[0]
+            and stem[-1] in _CONSONANTS
+        ):
+            roots.append(stem)
+            suffixes.append(suffix[1:])
+        # vowel narrowing before -yor: bekli+yor -> bekle
+        elif len(stem) > 1 and _ENDS_NARROW.search(stem) and "yor" in suffix:
+            if stem[-1] in "iü":
+                roots.append(stem[:-1] + "e")
+                suffixes.append(suffix)
+            elif stem[-1] in "ıu":
+                roots.append(stem[:-1] + "a")
+                suffixes.append(suffix)
+        # vowel drop: ağz+ım -> ağız
+        if (
+            len(stem) > 2
+            and _ENDS_TWO_CONSONANT.search(stem)
+            and _STARTS_VOWEL.match(suffix or "")
+        ):
+            first = to_lower(suffix[0])
+            if first in "uüıi":
+                roots.append(stem[:-1] + first + stem[-1])
+                suffixes.append(suffix)
+            elif first == "e":
+                for v in ("i", "ü"):
+                    roots.append(stem[:-1] + v + stem[-1])
+                    suffixes.append(suffix)
+            elif first == "a":
+                for v in ("ı", "u"):
+                    roots.append(stem[:-1] + v + stem[-1])
+                    suffixes.append(suffix)
+        # final soft-consonant hardening: kitab -> kitap
+        if len(stem) > 2 and _ENDS_SOFT.search(stem):
+            roots.append(stem[:-1] + _SOFTEN[stem[-1]])
+            suffixes.append(suffix)
+
+    def _stem_suffix_candidates(self, word: str) -> Tuple[list, list]:
+        roots: list = []
+        suffixes: list = []
+        for i in range(1, len(word)):
+            root, suffix = word[:i], to_lower(word[i:])
+            self._add(to_lower(root), suffix, roots, suffixes)
+            if _STARTS_UPPER.match(root):
+                self._add(capitalize(root), suffix, roots, suffixes)
+        suffixes.append("")
+        roots.append(to_lower(word))
+        if _STARTS_UPPER.match(word):
+            suffixes.append("")
+            roots.append(capitalize(word))
+        roots = [_ROOT_TRANSFORM.get(r, r) for r in roots]
+        return roots, suffixes
+
+    # --- tag lookup -----------------------------------------------------
+
+    def _tags_for_suffix(self, suffix: str, stem_tags=None) -> list:
+        if suffix:
+            if suffix in self.suffix_dic:
+                tags = list(self.suffix_dic[suffix])
+                if suffix.startswith("'") and suffix[1:] in self.suffix_dic:
+                    tags += self.suffix_dic[suffix[1:]]
+            elif suffix.startswith("'") and suffix[1:] in self.suffix_dic:
+                tags = list(self.suffix_dic[suffix[1:]])
+            else:
+                return []
+        else:
+            tags = list(self.suffix_dic.get("null", []))
+        res = []
+        for tag in sorted(set(tags)):
+            seq = _TAG_SEP.split(tag)
+            first = seq[0]
+            if len(seq) > 1 and seq[1] in ("Prop", "Time"):
+                first = "+".join(seq[:2])
+            if stem_tags is None or first in stem_tags:
+                res.append(seq)
+        return res
+
+    # --- candidate assembly --------------------------------------------
+
+    def get_analysis_candidates(self, word: str):
+        """Returns list of (root, suffix, tags) where tags is a list of tag
+        strings, or the literal string 'Unknown' for the fallback."""
+        low = to_lower(word)
+        if low in self.exact:
+            out = []
+            for analysis in self.exact[low]:
+                suffix, rest = analysis.split("/", 1)
+                parts = _TAG_SEP.split(rest)
+                out.append((parts[0], suffix, parts[1:]))
+            return out
+
+        out = []
+        seen: set = set()
+        roots, suffixes = self._stem_suffix_candidates(word)
+        for root, suffix in zip(roots, suffixes):
+            if _NON_WORD.match(root):
+                stem_tags = ["Num", "Noun+Time"] if _HAS_DIGIT.search(root) else ["Punc"]
+            elif root not in self.stem_dic:
+                if not suffix:
+                    continue
+                if "'" in suffix and suffix in self.suffix_dic:
+                    stem_tags = ["Noun+Prop"]
+                else:
+                    continue
+            else:
+                stem_tags = list(self.stem_dic[root])
+                if not _STARTS_UPPER.match(root) and "Noun+Prop" in stem_tags:
+                    stem_tags.remove("Noun+Prop")
+                elif _STARTS_UPPER.match(root) and "Noun+Prop" in stem_tags:
+                    stem_tags = ["Noun+Prop"]
+                elif (
+                    suffix.startswith("'")
+                    and suffix in self.suffix_dic
+                    and "Noun+Prop" in stem_tags
+                ):
+                    stem_tags = ["Noun+Prop"]
+                elif _STARTS_UPPER.match(root):
+                    continue
+            for tag_seq in self._tags_for_suffix(suffix, stem_tags):
+                key = to_lower(root) + "+" + "+".join(tag_seq).replace("+DB", "^DB")
+                if key not in seen:
+                    seen.add(key)
+                    out.append((to_lower(root), suffix, tag_seq))
+        if not out:
+            out.append((to_lower(word), "", "Unknown"))
+        return out
+
+
+class HeuristicDisambiguator:
+    """Deterministic context-aware candidate selector (surrogate for the
+    reference's context-GRU scorer — same selection interface)."""
+
+    def __init__(self):
+        self.known = resources.known_words()
+        self.stems = resources.stem_dict()
+
+    def _in_stems(self, root: str) -> bool:
+        return root in self.stems or capitalize(root) in self.stems
+
+    def score(
+        self,
+        root: str,
+        suffix: str,
+        tags,
+        idx: int,
+        tokens: Sequence[str],
+        has_segmented_rival: bool,
+    ) -> float:
+        if tags == "Unknown" or tags == ["Unknown"]:
+            return -1000.0
+        s = 1.0 * len(root)
+        if self._in_stems(root):
+            s += 40.0
+        if root in self.known:
+            s += 10.0
+        tag_set = set(tags)
+        first = tags[0]
+        token = tokens[idx]
+        # sentence-final (before trailing punctuation) verbs are likely
+        sent_final = idx == len(tokens) - 1 or all(
+            _NON_WORD.match(t) for t in tokens[idx + 1:]
+        )
+        if first == "Verb":
+            if "Imp" in tag_set:
+                s += 25.0 if sent_final else -15.0
+            elif sent_final:
+                s += 8.0
+        if first == "Punc":
+            s += 100.0
+        if first in ("Conj", "Postp", "Pron"):
+            s += 2.0  # closed-class readings are frequent
+        if first == "Det":
+            s += 8.0  # tiny closed class (bir, bu, şu, her...): near-certain
+        if first == "Adverb" and idx == 0:
+            s += 6.0  # sentence-initial adverbs (Şimdi, Sonra, ...)
+        if first == "Adj":
+            s += 6.0  # adjectives are cited whole; resist over-segmentation
+        # a case-marked segmentation with a dictionary root usually beats
+        # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
+        if not suffix and has_segmented_rival and first != "Adj":
+            s -= 8.0
+        # nominal priors: unmarked possessive > P3sg > other
+        if "Pnon" in tag_set:
+            s += 4.0
+        elif "P3sg" in tag_set:
+            s += 3.0
+        if "Nom" in tag_set:
+            s += 1.0
+        if "Prop" in tag_set and (
+            "'" in token or (_STARTS_UPPER.match(token) and idx > 0)
+        ):
+            s += 12.0  # apostrophe or capitalized mid-sentence: proper noun
+        return s
+
+    def select(self, candidates, idx: int, tokens: Sequence[str]) -> int:
+        cands = candidates[:NUM_MAX_ANALYSIS]
+        has_segmented_rival = any(
+            sfx and not isinstance(tags, str) and self._in_stems(root)
+            for root, sfx, tags in cands
+        )
+        best, best_score = 0, float("-inf")
+        for ci, (root, suffix, tags) in enumerate(cands):
+            sc = self.score(
+                root,
+                suffix,
+                tags if not isinstance(tags, str) else [tags],
+                idx,
+                tokens,
+                has_segmented_rival,
+            )
+            if sc > best_score:
+                best, best_score = ci, sc
+        return best
+
+
+@lru_cache(maxsize=1)
+def _engine():
+    return CandidateGenerator(), HeuristicDisambiguator()
+
+
+def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
+    """Tokenized sentence -> best analysis string per token (the
+    ``StemmerAnalyzer.predict`` output contract, CAPITALIZE_PNONS=False)."""
+    gen, dis = _engine()
+    out = []
+    for idx, token in enumerate(tokens):
+        candidates = gen.get_analysis_candidates(token)
+        pick = dis.select(candidates, idx, tokens)
+        root, _suffix, tags = candidates[pick]
+        if isinstance(tags, str):
+            tags = [tags]
+        out.append("+".join([root] + list(tags)).replace("+DB", "^DB"))
+    return out
+
+
+def py_analyze_sentence(sentence: str) -> List[str]:
+    from ..functions.tokenizer import py_treebank_tokenize
+
+    return py_analyze_tokens(py_treebank_tokenize(sentence))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _analyze_udf(token_arrays: pd.Series) -> pd.Series:
+    gen, dis = _engine()  # built once per python worker
+    cache: dict = {}
+
+    def one(tokens):
+        if tokens is None:
+            return None
+        toks = list(tokens)
+        out = []
+        for idx, token in enumerate(toks):
+            # context signature: token + finality; safe to cache on it
+            sent_final = idx == len(toks) - 1 or all(_NON_WORD.match(t) for t in toks[idx + 1:])
+            key = (token, sent_final, idx > 0)
+            hit = cache.get(key)
+            if hit is None:
+                candidates = gen.get_analysis_candidates(token)
+                # reconstruct a minimal context for the scorer
+                ctx = ([""] if idx > 0 else []) + [token] + ([] if sent_final else ["x"])
+                pick = dis.select(candidates, 0 if idx == 0 else 1, ctx)
+                root, _sfx, tags = candidates[pick]
+                if isinstance(tags, str):
+                    tags = [tags]
+                hit = "+".join([root] + list(tags)).replace("+DB", "^DB")
+                cache[key] = hit
+            out.append(hit)
+        return out
+
+    return token_arrays.map(one)
+
+
+def analyze_morphology(col: Column | str) -> Column:
+    """array<string> tokens -> array<string> analyses."""
+    return _analyze_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def root_of(analysis: str) -> str:
+    return analysis.split("+", 1)[0]
+
+
+def roots_from_analyses(col: Column | str) -> Column:
+    """Native: extract roots from an array of analysis strings (stem basis
+    for canonical entity keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda a: F.split(a, r"\+")[0])
