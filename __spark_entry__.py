@@ -45,22 +45,16 @@ def _sql_quote_list(words: list[str]) -> str:
 # --- flagship ------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: most frequent non-stopword content tokens per language —
-    scan → lang filter → Turkish lowercase → whitespace explode → stopword
-    drop → hash aggregate → top-k (SURVEY §7.2's end-to-end slice)."""
-    from vnlp_spark.functions.normalizer import turkish_lower
+    """Flagship: the full KG-construction pipeline (north rule) on the
+    sf0.001 documents — sentence split → tokenize → morphology → NER →
+    dependency parse → (subj, pred, obj) triple extraction."""
+    from vnlp_spark.plans.corpus import docs_to_web_pages
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
 
-    docs = _load(spark, "/root/testdata/sf0.001", "documents")
-    toks = (
-        docs.select("lang", F.explode(F.split(turkish_lower("text"), r"\s+")).alias("token"))
-        .filter(F.length("token") > 0)
-        .filter(~F.col("token").isin(_stopwords()))
-    )
-    return (
-        toks.groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.col("lang"), F.col("token"))
-        .limit(100)
+    docs = docs_to_web_pages(_load(spark, "/root/testdata/sf0.001", "documents"))
+    kg = run_kg_pipeline(docs, lang=None)
+    return kg.triples.select(
+        "url", "sent_id", "subj", "pred", "obj", "obl", "subj_type", "obj_type"
     )
 
 
@@ -278,6 +272,145 @@ def _q_morph_analyses(spark, sf_dir):
     )
 
 
+def _q_events_user_deltas(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+            F.row_number().over(w).alias("event_rank"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _q_top_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def _corpus_docs(spark, sf_dir):
+    """Deterministic Turkish web corpus in the BASELINE input_hint shape,
+    sized to the sf under test (the driver's ``documents`` fixture is
+    all-lowercase English — no Turkish entities to extract)."""
+    from vnlp_spark.plans.corpus import generate_web_pages
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        n_docs = max(200, int(float(sf) * 200_000))
+    except ValueError:
+        n_docs = 2000
+    return generate_web_pages(spark, n_docs)
+
+
+def _q_ner_mentions(spark, sf_dir):
+    from vnlp_spark.plans.pipeline import annotate_stage, mentions_stage, sentences_stage
+
+    ann = annotate_stage(sentences_stage(_corpus_docs(spark, sf_dir)))
+    return mentions_stage(ann).orderBy("url", "sent_id", "first_tok")
+
+
+def _q_pos_tags(spark, sf_dir):
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+    from vnlp_spark.operators.pos import pos_tags
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", treebank_tokenize("text").alias("tokens"))
+        .select("doc_id", F.posexplode(pos_tags("tokens")).alias("tok_idx", "upos"))
+        .orderBy("doc_id", "tok_idx")
+    )
+
+
+def _q_dep_parses(spark, sf_dir):
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+    from vnlp_spark.operators.dep_parser import dependency_parse
+    from vnlp_spark.operators.morphology import analyze_morphology
+
+    df = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", treebank_tokenize("text").alias("tokens"))
+        .withColumn("analyses", analyze_morphology("tokens"))
+        .select("doc_id", F.explode(dependency_parse("tokens", "analyses")).alias("arc"))
+    )
+    return df.select(
+        "doc_id",
+        F.col("arc.idx").alias("idx"),
+        F.col("arc.token").alias("token"),
+        F.col("arc.head").alias("head"),
+        F.col("arc.deprel").alias("deprel"),
+    ).orderBy("doc_id", "idx")
+
+
+def _q_kg_triples(spark, sf_dir):
+    from vnlp_spark.plans.corpus import docs_to_web_pages
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
+
+    docs = docs_to_web_pages(_load(spark, sf_dir, "documents"))
+    kg = run_kg_pipeline(docs, lang=None)
+    return kg.triples.select("url", "sent_id", "subj", "pred", "obj", "obl").orderBy(
+        "url", "sent_id", "pred"
+    )
+
+
+def _q_kg_entities(spark, sf_dir):
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
+
+    kg = run_kg_pipeline(_corpus_docs(spark, sf_dir))
+    return kg.entities.orderBy(F.desc("n_mentions"), "canon_key")
+
+
+def _q_kg_edges(spark, sf_dir):
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
+
+    kg = run_kg_pipeline(_corpus_docs(spark, sf_dir))
+    return kg.edges.orderBy("url", "pred")
+
+
+def _q_sentiment(spark, sf_dir):
+    from vnlp_spark.operators.sentiment import sentiment_proba
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.round(sentiment_proba("text"), 4).alias("p_positive"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_deasciify(spark, sf_dir):
+    from vnlp_spark.functions.deasciifier import deasciify
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+        .select("doc_id", F.concat_ws(" ", deasciify("tokens")).alias("text_deascii"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_numbers_to_words(spark, sf_dir):
+    from vnlp_spark.functions.numbers import convert_numbers_to_words
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+        .select("doc_id", F.concat_ws(" ", convert_numbers_to_words("tokens")).alias("text_num2words"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turkish_lower": _q_turkish_lower,
@@ -295,9 +428,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": _q_top_suppliers,
         "events_by_type": _q_events_by_type,
         "embedding_norms": _q_embedding_norms,
+        "events_user_deltas": _q_events_user_deltas,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "sentence_split": _q_sentences,
         "treebank_tokens": _q_treebank_tokens,
         "morph_analyses": _q_morph_analyses,
+        "ner_mentions": _q_ner_mentions,
+        "pos_tags": _q_pos_tags,
+        "dep_parses": _q_dep_parses,
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_edges": _q_kg_edges,
+        "sentiment_scores": _q_sentiment,
+        "deasciify": _q_deasciify,
+        "numbers_to_words": _q_numbers_to_words,
     }
 
 
@@ -380,5 +524,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 5) AS l2_norm "
             "FROM embeddings ORDER BY vec_id"
+        ),
+        "events_user_deltas": (
+            "SELECT event_id, user_id, "
+            "round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank "
+            "FROM events ORDER BY event_id"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, "
+            "  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+            "  FROM orders"
+            ") WHERE rk <= 3 ORDER BY o_custkey, rk"
         ),
     }

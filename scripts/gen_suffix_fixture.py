@@ -155,6 +155,35 @@ def verbal_paradigm():
     return rows
 
 
+def derivational_paradigm():
+    """Productive derivations the reference's full table covers:
+    -lHk nominalization (titiz+likle, güzel+liği) and adverbial -cA
+    (iyi+ce).  Tag strings carry the +DB boundary (rendered ^DB)."""
+    rows = set()
+    for high, low in CLASSES:
+        base_k = "l" + high + "k"   # consonant-final allomorph
+        base_g = "l" + high + "ğ"   # before vowel-initial suffixes
+        cases = {
+            "Nom": [base_k],
+            "Acc": [base_g + high],
+            "Dat": [base_g + low],
+            "Loc": [base_k + "t" + low, base_k + "d" + low],
+            "Abl": [base_k + "t" + low + "n", base_k + "d" + low + "n"],
+            "Gen": [base_g + high + "n"],
+            "Ins": [base_k + "l" + low],
+        }
+        for case, forms in cases.items():
+            for s in forms:
+                for src in ("Adj", "Noun"):
+                    rows.add((s, f"{src}+DB+Noun+Ness+A3sg+Pnon+{case}"))
+        # P3sg possessive: -liği / -lığı
+        rows.add((base_g + high, "Adj+DB+Noun+Ness+A3sg+P3sg+Nom"))
+        rows.add((base_g + high, "Noun+DB+Noun+Ness+A3sg+P3sg+Nom"))
+    for s in ("ca", "ce", "ça", "çe"):
+        rows.add((s, "Adj+DB+Adverb+Ly"))
+    return rows
+
+
 def main():
     rows = set()
     nominal = nominal_paradigm()
@@ -163,6 +192,7 @@ def main():
     # (consumed via the "'" logic at _yildiz_analyzer.py:339-350, 410-415)
     rows |= {("'" + s, t.replace("Noun+", "Noun+Prop+", 1)) for s, t in nominal}
     rows |= verbal_paradigm()
+    rows |= derivational_paradigm()
     # bare apostrophe-suffix for Nom proper nouns (İzmir'in style handled above;
     # "Ankara'" edge) and null entries consumed at get_tags (suffix == "")
     nulls = [

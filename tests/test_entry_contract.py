@@ -63,7 +63,9 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["lang", "token", "cnt"]
+    assert df.columns == [
+        "url", "sent_id", "subj", "pred", "obj", "obl", "subj_type", "obj_type",
+    ]
 
 
 def test_rows_only_queries_run(spark):

@@ -271,8 +271,10 @@ class HeuristicDisambiguator:
                 s += 8.0
         if first == "Punc":
             s += 100.0
-        if first in ("Conj", "Postp", "Pron"):
+        if first in ("Conj", "Pron"):
             s += 2.0  # closed-class readings are frequent
+        if first == "Postp":
+            s += 4.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
             s += 8.0  # tiny closed class (bir, bu, şu, her...): near-certain
         if first == "Adverb" and idx == 0:

@@ -1,0 +1,168 @@
+"""Named-entity recognition: token labels + mention-span assembly.
+
+Reference surface: ``NamedEntityRecognizer.predict(sentence)`` -> [(token,
+label)] with label ∈ {O, PER, LOC, ORG} (vnlp/named_entity_recognizer/
+named_entity_recognizer.py:32-78); span merging of adjacent same-label
+tokens mirrors the displacy converter (named_entity_recognizer/utils.py:
+39-66), which is the mention basis for entity linking.
+
+The reference's SPUContext GRU weights live on S3 and are unavailable
+offline, so labeling here is a deterministic gazetteer+orthography
+surrogate with the same I/O contract (swap point: any callable
+``tokens -> labels``).  Signals, in priority order:
+
+1. typed gazetteer hit (LOC/PER/ORG lists, case-normalized)
+2. ALL-CAPS tokens (len ≥ 2) -> ORG
+3. organization head-word after an entity (Takımı, Bankası, ...) -> ORG,
+   and it retypes the pending span (VNGRS AI Takımı -> one ORG span)
+4. capitalized non-sentence-initial token, or any token carrying a
+   proper-noun apostrophe suffix -> entity; default type PER
+5. ORG/LOC/PER continuation: capitalized token following an entity token
+   keeps that label
+
+Spark mapping: Arrow-vectorized pandas UDFs, one row per tokenized
+sentence; gazetteer is a process-local singleton in the Python worker.
+"""
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import List, Tuple
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import resources
+from .morphology import to_lower
+
+_UPPER_RE = re.compile(r"^[A-ZÇĞİIÖŞÜ]")
+_ALL_CAPS_RE = re.compile(r"^[A-ZÇĞİIÖŞÜ]{2,}$")
+_HAS_LETTER_RE = re.compile(r"[A-Za-zçğıöşüÇĞİIÖŞÜ]")
+
+
+@lru_cache(maxsize=1)
+def _gazetteer():
+    gaz = resources.ner_gazetteer()
+    typed = {}
+    orgkeys = set()
+    for word, label in gaz.items():
+        if label == "ORGKEY":
+            orgkeys.add(to_lower(word))
+        else:
+            typed[to_lower(word)] = label
+    return typed, orgkeys
+
+
+def _base_form(token: str) -> str:
+    """Pre-apostrophe surface, Turkish-lowered (İstanbul'da -> istanbul)."""
+    return to_lower(token.split("'")[0].split("’")[0])
+
+
+def py_ner_tags(tokens: List[str]) -> List[str]:
+    typed, orgkeys = _gazetteer()
+    labels: List[str] = []
+    for idx, token in enumerate(tokens):
+        label = "O"
+        if not _HAS_LETTER_RE.search(token):
+            labels.append("O")
+            continue
+        base = _base_form(token)
+        has_apos = "'" in token or "’" in token
+        capitalized = bool(_UPPER_RE.match(token))
+        prev = labels[idx - 1] if idx > 0 else "O"
+        if base in typed:
+            label = typed[base]
+        elif _ALL_CAPS_RE.match(token.split("'")[0]):
+            label = "ORG"
+        elif base in orgkeys or any(base.startswith(k) and len(base) - len(k) <= 3 for k in orgkeys if len(k) > 3):
+            # organization head word: only an entity continuation, never alone
+            if prev != "O":
+                label = "ORG"
+                # retype the whole pending span (VNGRS AI Takımı -> ORG)
+                j = idx - 1
+                while j >= 0 and labels[j] != "O":
+                    labels[j] = "ORG"
+                    j -= 1
+        elif capitalized and (idx > 0 or has_apos):
+            label = prev if prev != "O" else "PER"
+        elif capitalized and idx == 0:
+            label = "O"  # sentence-initial capitalization is not a signal
+        labels.append(label)
+    return labels
+
+
+def py_ner_pairs(tokens: List[str]) -> List[Tuple[str, str]]:
+    """The reference's predict() output shape: [(token, label)]."""
+    return list(zip(tokens, py_ner_tags(tokens)))
+
+
+def py_ner_mentions(tokens: List[str]) -> List[dict]:
+    """Merge adjacent same-label tokens into mention spans (reference
+    span logic, named_entity_recognizer/utils.py:39-66)."""
+    labels = py_ner_tags(tokens)
+    mentions = []
+    start = None
+    for i, lab in enumerate(labels + ["O"]):
+        cur = labels[start] if start is not None else None
+        if start is None:
+            if lab != "O":
+                start = i
+        elif lab != cur:
+            mentions.append(
+                {
+                    "mention": " ".join(tokens[start:i]),
+                    "label": cur,
+                    "first_tok": start,
+                    "last_tok": i - 1,
+                }
+            )
+            start = i if lab != "O" else None
+    return mentions
+
+
+_MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("mention", StringType()),
+            StructField("label", StringType()),
+            StructField("first_tok", IntegerType()),
+            StructField("last_tok", IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _ner_tags_udf(token_arrays: pd.Series) -> pd.Series:
+    return token_arrays.map(lambda ts: py_ner_tags(list(ts)) if ts is not None else None)
+
+
+@F.pandas_udf(_MENTION_SCHEMA)
+def _ner_mentions_udf(token_arrays: pd.Series) -> pd.Series:
+    def one(ts):
+        if ts is None:
+            return None
+        return [
+            (m["mention"], m["label"], m["first_tok"], m["last_tok"])
+            for m in py_ner_mentions(list(ts))
+        ]
+
+    return token_arrays.map(one)
+
+
+def ner_tags(col: Column | str) -> Column:
+    """array<string> tokens -> array<string> labels (O/PER/LOC/ORG)."""
+    return _ner_tags_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def ner_mentions(col: Column | str) -> Column:
+    """array<string> tokens -> array<struct<mention,label,first_tok,last_tok>>."""
+    return _ner_mentions_udf(F.col(col) if isinstance(col, str) else col)

@@ -1,0 +1,92 @@
+"""Checkpoint-resumable stage execution with per-partition lineage rows.
+
+North-rule requirement: batch with stage-boundary persistence, idempotent
+re-run.  Each stage writes a partitioned parquet table (Iceberg-shaped —
+the writer API is isolated here so `writeTo(...).partitionedBy(...)` is a
+one-line swap when an Iceberg catalog is configured) plus lineage rows:
+
+    stage, partition_key, n_rows, checksum, completed_ts
+
+- ``partition_key`` is a 64-way url-hash bucket: lineage granularity
+  matches the unit of re-run.
+- ``checksum`` is an order-insensitive content hash (bit_xor of row
+  xxhash64s per bucket — overflow-free under ANSI mode) — cheap,
+  distributed, and comparable across re-runs regardless of partitioning.
+- resume: if the stage directory has a ``_SUCCESS`` marker and a lineage
+  entry, the stage is **skipped** and read back — an interrupted job
+  re-runs only incomplete stages.  ``force=True`` recomputes.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 64
+
+
+def _bucket(col: str = "url") -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_BUCKETS)).alias("bucket")
+
+
+def stage_lineage(df: DataFrame, stage: str, key_col: str = "url") -> DataFrame:
+    """Per-bucket row counts + content checksums for a stage output."""
+    cols = [F.col(c) for c in df.columns]
+    return (
+        df.select(_bucket(key_col), F.xxhash64(*cols).alias("h"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("checksum"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("bucket").cast("string").alias("partition_key"),
+            "n_rows",
+            "checksum",
+            F.current_timestamp().alias("completed_ts"),
+        )
+    )
+
+
+class StageRunner:
+    """Materializes pipeline stages with resume semantics."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, key_col: str = "url"):
+        self.spark = spark
+        self.base = base_dir
+        self.key_col = key_col
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _paths(self, stage: str):
+        return (
+            os.path.join(self.base, stage),
+            os.path.join(self.base, "_lineage", stage),
+        )
+
+    def is_done(self, stage: str) -> bool:
+        data_dir, lin_dir = self._paths(stage)
+        return os.path.exists(os.path.join(data_dir, "_SUCCESS")) and os.path.exists(
+            os.path.join(lin_dir, "_SUCCESS")
+        )
+
+    def run(self, stage: str, df: DataFrame, force: bool = False,
+            partition_by: str | None = None) -> DataFrame:
+        """Write `df` as the stage output (or read the prior output when
+        already complete) and return the materialized DataFrame."""
+        data_dir, lin_dir = self._paths(stage)
+        if self.is_done(stage) and not force:
+            return self.spark.read.parquet(data_dir)
+        for d in (data_dir, lin_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        key = self.key_col if self.key_col in out.columns else out.columns[0]
+        stage_lineage(out, stage, key).write.mode("overwrite").parquet(lin_dir)
+        return out
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base, "_lineage", "*"))

@@ -1,0 +1,151 @@
+"""The end-to-end KG construction pipeline (north-rule contract).
+
+documents(url, warc_ts, html, text, lang)
+  -> filter lang='tr'                      (predicate pushdown to the scan)
+  -> sentence split + posexplode           (T1; pandas UDF, narrow)
+  -> treebank tokenize                     (T3; pandas UDF, narrow)
+  -> morphology / NER mentions / parse     (M1/M2/M6; pandas UDFs, narrow)
+  -> triples                               (native HOFs, narrow)
+  -> entities + edges                      (hash aggregates + hash joins —
+                                            the ONLY shuffles in the plan)
+
+Scale notes: everything up to `triples` is a single narrow map lineage —
+at 10^12 docs it parallelizes per input split with zero data movement.
+The entity aggregate shuffles (key, type) pairs (vocabulary-sized), and
+the edge join resolves subj/obj via broadcast when entities are small or
+a salted hash join otherwise.  Column pruning keeps `html` out of every
+scan (only `text` is read).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sentence_splitter import split_sentences
+from ..functions.tokenizer import treebank_tokenize
+from ..operators.dep_parser import dependency_parse
+from ..operators.entity_resolution import build_entities, canonical_key
+from ..operators.morphology import analyze_morphology, roots_from_analyses
+from ..operators.ner import ner_mentions
+from ..operators.triples import explode_triples
+
+
+def sentences_stage(docs: DataFrame, lang: str | None = "tr") -> DataFrame:
+    """documents -> (url, warc_ts, sent_id, sentence)."""
+    if lang is not None:
+        docs = docs.filter(F.col("lang") == lang)
+    return docs.select(
+        "url",
+        "warc_ts",
+        F.posexplode(split_sentences("text")).alias("sent_id", "sentence"),
+    )
+
+
+def annotate_stage(sentences: DataFrame) -> DataFrame:
+    """(url, sent_id, sentence) -> + tokens, analyses, mentions, arcs.
+
+    One select chain — Spark fuses the Python evals into a minimal number
+    of Arrow passes, and each column is computed once per sentence row.
+    """
+    return (
+        sentences.withColumn("tokens", treebank_tokenize("sentence"))
+        .withColumn("analyses", analyze_morphology("tokens"))
+        .withColumn("mentions", ner_mentions("tokens"))
+        .withColumn("arcs", dependency_parse("tokens", "analyses"))
+    )
+
+
+def triples_stage(annotated: DataFrame) -> DataFrame:
+    """-> flat (url, warc_ts, sent_id, subj, pred, obj, obl, subj_type, obj_type)."""
+    return explode_triples(annotated, keep_cols=("url", "warc_ts", "sent_id"))
+
+
+def mentions_stage(annotated: DataFrame) -> DataFrame:
+    """-> flat mention rows with canonical keys (roots preferred)."""
+    m = annotated.select(
+        "url",
+        "sent_id",
+        F.col("tokens"),
+        F.col("analyses"),
+        F.explode("mentions").alias("m"),
+    ).select(
+        "url",
+        "sent_id",
+        F.col("m.mention").alias("mention"),
+        F.col("m.label").alias("label"),
+        F.col("m.first_tok").alias("first_tok"),
+        F.col("m.last_tok").alias("last_tok"),
+        F.try_element_at(
+            roots_from_analyses("analyses"), F.col("m.last_tok") + 1
+        ).alias("head_root"),
+    )
+    return m.withColumn("canon_key", canonical_key("mention", "head_root")).drop("head_root")
+
+
+def entities_stage(mentions: DataFrame) -> DataFrame:
+    return build_entities(mentions)
+
+
+def edges_stage(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Resolve triple arguments to entity ids -> edges table.
+
+    Subject/object surfaces canonicalize with the same key function the
+    entity table was built with; entity lookup is a broadcast hash join
+    (the entities table is vocabulary-sized next to the triple stream), so
+    no shuffle of the triple stream is needed.
+    """
+    ent = F.broadcast(entities.select("entity_id", "canon_key", "type"))
+
+    # subj/obj surfaces resolved via their canon keys against entities
+    t = triples
+    for arg in ("subj", "obj"):
+        key = canonical_key(F.coalesce(F.col(arg), F.lit("")))
+        t = t.withColumn(f"{arg}_key", F.when(F.col(arg).isNotNull(), key))
+    e = (
+        t.join(
+            ent.withColumnRenamed("entity_id", "subj_id")
+            .withColumnRenamed("canon_key", "subj_key")
+            .withColumnRenamed("type", "subj_etype"),
+            on=["subj_key"],
+            how="left",
+        )
+        .join(
+            ent.withColumnRenamed("entity_id", "obj_id")
+            .withColumnRenamed("canon_key", "obj_key")
+            .withColumnRenamed("type", "obj_etype"),
+            on=["obj_key"],
+            how="left",
+        )
+    )
+    return e.select(
+        "subj_id",
+        F.col("subj"),
+        "pred",
+        "obj_id",
+        F.col("obj"),
+        "url",
+        "warc_ts",
+    ).filter(F.col("subj_id").isNotNull() | F.col("obj_id").isNotNull())
+
+
+@dataclass
+class KGResult:
+    sentences: DataFrame
+    annotated: DataFrame
+    mentions: DataFrame
+    triples: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+
+
+def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr") -> KGResult:
+    """Assemble the full logical plan (lazy — nothing executes here)."""
+    sentences = sentences_stage(docs, lang)
+    annotated = annotate_stage(sentences)
+    mentions = mentions_stage(annotated)
+    triples = triples_stage(annotated)
+    entities = entities_stage(mentions)
+    edges = edges_stage(triples, entities)
+    return KGResult(sentences, annotated, mentions, triples, entities, edges)

@@ -122,6 +122,20 @@ def exact_lookup() -> dict[str, list[str]]:
 
 
 @lru_cache(maxsize=None)
+def ner_gazetteer() -> dict[str, str]:
+    """Typed gazetteer for the rule-based NER surrogate: surface -> label
+    (LOC/PER/ORG) or ORGKEY (organization head-word stems).  Curated for
+    Turkish web text; keys are matched case-preserved and via Turkish
+    lowercase."""
+    out: dict[str, str] = {}
+    for line in _read_gz_lines("ner_gazetteer.txt.gz"):
+        if line.strip():
+            word, label = line.split("\t")
+            out[word] = label
+    return out
+
+
+@lru_cache(maxsize=None)
 def suffix_dict() -> dict[str, list[str]]:
     """suffix -> list of '+'-joined tag strings.
 
