@@ -411,6 +411,71 @@ def _q_numbers_to_words(spark, sf_dir):
     )
 
 
+def _q_knn_bruteforce(spark, sf_dir):
+    from vnlp_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from vnlp_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries_df, dim=dim, k=5)
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from vnlp_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from vnlp_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_load(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from vnlp_spark.operators.similarity import embedding_near_dups
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # the fixture vectors are random (true near-dups are vanishingly rare at
+    # cos>=0.9), so plant deterministic near-copies of the first 20 vectors:
+    # id' = id + 10^9, v' = v with one coordinate nudged
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", 1, dim - 1),
+                F.array((F.element_at("embedding", dim) + F.lit(0.01)).cast("float")),
+            ).alias("embedding"),
+        )
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dups(both, dim=dim, min_cos=0.95).orderBy("a", "b")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from vnlp_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 200)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "doc_id", "kind", F.round(F.aggregate(F.col("feature").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x), 5).alias("feature_sq_norm")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turkish_lower": _q_turkish_lower,
@@ -442,6 +507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentiment_scores": _q_sentiment,
         "deasciify": _q_deasciify,
         "numbers_to_words": _q_numbers_to_words,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -537,5 +608,18 @@ def oracle_sql() -> dict[str, str]:
             "  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
             "  FROM orders"
             ") WHERE rk <= 3 ORDER BY o_custkey, rk"
+        ),
+        "knn_bruteforce": (
+            "SELECT query_id, vec_id, cos_sim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "  round(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0 "
+            "         AND sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) > 0 "
+            "   THEN list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+            "        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "         sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) "
+            "   ELSE 0.0 END, 6) AS cos_sim "
+            "  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q"
+            ") QUALIFY rank <= 5 ORDER BY query_id, rank"
         ),
     }

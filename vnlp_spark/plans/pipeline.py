@@ -43,17 +43,32 @@ def sentences_stage(docs: DataFrame, lang: str | None = "tr") -> DataFrame:
     )
 
 
-def annotate_stage(sentences: DataFrame) -> DataFrame:
+def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False) -> DataFrame:
     """(url, sent_id, sentence) -> + tokens, analyses, mentions, arcs.
 
     One select chain — Spark fuses the Python evals into a minimal number
     of Arrow passes, and each column is computed once per sentence row.
+
+    ``dedup_sentences=True`` annotates each DISTINCT sentence once and
+    hash-joins the results back (annotation is a pure function of the
+    sentence).  Web crawls are heavily boilerplate-duplicated, so at scale
+    this trades two shuffles on uniformly-hashed keys for an N-fold cut in
+    pandas-UDF work — the right default for crawl-shaped corpora; leave it
+    off for unique-heavy text.
     """
-    return (
-        sentences.withColumn("tokens", treebank_tokenize("sentence"))
-        .withColumn("analyses", analyze_morphology("tokens"))
-        .withColumn("mentions", ner_mentions("tokens"))
-        .withColumn("arcs", dependency_parse("tokens", "analyses"))
+    def annotate(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("tokens", treebank_tokenize("sentence"))
+            .withColumn("analyses", analyze_morphology("tokens"))
+            .withColumn("mentions", ner_mentions("tokens"))
+            .withColumn("arcs", dependency_parse("tokens", "analyses"))
+        )
+
+    if not dedup_sentences:
+        return annotate(sentences)
+    distinct = annotate(sentences.select("sentence").distinct())
+    return sentences.join(distinct, on="sentence", how="left").select(
+        *sentences.columns, "tokens", "analyses", "mentions", "arcs"
     )
 
 
@@ -140,12 +155,29 @@ class KGResult:
     edges: DataFrame
 
 
-def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr") -> KGResult:
-    """Assemble the full logical plan (lazy — nothing executes here)."""
+def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr", persist: bool = False,
+                    dedup_sentences: bool = False) -> KGResult:
+    """Assemble the full logical plan (lazy — nothing executes here).
+
+    ``persist=True`` caches the annotated sentences (MEMORY_AND_DISK):
+    triples, entities, and edges all branch from that column set, so
+    without it each downstream action re-runs the pandas-UDF annotation
+    chain — the dominant cost.  On a cluster the same role is played by
+    the stage-boundary write (plans.lineage.StageRunner)."""
     sentences = sentences_stage(docs, lang)
-    annotated = annotate_stage(sentences)
+    annotated = annotate_stage(sentences, dedup_sentences=dedup_sentences)
+    if persist:
+        from pyspark import StorageLevel
+
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     mentions = mentions_stage(annotated)
     triples = triples_stage(annotated)
     entities = entities_stage(mentions)
+    if persist:
+        # triples feeds edges and is also consumed directly; entities is
+        # broadcast into TWO joins (subj + obj) — without pinning, each
+        # consumer re-derives them from `annotated`
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
     edges = edges_stage(triples, entities)
     return KGResult(sentences, annotated, mentions, triples, entities, edges)
