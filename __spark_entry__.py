@@ -476,6 +476,63 @@ def _q_multimodal_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_token_validity(spark, sf_dir):
+    from vnlp_spark.operators.validity import tokens_validity
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+        .select(
+            "doc_id",
+            F.size(F.filter(tokens_validity("tokens"), lambda v: v)).alias("n_valid"),
+            F.size("tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_charner(spark, sf_dir):
+    from vnlp_spark.operators.charner import charner_pairs
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(charner_pairs("text")).alias("tok_idx", "pair"))
+        .select(
+            "doc_id",
+            "tok_idx",
+            F.substring_index("pair", "\x01", 1).alias("token"),
+            F.substring_index("pair", "\x01", -1).alias("label"),
+        )
+        .orderBy("doc_id", "tok_idx")
+    )
+
+
+def _q_dynamic_stopwords(spark, sf_dir):
+    from vnlp_spark.operators.stopwords import dynamically_detect_stop_words
+
+    toks = (
+        _load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    detected = dynamically_detect_stop_words(toks)
+    return spark.createDataFrame([(w,) for w in sorted(detected)], ["stopword"])
+
+
+def _q_triple_pr(spark, sf_dir):
+    from vnlp_spark.plans.evaluation import score_triples
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
+
+    kg = run_kg_pipeline(_corpus_docs(spark, sf_dir), persist=True, dedup_sentences=True)
+    pr = score_triples(kg.triples, kg.sentences)
+    for df in (kg.annotated, kg.triples, kg.entities):
+        df.unpersist()
+    return spark.createDataFrame(
+        [(round(pr.precision, 4), round(pr.recall, 4), pr.n_gold, pr.n_pred, pr.n_hit)],
+        ["precision", "recall", "n_gold", "n_pred", "n_hit"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turkish_lower": _q_turkish_lower,
@@ -513,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
+        "token_validity": _q_token_validity,
+        "charner_tags": _q_charner,
+        "dynamic_stopwords": _q_dynamic_stopwords,
+        "triple_precision_recall": _q_triple_pr,
     }
 
 

@@ -1,0 +1,58 @@
+"""Token-validity predicate, CharNER, and the triple P/R harness."""
+import pytest
+
+from vnlp_spark.operators.charner import py_charner
+from vnlp_spark.operators.validity import py_is_token_valid_turkish
+
+
+def test_token_validity():
+    assert py_is_token_valid_turkish("üniversite")
+    assert py_is_token_valid_turkish("kitap")
+    assert py_is_token_valid_turkish("çalışıyorlardı")  # analyzer path
+    assert not py_is_token_valid_turkish("zzzqqqxx")
+
+
+def test_charner_basics():
+    pairs = py_charner("Benim adım Melikşah, İstanbul'da ikamet ediyorum.")
+    d = dict(pairs)
+    assert d["Melikşah"] == "PER"
+    assert d["İstanbul"] == "LOC"
+    assert d["ikamet"] == "O"
+
+
+def test_charner_recursive_halving():
+    text = "Ahmet İstanbul gezisine çıktı ve orada üç gün kaldı. " * 8
+    assert len(text) > 256
+    pairs = py_charner(text)
+    labels = {tok: lab for tok, lab in pairs}
+    assert labels["Ahmet"] == "PER"
+    assert labels["İstanbul"] == "LOC"
+    # token count preserved across the halving recombination
+    from vnlp_spark.functions.tokenizer import py_word_punct_tokenize
+
+    assert len(pairs) == len(py_word_punct_tokenize(text))
+
+
+def test_validity_spark(spark):
+    from vnlp_spark.operators.validity import is_token_valid_turkish
+
+    df = spark.createDataFrame(
+        [(0, "üniversite"), (1, "zzzqqqxx"), (2, "kitap")], ["i", "token"]
+    )
+    out = {r["i"]: r["v"] for r in df.select("i", is_token_valid_turkish("token").alias("v")).collect()}
+    assert out == {0: True, 1: False, 2: True}
+
+
+def test_triple_pr_meets_target(spark):
+    from vnlp_spark.plans.corpus import generate_web_pages
+    from vnlp_spark.plans.evaluation import score_triples
+    from vnlp_spark.plans.pipeline import run_kg_pipeline
+
+    docs = generate_web_pages(spark, 300)
+    kg = run_kg_pipeline(docs, persist=True, dedup_sentences=True)
+    pr = score_triples(kg.triples, kg.sentences)
+    assert pr.n_gold > 100
+    assert pr.precision >= 0.95, f"precision {pr.precision}"
+    assert pr.recall >= 0.95, f"recall {pr.recall}"
+    for df in (kg.annotated, kg.triples, kg.entities):
+        df.unpersist()

@@ -169,12 +169,21 @@ ARC_SCHEMA = ArrayType(
 
 @F.pandas_udf(ARC_SCHEMA)
 def _parse_udf(token_arrays: pd.Series, analyses_arrays: pd.Series) -> pd.Series:
+    # per-batch memo on the token sequence: web corpora repeat sentences
+    # (boilerplate), and the struct-array output is the expensive part
+    cache: dict = {}
+
     def one(row):
         ts, an = row
         if ts is None:
             return None
-        an = list(an) if an is not None else None
-        return py_parse_tokens(list(ts), analyses=an)
+        key = tuple(ts)
+        hit = cache.get(key)
+        if hit is None:
+            an = list(an) if an is not None else None
+            hit = py_parse_tokens(list(ts), analyses=an)
+            cache[key] = hit
+        return hit
 
     return pd.Series(map(one, zip(token_arrays, analyses_arrays)))
 

@@ -237,6 +237,13 @@ class HeuristicDisambiguator:
     def __init__(self):
         self.known = resources.known_words()
         self.stems = resources.stem_dict()
+        # typed NER gazetteer doubles as a proper-noun prior: a sentence-
+        # initial capitalized token has no positional Prop signal, but a
+        # gazetteer hit (Ali, Murat, İzmir) disambiguates name-vs-common-
+        # noun homographs (murat 'wish' vs Murat the name)
+        self.gazetteer = {
+            to_lower(w) for w, lbl in resources.ner_gazetteer().items() if lbl != "ORGKEY"
+        }
 
     def _in_stems(self, root: str) -> bool:
         return root in self.stems or capitalize(root) in self.stems
@@ -293,9 +300,11 @@ class HeuristicDisambiguator:
         if "Nom" in tag_set:
             s += 1.0
         if "Prop" in tag_set and (
-            "'" in token or (_STARTS_UPPER.match(token) and idx > 0)
+            "'" in token
+            or (_STARTS_UPPER.match(token) and idx > 0)
+            or (_STARTS_UPPER.match(token) and to_lower(token) in self.gazetteer)
         ):
-            s += 12.0  # apostrophe or capitalized mid-sentence: proper noun
+            s += 12.0  # apostrophe, mid-sentence capital, or gazetteer name
         return s
 
     def select(self, candidates, idx: int, tokens: Sequence[str]) -> int:
@@ -324,18 +333,44 @@ def _engine():
     return CandidateGenerator(), HeuristicDisambiguator()
 
 
-def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
-    """Tokenized sentence -> best analysis string per token (the
-    ``StemmerAnalyzer.predict`` output contract, CAPITALIZE_PNONS=False)."""
-    gen, dis = _engine()
-    out = []
-    for idx, token in enumerate(tokens):
+# Process-wide bounded analysis cache.  Keyed on everything the selection
+# depends on: the token plus its two context flags (sentence-final-before-
+# punct, non-initial).  Web vocabulary is Zipfian, so steady-state hit rate
+# is high; the bound caps worker memory on adversarial inputs.
+_ANALYSIS_CACHE: dict = {}
+_ANALYSIS_CACHE_MAX = 500_000
+
+
+def _analyze_one(token: str, sent_final: bool, non_initial: bool) -> str:
+    key = (token, sent_final, non_initial)
+    hit = _ANALYSIS_CACHE.get(key)
+    if hit is None:
+        gen, dis = _engine()
         candidates = gen.get_analysis_candidates(token)
-        pick = dis.select(candidates, idx, tokens)
+        ctx = ([""] if non_initial else []) + [token] + ([] if sent_final else ["x"])
+        pick = dis.select(candidates, 1 if non_initial else 0, ctx)
         root, _suffix, tags = candidates[pick]
         if isinstance(tags, str):
             tags = [tags]
-        out.append("+".join([root] + list(tags)).replace("+DB", "^DB"))
+        hit = "+".join([root] + list(tags)).replace("+DB", "^DB")
+        if len(_ANALYSIS_CACHE) >= _ANALYSIS_CACHE_MAX:
+            _ANALYSIS_CACHE.clear()
+        _ANALYSIS_CACHE[key] = hit
+    return hit
+
+
+def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
+    """Tokenized sentence -> best analysis string per token (the
+    ``StemmerAnalyzer.predict`` output contract, CAPITALIZE_PNONS=False)."""
+    out = []
+    n = len(tokens)
+    # trailing-punct run: every token at or after this position is NON_WORD
+    tail = n
+    while tail > 0 and _NON_WORD.match(tokens[tail - 1]):
+        tail -= 1
+    for idx, token in enumerate(tokens):
+        sent_final = idx >= tail - 1
+        out.append(_analyze_one(token, sent_final, idx > 0))
     return out
 
 
@@ -347,33 +382,10 @@ def py_analyze_sentence(sentence: str) -> List[str]:
 
 @F.pandas_udf(ArrayType(StringType()))
 def _analyze_udf(token_arrays: pd.Series) -> pd.Series:
-    gen, dis = _engine()  # built once per python worker
-    cache: dict = {}
-
-    def one(tokens):
-        if tokens is None:
-            return None
-        toks = list(tokens)
-        out = []
-        for idx, token in enumerate(toks):
-            # context signature: token + finality; safe to cache on it
-            sent_final = idx == len(toks) - 1 or all(_NON_WORD.match(t) for t in toks[idx + 1:])
-            key = (token, sent_final, idx > 0)
-            hit = cache.get(key)
-            if hit is None:
-                candidates = gen.get_analysis_candidates(token)
-                # reconstruct a minimal context for the scorer
-                ctx = ([""] if idx > 0 else []) + [token] + ([] if sent_final else ["x"])
-                pick = dis.select(candidates, 0 if idx == 0 else 1, ctx)
-                root, _sfx, tags = candidates[pick]
-                if isinstance(tags, str):
-                    tags = [tags]
-                hit = "+".join([root] + list(tags)).replace("+DB", "^DB")
-                cache[key] = hit
-            out.append(hit)
-        return out
-
-    return token_arrays.map(one)
+    _engine()  # built once per python worker
+    return token_arrays.map(
+        lambda ts: py_analyze_tokens(list(ts)) if ts is not None else None
+    )
 
 
 def analyze_morphology(col: Column | str) -> Column:

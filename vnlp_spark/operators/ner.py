@@ -147,13 +147,20 @@ def _ner_tags_udf(token_arrays: pd.Series) -> pd.Series:
 
 @F.pandas_udf(_MENTION_SCHEMA)
 def _ner_mentions_udf(token_arrays: pd.Series) -> pd.Series:
+    cache: dict = {}
+
     def one(ts):
         if ts is None:
             return None
-        return [
-            (m["mention"], m["label"], m["first_tok"], m["last_tok"])
-            for m in py_ner_mentions(list(ts))
-        ]
+        key = tuple(ts)
+        hit = cache.get(key)
+        if hit is None:
+            hit = [
+                (m["mention"], m["label"], m["first_tok"], m["last_tok"])
+                for m in py_ner_mentions(list(ts))
+            ]
+            cache[key] = hit
+        return hit
 
     return token_arrays.map(one)
 

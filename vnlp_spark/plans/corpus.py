@@ -71,8 +71,14 @@ def generate_web_pages(
     turkish_fraction: float = 0.9,
     seed: int = 42,
     n_partitions: int | None = None,
+    unique_tail: bool = False,
 ) -> DataFrame:
-    """n_docs synthetic pages, deterministic in (n_docs, seed)."""
+    """n_docs synthetic pages, deterministic in (n_docs, seed).
+
+    ``unique_tail=True`` appends a per-document unique sentence (numeric
+    id tokens), making every document's sentence set distinct — use for
+    compute-bound benchmarking where sentence-dedup/caching must not
+    collapse the workload."""
     if n_partitions is None:
         n_partitions = max(8, spark.sparkContext.defaultParallelism)
     pool_tr = F.array(*[F.lit(s) for s in SENTENCE_POOL])
@@ -94,9 +100,21 @@ def generate_web_pages(
         tail = F.pmod(u, F.lit(len(SENTENCE_POOL))) + 1
         idx_tr = F.when(u < 500, head).otherwise(tail)
         idx_en = F.pmod(u, F.lit(len(_EN_SENTENCES))) + 1
-        return F.when(is_tr, F.element_at(pool_tr, idx_tr.cast("int"))).otherwise(
+        sent = F.when(is_tr, F.element_at(pool_tr, idx_tr.cast("int"))).otherwise(
             F.element_at(pool_en, idx_en.cast("int"))
         )
+        if unique_tail:
+            # prefix a unique record marker INTO every sentence: boundaries
+            # survive (capitalized start, original final punctuation) but no
+            # two sentence instances are equal -> sentence-level caching and
+            # dedup get zero hits; the workload is true per-sentence compute
+            sent = F.concat(
+                F.lit("Kayıt "),
+                F.pmod(h(40 + j), F.lit(1_000_000_000)).cast("string"),
+                F.lit(" uyarınca "),
+                sent,
+            )
+        return sent
 
     sent_cols = F.array(*[pick(j) for j in range(MAX_SENTS_PER_DOC)])
     text = F.concat_ws(" ", F.slice(sent_cols, 1, n_sents))
