@@ -272,6 +272,39 @@ def _q_morph_analyses(spark, sf_dir):
     )
 
 
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, dims broadcast, one agg shuffle."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import quality_score
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_user_deltas(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -550,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": _q_top_suppliers,
         "events_by_type": _q_events_by_type,
         "embedding_norms": _q_embedding_norms,
+        "regional_revenue": _q_regional_revenue,
+        "quality_score": _q_quality_score,
         "events_user_deltas": _q_events_user_deltas,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "sentence_split": _q_sentences,
@@ -656,6 +691,38 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 5) AS l2_norm "
             "FROM embeddings ORDER BY vec_id"
+        ),
+        "regional_revenue": (
+            "SELECT r_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_lineitems "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+        ),
+        "quality_score": (
+            r"""
+            SELECT doc_id, round(
+              least(n_tokens / 50.0, 1.0) * 0.4
+              + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+              + (1.0 - least(digit_ratio * 4, 1.0)) * 0.15
+              + (CASE WHEN wl >= 3 AND wl <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+            , 6) AS quality FROM (
+              SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                (length(text) - length(regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g')))
+                  / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+                (length(text) - length(regexp_replace(text, '\d', '', 'g')))
+                  / greatest(length(text), 1)::DOUBLE AS digit_ratio,
+                length(regexp_replace(text, '\s', '', 'g'))
+                  / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::DOUBLE AS wl
+              FROM documents
+            ) ORDER BY doc_id
+            """
         ),
         "events_user_deltas": (
             "SELECT event_id, user_id, "

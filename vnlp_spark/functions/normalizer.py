@@ -78,6 +78,20 @@ def py_digits_to_zero(text: str) -> str:
     return "".join("0" if c.isdigit() else c for c in text)
 
 
+# P6 ----------------------------------------------------------------------
+def correct_typos(col: Column | str) -> Column:
+    """API-parity stub (reference P6, normalizer.py:156-181): the reference
+    removed its Jamspell-based implementation on 2024-11-27 and the method
+    body is ``pass`` — it computes nothing.  Kept here as identity so
+    pipelines porting from the reference keep working; a real corrector
+    slots in as a pandas UDF."""
+    return F.col(col) if isinstance(col, str) else col
+
+
+def py_correct_typos(text: str) -> str:
+    return text
+
+
 # P10 --------------------------------------------------------------------
 def preprocess_word(col: Column | str) -> Column:
     """Embedding-lookup pre-norm: curly apostrophe -> straight, Turkish

@@ -1,0 +1,80 @@
+"""Structured Streaming surface for the KG engine.
+
+The reference has no streaming semantics (SURVEY §2.11) and the north rule
+asks for batch + checkpoint-resume, which plans/lineage.py provides.  This
+module exists for the continuous-ingestion deployment mode: the SAME fused
+annotation UDF and triple extractor run unchanged on a streaming DataFrame
+(they are stateless per sentence), plus watermarked event-time windowing
+for rolling entity statistics.
+
+    pages = (spark.readStream.schema(WEB_PAGE_SCHEMA).parquet(landing_dir))
+    triples = stream_triples(pages)                      # append mode
+    counts  = windowed_mention_counts(pages, "10 minutes", "5 minutes")
+    counts.writeStream.outputMode("append")...           # late data handled
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WEB_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def stream_annotated(pages: DataFrame, lang: str | None = "tr") -> DataFrame:
+    """Streaming documents -> annotated sentence rows (stateless map —
+    identical plan to the batch fused stage, so it is trivially
+    micro-batch-safe)."""
+    from ..plans.pipeline import annotated_documents_stage
+
+    return annotated_documents_stage(pages, lang)
+
+
+def stream_triples(pages: DataFrame, lang: str | None = "tr") -> DataFrame:
+    """Streaming documents -> (url, warc_ts, sent_id, subj, pred, obj, ...)
+    in append mode (no aggregation state)."""
+    from ..operators.triples import explode_triples
+
+    ann = stream_annotated(pages, lang)
+    return explode_triples(ann, keep_cols=("url", "warc_ts", "sent_id"))
+
+
+def windowed_mention_counts(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    lang: str | None = "tr",
+) -> DataFrame:
+    """Rolling per-entity mention counts over event time (warc_ts) with a
+    watermark for late crawls — the streaming analog of the entities
+    aggregate.  Output: (window, canon_key, label, n_mentions)."""
+    from ..operators.entity_resolution import canonical_key
+
+    ann = stream_annotated(pages, lang).withWatermark("warc_ts", watermark)
+    mentions = ann.select(
+        "warc_ts", F.explode("mentions").alias("m")
+    ).select(
+        "warc_ts",
+        canonical_key(F.col("m.mention")).alias("canon_key"),
+        F.col("m.label").alias("label"),
+    )
+    win = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
+    return (
+        mentions.groupBy(win.alias("window"), "canon_key", "label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
