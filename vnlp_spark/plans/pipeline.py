@@ -181,8 +181,17 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False) -> DataF
 
     if not dedup_sentences:
         return annotate(sentences)
-    distinct = annotate(sentences.select("sentence").distinct())
-    return sentences.join(distinct, on="sentence", how="left").select(
+    # join on a 64-bit sentence hash, not the sentence string: shuffle keys
+    # shrink from whole sentences to 8 bytes on both exchanges.  xxhash64
+    # collisions at realistic distinct-sentence counts (even 10^10) are
+    # ~1e-2 birthday-probability per corpus and only swap one sentence's
+    # annotations; acceptable for corpus analytics, switch to a 128-bit
+    # key (md5 halves) if exactness is required.
+    keyed = sentences.withColumn("_skey", F.xxhash64("sentence"))
+    distinct = annotate(
+        keyed.select("_skey", "sentence").dropDuplicates(["_skey"])
+    ).drop("sentence")
+    return keyed.join(distinct, on="_skey", how="left").select(
         *sentences.columns, "tokens", "analyses", "mentions", "arcs"
     )
 
