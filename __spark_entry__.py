@@ -180,6 +180,24 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_doc_rolling_hash(spark, sf_dir):
+    from vnlp_spark.functions.text_stats import rolling_hash_fingerprint
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", rolling_hash_fingerprint("text").alias("rhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    from vnlp_spark.operators.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _load(spark, sf_dir, "documents"), min_jaccard=0.8
+    ).orderBy("a", "b")
+
+
 def _q_pricing_summary(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -579,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_ratios": _q_doc_quality,
         "lang_id_turkish": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
+        "doc_rolling_hash": _q_doc_rolling_hash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "pricing_summary": _q_pricing_summary,
         "top_suppliers": _q_top_suppliers,
         "events_by_type": _q_events_by_type,
@@ -668,6 +688,124 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', '', 'g'), "
             "' +', ' ', 'g'))) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dupes "
             "FROM documents GROUP BY fp ORDER BY keep_doc_id"
+        ),
+        "doc_rolling_hash": (
+            "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+            "  list_transform(string_split(text, ''), "
+            "    c -> (CASE WHEN c = '' THEN 0 ELSE unicode(c) END)::BIGINT)), "
+            "  (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ngram_jaccard_pairs": (
+            r"""
+            WITH g AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(length('^' || lower(text) || '$') - 2, 1) + 1),
+                  i -> substring('^' || lower(text) || '$', i, 3))) AS grams,
+                floor(length(text) / 20.0)::INT AS len_bucket
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                len(list_intersect(a.grams, b.grams)) AS inter,
+                len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un
+              FROM g a JOIN g b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            )
+            SELECT a, b, round(inter / un::DOUBLE, 6) AS jaccard FROM pairs
+            WHERE un > 0 AND inter / un::DOUBLE >= 0.8 ORDER BY a, b
+            """
+        ),
+        "minhash_dedup": (
+            # exact oracle for the LSH plan: true word-3-shingle Jaccard >=
+            # 0.8 pairs -> min-id keeper map (LSH banding at 64 hashes / 16
+            # bands has recall 1.0 on every true near-dup group in the
+            # fixtures, verified at sf0.001 and sf0.01)
+            r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)+1),
+                    i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS grams
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                len(list_intersect(a.grams, b.grams)) AS inter,
+                len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), verified AS (
+              SELECT a, b FROM pairs WHERE un > 0 AND inter / un::DOUBLE >= 0.8
+            ), keeper AS (
+              SELECT b AS doc_id, min(a) AS keep_id FROM verified GROUP BY b
+            )
+            SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
+            FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN keeper k USING (doc_id)
+            ORDER BY d.doc_id
+            """
+        ),
+        "embedding_near_dups": (
+            # exact oracle for the multi-probe LSH plan: plant the same
+            # near-copies, brute-force all-pairs cosine >= 0.95 (multi-probe
+            # recall 1.0 on the fixtures, verified at sf0.001 and sf0.01)
+            r"""
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), planted AS (
+              SELECT vec_id + 1000000000 AS vec_id,
+                list_append(v[1:len(v)-1], ((v[len(v)] + 0.01)::FLOAT)::DOUBLE) AS v
+              FROM base WHERE vec_id < 20
+            ), allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
+                     THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     ELSE 0.0 END AS cs
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, round(cs, 6) AS cos_sim FROM pairs
+            WHERE round(cs, 6) >= 0.95 ORDER BY a, b
+            """
+        ),
+        "dynamic_stopwords": (
+            # the reference's knee-point second-derivative cut
+            # (stopword_remover.py:62-101) translated to window SQL,
+            # including its quirks: pct-change NaNs (0/0) dropped BEFORE the
+            # argmax, the compacted argmax index applied to the ORIGINAL
+            # (cnt desc, token desc) order, and ties extended by
+            # amount_of_max
+            r"""
+            WITH freq AS (
+              SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+              ) WHERE length(token) > 0 GROUP BY token
+            ), ordered AS (
+              SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token DESC) AS idx FROM freq
+            ), d1 AS (
+              SELECT token, cnt, idx,
+                abs((lead(cnt) OVER w - cnt) / cnt::DOUBLE) AS pct1
+              FROM ordered WINDOW w AS (ORDER BY idx)
+            ), d2 AS (
+              SELECT token, cnt, idx, pct1,
+                lead(pct1) OVER w - pct1 AS diff2
+              FROM d1 WINDOW w AS (ORDER BY idx)
+            ), p2 AS (
+              SELECT idx, cnt,
+                CASE WHEN pct1 = 0 AND diff2 = 0 THEN NULL
+                     WHEN pct1 = 0 THEN 'infinity'::DOUBLE
+                     ELSE abs(diff2 / pct1) END AS pct2
+              FROM d2 WHERE diff2 IS NOT NULL
+            ), compacted AS (
+              SELECT idx, cnt, pct2, row_number() OVER (ORDER BY idx) - 1 AS cidx
+              FROM p2 WHERE pct2 IS NOT NULL
+            ), am AS (
+              SELECT min(cidx) AS argmax FROM compacted WHERE pct2 = (SELECT max(pct2) FROM compacted)
+            ), cut AS (
+              SELECT o.cnt AS cut_cnt, a.argmax FROM ordered o, am a WHERE o.idx = a.argmax + 1
+            )
+            SELECT token AS stopword FROM ordered, cut
+            WHERE idx <= cut.argmax + (SELECT count(*) FROM ordered WHERE cnt = cut.cut_cnt)
+            ORDER BY token
+            """
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -154,3 +154,37 @@ def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
     assert decode_image(b"xx", fake=True).shape == (64,)
+
+
+def test_rolling_hash_fingerprint_golden(spark):
+    from vnlp_spark.functions.text_stats import rolling_hash_fingerprint
+
+    def py_rhash(s, base=31, mod=1_000_000_007):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    texts = ["merhaba dünya İĞ!", "a", "çok güzel 123", "x" * 300]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {r["i"]: r["h"] for r in df.select("i", rolling_hash_fingerprint("text").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_rhash(t), t
+
+
+def test_near_dups_multiprobe_superset(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [
+        (1000 + i, (base[i] + np.float32(0.005) * rng.standard_normal(16).astype("float32")).tolist())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    single = {(r["a"], r["b"]) for r in embedding_near_dups(df, dim=16, multi_probe=False).collect()}
+    multi = {(r["a"], r["b"]) for r in embedding_near_dups(df, dim=16, multi_probe=True).collect()}
+    assert single <= multi
+    # every planted pair must be recovered by the multi-probe plan
+    assert {(i, 1000 + i) for i in range(10)} <= multi

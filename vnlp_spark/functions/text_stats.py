@@ -106,3 +106,20 @@ def normalized_fingerprint(col: Column | str) -> Column:
 def xx_fingerprint(col: Column | str) -> Column:
     """64-bit xxhash fingerprint — the cheap scale path (no oracle)."""
     return F.xxhash64(_c(col))
+
+
+def rolling_hash_fingerprint(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash document fingerprint over Unicode codepoints:
+    ``h = (h * base + codepoint) % mod`` folded left-to-right.
+
+    Native ``aggregate`` over the char array — single projection, no UDF,
+    and the identical fold is expressible in DuckDB ``list_reduce`` for the
+    oracle.  The modulus keeps every intermediate below 2^35 so the math is
+    overflow-exact on both engines (Spark longs would silently wrap,
+    DuckDB would raise)."""
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+    )

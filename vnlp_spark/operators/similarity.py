@@ -132,21 +132,47 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 14,
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) via same-bucket LSH
-    blocking + exact cosine verify — the semantic arm of the dedup suite."""
+    """Embedding-cosine near-duplicate pairs (a < b) via LSH blocking +
+    exact cosine verify — the semantic arm of the dedup suite.
+
+    With ``multi_probe`` (default) the left side also probes every
+    1-bit-flip neighbor bucket, so a pair is only missed when its two
+    vectors disagree on >= 2 of the ``n_planes`` sign bits — for
+    true near-dups (cos >= 0.95) that drives recall to ~1 at the cost of
+    (n_planes+1)x fan-out on one side of the bucket join, which stays a
+    join on uniformly-distributed hash keys at 100 TB."""
     bucket_udf = make_lsh_bucket_udf(dim, n_planes, seed)
     v = df.select(id_col, vec_col).withColumn("bucket", bucket_udf(F.col(vec_col)))
-    l, r = v.alias("l"), v.alias("r")
-    pairs = l.join(
-        r,
-        on=[
-            F.col("l.bucket") == F.col("r.bucket"),
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-        ],
-    ).select(
-        F.col(f"l.{id_col}").alias("a"),
-        F.col(f"r.{id_col}").alias("b"),
-        F.round(cosine_sim(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cos_sim"),
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        l = v.select(id_col, vec_col, F.explode(probes).alias("bucket")).alias("l")
+    else:
+        l = v.alias("l")
+    r = v.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .select(
+            "a",
+            "b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= min_cos)
