@@ -483,6 +483,33 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_topk(emb, queries_df, dim=dim, k=5)
 
 
+def _q_word2vec_similar(spark, sf_dir):
+    from vnlp_spark.operators.embeddings import most_similar, train_word2vec, vectors_table
+
+    toks = (
+        _load(spark, sf_dir, "documents")
+        .select(F.split(F.lower(F.col("text")), r"\s+").alias("tokens"))
+    )
+    model = train_word2vec(toks, dim=16, min_count=2, seed=42)
+    vectors = vectors_table(model).cache()
+    top_word = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w").count().orderBy(F.desc("count"), "w").first()["w"]
+    )
+    return most_similar(vectors, [top_word], topn=10)
+
+
+def _q_knn_ivf(spark, sf_dir):
+    from vnlp_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, dim=dim, k=5, n_cells=16, n_probe=4)
+
+
 def _q_minhash_dedup(spark, sf_dir):
     from vnlp_spark.operators.dedup import minhash_dedup
 
@@ -621,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numbers_to_words": _q_numbers_to_words,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "word2vec_similar": _q_word2vec_similar,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,

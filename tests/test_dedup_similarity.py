@@ -188,3 +188,62 @@ def test_near_dups_multiprobe_superset(spark):
     assert single <= multi
     # every planted pair must be recovered by the multi-probe plan
     assert {(i, 1000 + i) for i in range(10)} <= multi
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # clustered corpus: 8 centers x 40 points, so IVF cells are meaningful
+    centers = rng.standard_normal((8, 16)).astype("float64") * 3
+    rows = []
+    for i in range(320):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(16) * 0.3).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from vnlp_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(df, queries, k=5).collect()
+    approx = ivf_topk(df, queries, dim=16, k=5, n_cells=8, n_probe=2).collect()
+    # self-match must be found (the query's own cell is always probed first)
+    approx_top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    for r in exact:
+        if r["rank"] == 1:
+            assert approx_top1[r["query_id"]] == r["vec_id"]
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # with clustered data and 2-of-8 probes, recall@5 should be high
+    assert len(exact_set & approx_set) >= int(0.8 * len(exact_set))
+
+
+def test_ivf_deterministic(spark):
+    import numpy as np
+    from vnlp_spark.operators.similarity import train_coarse_quantizer
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = train_coarse_quantizer(df.orderBy("vec_id"), dim=8, n_cells=4, seed=9)
+    c2 = train_coarse_quantizer(df.orderBy("vec_id"), dim=8, n_cells=4, seed=9)
+    assert np.allclose(c1, c2)
+
+
+def test_word2vec_train_and_most_similar(spark):
+    from vnlp_spark.operators.embeddings import most_similar, train_word2vec, vectors_table
+
+    sents = [
+        "kedi süt içer", "köpek su içer", "kedi uyur", "köpek havlar",
+        "kedi süt sever", "köpek kemik sever", "kedi ve köpek oynar",
+    ] * 10
+    df = spark.createDataFrame([(s.split(),) for s in sents], ["tokens"])
+    model = train_word2vec(df, dim=8, min_count=2, seed=1)
+    vectors = vectors_table(model)
+    vocab = {r["word"] for r in vectors.collect()}
+    assert {"kedi", "köpek", "içer"} <= vocab
+    sim = most_similar(vectors, ["kedi"], topn=3).collect()
+    assert len(sim) == 3
+    assert all(r["query_word"] == "kedi" and r["word"] != "kedi" for r in sim)
+    assert [r["rank"] for r in sim] == [1, 2, 3]
