@@ -100,3 +100,42 @@ def test_process_word_context_shapes():
     assert mat.dtype == np.int32
     # left context pre-padded: first row is zeros when fewer than max tokens
     assert (mat[0] == 0).all()
+
+
+def test_stateful_entity_totals_accumulate(spark, landing_dir):
+    from vnlp_spark.streaming.stream_kg import stateful_entity_totals
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches over the same
+    # landing dir, so totals must accumulate through the state store
+    pages = (
+        spark.readStream.schema(WEB_PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    q = (
+        stateful_entity_totals(pages)
+        .writeStream.format("memory")
+        .queryName("stateful_totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql(
+        "select canon_key, max(total_mentions) as total from stateful_totals_t group by canon_key"
+    ).collect()
+    got = {r["canon_key"]: r["total"] for r in out}
+    assert got
+
+    # ground truth from the batch pipeline on the same input
+    from vnlp_spark.operators.entity_resolution import canonical_key
+    from vnlp_spark.plans.pipeline import annotated_documents_stage
+
+    batch = (
+        annotated_documents_stage(spark.read.parquet(landing_dir), "tr")
+        .select(F.explode("mentions").alias("m"))
+        .select(canonical_key(F.col("m.mention")).alias("canon_key"))
+        .groupBy("canon_key").count()
+    ).collect()
+    expect = {r["canon_key"]: r["count"] for r in batch}
+    assert got == expect

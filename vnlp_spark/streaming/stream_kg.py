@@ -78,3 +78,52 @@ def windowed_mention_counts(
         mentions.groupBy(win.alias("window"), "canon_key", "label")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+def stateful_entity_totals(pages: DataFrame, lang: str | None = "tr") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-entity mention totals held in the state store across
+    micro-batches.  Unlike the watermarked window aggregate above, totals
+    never expire — this is the "entity popularity so far" accumulator a
+    continuously-ingesting KG needs for hot-key detection (the salted-join
+    threshold) without re-scanning history.
+
+    Output (update mode): one (canon_key, total_mentions) row per entity
+    per micro-batch that touched it.  State per key is a single long, so
+    the state store stays entity-vocabulary-sized regardless of corpus
+    size."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _Field
+    from pyspark.sql.types import StructType as _Struct
+
+    from ..operators.entity_resolution import canonical_key
+
+    ann = stream_annotated(pages, lang)
+    mentions = ann.select(F.explode("mentions").alias("m")).select(
+        canonical_key(F.col("m.mention")).alias("canon_key")
+    )
+
+    out_schema = _Struct(
+        [_Field("canon_key", _Str()), _Field("total_mentions", _Long())]
+    )
+    state_schema = _Struct([_Field("total", _Long())])
+
+    def update_totals(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"canon_key": [key[0]], "total_mentions": [total]})
+
+    return mentions.groupBy("canon_key").applyInPandasWithState(
+        update_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
