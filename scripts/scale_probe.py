@@ -8,6 +8,12 @@ The input corpus is materialized to parquet BEFORE timing starts: both
 cluster sizes read the identical files, and corpus generation cost stays
 out of the measured window.  Two warm-up passes retire python-worker
 spin-up and JVM codegen; best-of-2 is reported.
+
+Each timed pass also samples machine-wide CPU steal from /proc/stat —
+this sandbox VM's hypervisor withholds a time-varying share of its
+vCPUs, and a probe taken in a high-steal window understates the engine.
+The steal figure lets bench.py (and the reader) see which measurements
+were taken on a degraded box.
 """
 import json
 import os
@@ -17,9 +23,20 @@ import tempfile
 import time
 
 
+def _cpu_counters():
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
 def main():
     cores = int(sys.argv[1])
     n_docs = int(sys.argv[2])
+    n_passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from vnlp_spark.session import get_spark
     from vnlp_spark.plans.corpus import generate_web_pages
@@ -35,19 +52,27 @@ def main():
         docs = s.read.parquet(path)
 
         def job(d):
-            t0 = time.monotonic()
+            t0, st0 = _cpu_counters()
+            w0 = time.monotonic()
             ntr = run_kg_pipeline(d, dedup_sentences=False).triples.count()
-            return time.monotonic() - t0, ntr
+            sec = time.monotonic() - w0
+            t1, st1 = _cpu_counters()
+            steal = 100.0 * (st1 - st0) / max(t1 - t0, 1)
+            return sec, ntr, round(steal, 1)
 
         warm = docs.limit(max(500, n_docs // 10))
         job(warm)
         job(warm)
-        best, ntr = None, 0
-        for _ in range(2):
-            sec, ntr = job(docs)
-            best = sec if best is None else min(best, sec)
-        print(json.dumps({"cores": cores, "sec": round(best, 3), "triples": ntr,
-                          "triples_per_sec": round(ntr / best, 1)}))
+        passes = [job(docs) for _ in range(n_passes)]
+        best_sec, ntr, steal = min(passes, key=lambda p: p[0])
+        print(json.dumps({
+            "cores": cores,
+            "sec": round(best_sec, 3),
+            "triples": ntr,
+            "triples_per_sec": round(ntr / best_sec, 1),
+            "steal_pct": steal,
+            "pass_secs": [round(p[0], 3) for p in passes],
+        }))
         s.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
