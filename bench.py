@@ -84,13 +84,16 @@ def _burn_control() -> dict:
 
     burn = _burn
     out = {}
-    for procs in (8, 32):
+    for procs in (2, 8, 32):
         with mp.Pool(procs) as p:
             t0 = time.monotonic()
             p.map(burn, [2_000_000] * procs * 4)
             dt = time.monotonic() - t0
         out[procs] = procs * 4 / dt
-    return {"burn_eff_8_to_32": round((out[32] / out[8]) / 4.0, 3)}
+    return {
+        "burn_eff_2_to_8": round((out[8] / out[2]) / 4.0, 3),
+        "burn_eff_8_to_32": round((out[32] / out[8]) / 4.0, 3),
+    }
 
 
 def _probe(cores: int, n_docs: int, n_passes: int = 3) -> dict:

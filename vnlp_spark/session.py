@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # lexicon broadcasts are a few MB; keep the auto threshold generous
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # speculative re-launch of straggler tasks: on a shared host (or a
+        # 1000-executor cluster with slow nodes) one delayed lane otherwise
+        # holds the whole stage; the annotation lineage is deterministic
+        # and side-effect-free, so duplicated tasks are safe
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "1s")
+        .config("spark.speculation.multiplier", "1.5")
+        .config("spark.speculation.quantile", "0.75")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
