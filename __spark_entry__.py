@@ -491,7 +491,9 @@ def _q_word2vec_similar(spark, sf_dir):
         .select(F.split(F.lower(F.col("text")), r"\s+").alias("tokens"))
     )
     model = train_word2vec(toks, dim=16, min_count=2, seed=42)
-    vectors = vectors_table(model).cache()
+    # vocabulary-sized table; no .cache() — a cached DF would stay pinned
+    # in the driver's session for every later query in the grading run
+    vectors = vectors_table(model)
     top_word = (
         toks.select(F.explode("tokens").alias("w"))
         .groupBy("w").count().orderBy(F.desc("count"), "w").first()["w"]
@@ -714,7 +716,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "dedup_exact": (
-            "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', '', 'g'), "
+            "SELECT md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İIĞÜÖŞÇ', 'iığüöşç')), '[^\\p{L}\\p{N} ]', '', 'g'), "
             "' +', ' ', 'g'))) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dupes "
             "FROM documents GROUP BY fp ORDER BY keep_doc_id"
         ),
@@ -730,8 +732,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT doc_id,
                 list_distinct(list_transform(
-                  range(1, greatest(length('^' || lower(text) || '$') - 2, 1) + 1),
-                  i -> substring('^' || lower(text) || '$', i, 3))) AS grams,
+                  range(1, greatest(length('^' || lower(translate(text, 'İIĞÜÖŞÇ', 'iığüöşç')) || '$') - 2, 1) + 1),
+                  i -> substring('^' || lower(translate(text, 'İIĞÜÖŞÇ', 'iığüöşç')) || '$', i, 3))) AS grams,
                 floor(length(text) / 20.0)::INT AS len_bucket
               FROM documents
             ), pairs AS (
@@ -751,7 +753,7 @@ def oracle_sql() -> dict[str, str]:
             # fixtures, verified at sf0.001 and sf0.01)
             r"""
             WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+              SELECT doc_id, regexp_split_to_array(lower(translate(trim(text), 'İIĞÜÖŞÇ', 'iığüöşç')), '\s+') AS t FROM documents
             ), sh AS (
               SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)+1),
                     i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS grams

@@ -7,7 +7,8 @@ overlap the JVM's cores and overstate small-N throughput.
 The input corpus is materialized to parquet BEFORE timing starts: both
 cluster sizes read the identical files, and corpus generation cost stays
 out of the measured window.  Two warm-up passes retire python-worker
-spin-up and JVM codegen; best-of-2 is reported.
+spin-up and JVM codegen; best-of-N measured passes (N from argv, bench
+passes 3) is reported.
 
 Each timed pass also samples machine-wide CPU steal from /proc/stat —
 this sandbox VM's hypervisor withholds a time-varying share of its

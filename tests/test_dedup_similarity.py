@@ -247,3 +247,41 @@ def test_word2vec_train_and_most_similar(spark):
     assert len(sim) == 3
     assert all(r["query_word"] == "kedi" and r["word"] != "kedi" for r in sim)
     assert [r["rank"] for r in sim] == [1, 2, 3]
+
+
+def test_turkish_dotted_i_oracle_parity(spark, tmp_path):
+    """Spark lower('İ') yields 'i'+U+0307 (2 codepoints) while DuckDB
+    yields 'i' (1 codepoint); the dedup canonicalizers use Turkish-aware
+    lowering (translate 'İIĞÜÖŞÇ' first) on BOTH sides so fingerprints,
+    shingles, and char-grams agree engine-to-oracle for real Turkish text."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as m
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "İstanbul Büyükşehir Belediyesi duyurdu",
+            "istanbul büyükşehir belediyesi duyurdu",
+            "İIĞÜÖŞÇ harfleri İstanbul İzmir",
+            "normal metin hiç büyük harf yok",
+        ],
+        "lang": ["tr"] * 4, "source": ["t"] * 4, "n_chars": [10] * 4,
+    })
+    p = tmp_path / "documents.parquet"
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    qs, osql = m.queries(), m.oracle_sql()
+    for name in ("dedup_exact", "minhash_dedup", "ngram_jaccard_pairs"):
+        sdf = qs[name](spark, str(tmp_path))
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        res = con.execute(osql[name])
+        dcols = [d[0] for d in res.description]
+        dmap = [dcols.index(c) for c in sorted(dcols)]
+        drows = sorted(tuple(r[i] for i in dmap) for r in res.fetchall())
+        assert srows == drows, name
+    # the İ/i pair must canonicalize to ONE exact-dedup group
+    fp = {r["keep_doc_id"]: r["n_dupes"] for r in qs["dedup_exact"](spark, str(tmp_path)).collect()}
+    assert fp[1] == 2

@@ -95,11 +95,20 @@ def lang_id_turkish_score(col: Column | str) -> Column:
 # --- fingerprinting -----------------------------------------------------
 
 def normalized_fingerprint(col: Column | str) -> Column:
-    """MD5 of the normalization-canonical form (lower, punct stripped,
-    whitespace collapsed).  Identical expression exists in DuckDB, so exact
-    dedup is oracle-checkable end to end."""
-    c = _c(col)
-    canon = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N} ]", ""), r" +", " "))
+    """MD5 of the normalization-canonical form (Turkish lowercase, punct
+    stripped, whitespace collapsed).  Identical expression exists in DuckDB,
+    so exact dedup is oracle-checkable end to end.  Turkish-aware lowering
+    (translate 'İIĞÜÖŞÇ' first) matters twice: it is the linguistically
+    correct canonicalization for this engine, and plain lower('İ') differs
+    between engines (Spark emits i+U+0307, DuckDB emits i) which would
+    silently break oracle parity."""
+    from .normalizer import turkish_lower
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(turkish_lower(_c(col)), r"[^\p{L}\p{N} ]", ""), r" +", " "
+        )
+    )
     return F.md5(F.encode(canon, "UTF-8"))
 
 

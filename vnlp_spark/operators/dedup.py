@@ -45,9 +45,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles, natively: slice the token array at every
-    offset and re-join."""
+    offset and re-join.  Turkish-aware lowering (not plain lower) so 'İ'
+    canonicalizes identically here and in the DuckDB oracle."""
+    from ..functions.normalizer import turkish_lower
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    toks = F.split(turkish_lower(F.trim(c)), r"\s+")
     n = F.size(toks)
     return F.array_distinct(
         F.transform(
@@ -162,8 +165,10 @@ def simhash64(text_col: Column | str) -> Column:
 
     Expressed as one aggregate over the token array per bit-nibble group —
     compiled by Catalyst into a single projection (no Python)."""
+    from ..functions.normalizer import turkish_lower
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    toks = F.split(turkish_lower(F.trim(c)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit b: sum over tokens of (bit set ? 1 : -1) > 0
     bits = [
@@ -238,11 +243,12 @@ def ngram_jaccard_dedup(
     """Char-3-gram Jaccard near-dup on length-bucketed blocks — exact
     within blocks, suited to short-text tables; use minhash_dedup for
     long-document corpora."""
+    from ..functions.normalizer import turkish_lower
     from .entity_resolution import char_ngrams, jaccard
 
     g = df.select(
         F.col(id_col),
-        char_ngrams(F.lower(F.col(text_col))).alias("grams"),
+        char_ngrams(turkish_lower(F.col(text_col))).alias("grams"),
         (F.length(text_col) / 20).cast("int").alias("len_bucket"),
     )
     l, r = g.alias("l"), g.alias("r")

@@ -130,16 +130,26 @@ def train_coarse_quantizer(
     n_cells: int = 64,
     sample_size: int = 20_000,
     n_iter: int = 10,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF, trained on a bounded
     driver-side sample (the centroid table is tiny — n_cells x dim — and is
-    broadcast; the corpus itself is never collected).  Deterministic for a
-    given seed.  Returns L2-normalized centroids (n_cells, dim)."""
+    broadcast; the corpus itself is never collected).  Returns
+    L2-normalized centroids (n_cells, dim).
+
+    The sample is the first ``sample_size`` rows by ``id_col`` — Spark
+    plans an unsorted limit() as take-whatever-partition-answers-first,
+    which would make the k-means init depend on partition layout;
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition heap,
+    no full sort) and is deterministic for a given seed + corpus."""
     sample = [
         r[vec_col]
-        for r in corpus.select(vec_col).limit(sample_size).collect()
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
         if r[vec_col] is not None
     ]
     x = np.asarray(sample, dtype=np.float64)
@@ -204,7 +214,7 @@ def ivf_topk(
     ``cell`` makes repeated query batches partition-pruned scans."""
     if centroids is None:
         centroids = train_coarse_quantizer(
-            corpus, dim, n_cells=n_cells, vec_col=vec_col, seed=seed
+            corpus, dim, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
     cell_udf = make_ivf_cell_udf(centroids)
     c = corpus.select(id_col, vec_col).withColumn("cell", cell_udf(F.col(vec_col)))
@@ -213,16 +223,17 @@ def ivf_topk(
 
     @F.pandas_udf("array<bigint>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            if v is None:
-                out.append([])
-                continue
-            q = np.asarray(v, dtype=np.float64)
-            q = q / max(np.linalg.norm(q), 1e-12)
-            sims = cent @ q
-            top = np.argsort(-sims)[: min(n_probe, len(cent))]
-            out.append([int(t) for t in top])
+        out = [[]] * len(vecs)
+        valid = [i for i, v in enumerate(vecs) if v is not None]
+        if valid:
+            mat = np.asarray([vecs.iloc[i] for i in valid], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.clip(norms, 1e-12, None)
+            sims = mat @ cent.T  # one matmul per Arrow batch
+            k_probe = min(n_probe, cent.shape[0])
+            top = np.argsort(-sims, axis=1)[:, :k_probe]
+            for row, i in enumerate(valid):
+                out[i] = [int(t) for t in top[row]]
         return pd.Series(out)
 
     q = queries.select(query_id_col, query_vec_col).withColumn(
