@@ -69,11 +69,25 @@ def test_simhash(spark):
     assert (0, 3) not in pairs
 
 
-def test_ngram_jaccard_dedup(spark):
+def test_ngram_jaccard_dedup_exact_blocked(spark):
+    # short-text tables use the exact all-pairs-in-length-bucket twin
     rows = [(0, "istanbul gezisi notlari"), (1, "istanbul gezisi notleri"), (2, "bambaska bir metin")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_dedup(df, min_jaccard=0.6).collect()}
+    pairs = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_dedup(df, min_jaccard=0.6, mode="exact_blocked").collect()
+    }
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_ngram_jaccard_dedup_lsh_default(spark):
+    # the default (100 TB) path: MinHash-LSH candidates -> char-3-gram
+    # verify; near-dup long docs are found, no all-pairs join anywhere
+    base = "istanbul bogazinda sabah kahvaltisi yaptik sonra vapurla karsiya gectik ve muzeleri gezdik"
+    rows = [(0, base), (1, base.replace("muzeleri", "muzeyi")), (2, "tamamen alakasiz kisa metin")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_dedup(df, min_jaccard=0.6).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
 
 
 @pytest.fixture(scope="module")

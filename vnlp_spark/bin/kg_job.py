@@ -82,7 +82,13 @@ def main(argv=None) -> int:
     entities = P.entities_stage(mentions)
     if "entities" in wanted:
         entities = runner.run("entities", entities, force=args.force)
-    edges = P.edges_stage(triples, entities)
+        # entities is now a materialized parquet read: count() resolves
+        # from footer metadata, so the broadcast-vs-salted switch is free
+        edges = P.edges_stage(
+            triples, entities, entity_join="auto", entities_rows=entities.count()
+        )
+    else:
+        edges = P.edges_stage(triples, entities)
     if "edges" in wanted:
         edges = runner.run("edges", edges, force=args.force)
 

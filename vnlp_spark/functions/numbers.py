@@ -32,6 +32,13 @@ _TENS = ["", " on", " yirmi", " otuz", " kırk", " elli", " altmış", " yetmiş
 
 
 def py_int_to_words(main_num: int) -> str:
+    # DOCUMENTED DEVIATION: the reference's digit-length loop
+    # (normalizer.py:273-370, `num //= 10` until 0) never terminates for
+    # negative ints (floor division converges to -1, not 0) — it would
+    # hang an executor forever on a token like "-5".  Here negatives
+    # terminate as "eksi" + words(|n|); positives are byte-identical.
+    if main_num < 0:
+        return "eksi " + py_int_to_words(-main_num)
     text = ""
     num, length = main_num, 0
     while num != 0:

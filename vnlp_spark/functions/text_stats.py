@@ -80,8 +80,7 @@ def turkish_marker_ratio(col: Column | str) -> Column:
     """Fraction of whitespace tokens that are high-frequency Turkish
     function words (lower-cased comparison)."""
     toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
-    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in _TR_MARKERS])))
-    # array_intersect dedups; count occurrences instead via filter
+    # filter (not array_intersect, which dedups) so repeats count
     hits = F.size(F.filter(toks, lambda t: t.isin(_TR_MARKERS)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 

@@ -29,20 +29,11 @@ def py_word_punct_tokenize(text: str) -> List[str]:
 def word_punct_tokenize(col: Column | str) -> Column:
     """Native regexp_extract_all — matches Python ``\\w+|[^\\w\\s]+`` for
     unicode text (Java regex is unicode-category aware for \\w with the
-    UNICODE_CHARACTER_CLASS flag, embedded below as ``(?U)``)."""
+    UNICODE_CHARACTER_CLASS flag, embedded below as ``(?U)``).  Built from
+    the function API with a Column literal pattern — no expr()-string
+    composition, so it survives arbitrary input Columns and Spark Connect."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.expr(f"regexp_extract_all({_as_expr(c)}, r'(?U)\\\\w+|[^\\\\w\\\\s]+', 0)")
-
-
-def _as_expr(c: Column) -> str:
-    # helper for embedding a column into an expr() string
-    from pyspark.sql.column import Column as _C
-
-    if isinstance(c, _C):
-        # only named columns supported in expr-composition path
-        name = c._jc.toString() if hasattr(c, "_jc") else str(c)
-        return name
-    return str(c)
+    return F.regexp_extract_all(c, F.lit(r"(?U)\w+|[^\w\s]+"), 0)
 
 
 # T3 ---------------------------------------------------------------------

@@ -159,17 +159,34 @@ def minhash_dedup(
 # --- simhash ------------------------------------------------------------
 
 
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash, natively: per token-hash, each bit contributes +1/-1
-    weighted by term frequency; the sign vector packs back into a long.
+# bit widths per token-hash mode: md5_60 takes the top 15 hex chars of
+# md5 (60 bits, fits a signed long AND is expressible in DuckDB, so the
+# whole simhash becomes oracle-checkable); xxhash64 is the cheapest JVM
+# hash for maximum-throughput runs where no external oracle is needed.
+SIMHASH_BITS = {"md5_60": 60, "xxhash64": 64}
 
-    Expressed as one aggregate over the token array per bit-nibble group —
-    compiled by Catalyst into a single projection (no Python)."""
+
+def simhash64(text_col: Column | str, token_hash: str = "md5_60") -> Column:
+    """SimHash, natively: per token-hash, each bit contributes +1/-1
+    weighted by term frequency; the sign vector packs back into a long.
+    Width is SIMHASH_BITS[token_hash] (60 for the default md5 mode).
+
+    Expressed as one aggregate over the token array per bit — compiled by
+    Catalyst into a single projection (no Python)."""
     from ..functions.normalizer import turkish_lower
 
+    n_bits = SIMHASH_BITS[token_hash]
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(turkish_lower(F.trim(c)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
     # bit b: sum over tokens of (bit set ? 1 : -1) > 0
     bits = [
         (
@@ -181,7 +198,7 @@ def simhash64(text_col: Column | str) -> Column:
             )
             > 0
         ).cast("long")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     out = F.lit(0).cast("long")
     for b, bit in enumerate(bits):
@@ -190,20 +207,24 @@ def simhash64(text_col: Column | str) -> Column:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    token_hash: str = "md5_60",
 ) -> DataFrame:
-    """Hamming-distance blocking: split the 64-bit simhash into 4 16-bit
-    segments; any pair within distance <= 3 agrees on >= 1 segment
-    (pigeonhole), so join on (segment_idx, segment_value) finds all of
-    them, then exact popcount verifies."""
-    sh = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    """Hamming-distance blocking: split the simhash into 4 equal segments;
+    any pair within distance <= 3 agrees on >= 1 segment (pigeonhole), so
+    join on (segment_idx, segment_value) finds all of them, then exact
+    popcount verifies."""
+    n_bits = SIMHASH_BITS[token_hash]
+    seg_bits = n_bits // 4
+    seg_mask = (1 << seg_bits) - 1
+    sh = df.select(F.col(id_col), simhash64(text_col, token_hash).alias("sh"))
     seg = sh.select(
         id_col,
         "sh",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sh", s * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright("sh", s * seg_bits).bitwiseAND(F.lit(seg_mask))
                     for s in range(4)
                 ]
             )
@@ -238,11 +259,18 @@ def simhash_candidate_pairs(
 
 
 def ngram_jaccard_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.8
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.8,
+    mode: str = "lsh",
 ) -> DataFrame:
-    """Char-3-gram Jaccard near-dup on length-bucketed blocks — exact
-    within blocks, suited to short-text tables; use minhash_dedup for
-    long-document corpora."""
+    """Char-3-gram Jaccard near-dup pairs (a, b, jaccard).
+
+    ``mode="lsh"`` (default — the 100 TB path): candidate pairs come from
+    MinHash LSH banding (bucketed joins on uniform hash keys, no all-pairs
+    anywhere), then each candidate is verified with exact char-3-gram
+    Jaccard.  ``mode="exact_blocked"``: all-pairs within length buckets —
+    exact recall, O(bucket²) cost; use it only for short-text/small tables
+    or as the audit twin of the LSH path (it is the semantics the DuckDB
+    oracle replays at test scale)."""
     from ..functions.normalizer import turkish_lower
     from .entity_resolution import char_ngrams, jaccard
 
@@ -251,18 +279,30 @@ def ngram_jaccard_dedup(
         char_ngrams(turkish_lower(F.col(text_col))).alias("grams"),
         (F.length(text_col) / 20).cast("int").alias("len_bucket"),
     )
-    l, r = g.alias("l"), g.alias("r")
-    pairs = l.join(
-        r,
-        on=[
-            F.col("l.len_bucket") == F.col("r.len_bucket"),
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-        ],
-    ).select(
-        F.col(f"l.{id_col}").alias("a"),
-        F.col(f"r.{id_col}").alias("b"),
-        jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
-    )
+    if mode == "lsh":
+        cands = minhash_candidate_pairs(df, text_col, id_col)
+        pairs = (
+            cands.join(
+                g.select(F.col(id_col).alias("a"), F.col("grams").alias("grams_a")), "a"
+            )
+            .join(g.select(F.col(id_col).alias("b"), F.col("grams").alias("grams_b")), "b")
+            .select("a", "b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"))
+        )
+    elif mode == "exact_blocked":
+        l, r = g.alias("l"), g.alias("r")
+        pairs = l.join(
+            r,
+            on=[
+                F.col("l.len_bucket") == F.col("r.len_bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        ).select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}; use 'lsh' or 'exact_blocked'")
     return pairs.filter(F.col("jaccard") >= min_jaccard).select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -143,9 +143,11 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table in MEDIA_SCHEMA (binary payloads
     derived from ids) for tests/benchmarks."""
     df = spark.range(n)
+    # kind cycles by id (not a hash) so the mapping is reproducible by any
+    # engine — the DuckDB oracle recomputes it independently
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
     )
     return df.select(
         F.col("id").alias("doc_id"),

@@ -104,10 +104,11 @@ def py_ner_pairs(tokens: List[str]) -> List[Tuple[str, str]]:
     return list(zip(tokens, py_ner_tags(tokens)))
 
 
-def py_ner_mentions(tokens: List[str]) -> List[dict]:
+def py_merge_mentions(tokens: List[str], labels: List[str]) -> List[dict]:
     """Merge adjacent same-label tokens into mention spans (reference
-    span logic, named_entity_recognizer/utils.py:39-66)."""
-    labels = py_ner_tags(tokens)
+    span logic, named_entity_recognizer/utils.py:39-66).  Label source is
+    caller-supplied, so the heuristic tagger and the GRU-harness tagger
+    share one span assembler."""
     mentions = []
     start = None
     for i, lab in enumerate(labels + ["O"]):
@@ -126,6 +127,10 @@ def py_ner_mentions(tokens: List[str]) -> List[dict]:
             )
             start = i if lab != "O" else None
     return mentions
+
+
+def py_ner_mentions(tokens: List[str]) -> List[dict]:
+    return py_merge_mentions(tokens, py_ner_tags(tokens))
 
 
 _MENTION_SCHEMA = ArrayType(
@@ -173,3 +178,24 @@ def ner_tags(col: Column | str) -> Column:
 def ner_mentions(col: Column | str) -> Column:
     """array<string> tokens -> array<struct<mention,label,first_tok,last_tok>>."""
     return _ner_mentions_udf(F.col(col) if isinstance(col, str) else col)
+
+
+@F.pandas_udf(_MENTION_SCHEMA)
+def _merge_mentions_udf(token_arrays: pd.Series, label_arrays: pd.Series) -> pd.Series:
+    def one(ts, ls):
+        if ts is None or ls is None:
+            return None
+        return [
+            (m["mention"], m["label"], m["first_tok"], m["last_tok"])
+            for m in py_merge_mentions(list(ts), list(ls))
+        ]
+
+    return pd.Series([one(ts, ls) for ts, ls in zip(token_arrays, label_arrays)])
+
+
+def mentions_from_labels(tokens_col: Column | str, labels_col: Column | str) -> Column:
+    """(tokens, labels) -> mention spans; the span assembler for external
+    label sources (e.g. the GRU model harness)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    l = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    return _merge_mentions_udf(t, l)

@@ -57,11 +57,31 @@ def brute_force_topk(
     )
 
 
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """The seeded Gaussian hyperplane matrix (dim, n_planes) used for LSH
+    bucketing.  Exposed so an external oracle (e.g. DuckDB SQL with the
+    planes inlined as literals) can recompute the identical buckets."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def fixed_unit_centroids(dim: int, n_cells: int, seed: int = 7) -> np.ndarray:
+    """Data-independent unit centroids (seeded Gaussian, L2-normalized).
+
+    The production IVF path trains centroids with spherical k-means
+    (train_coarse_quantizer) — better cell balance, but data-dependent.
+    This fixed variant exercises the identical assign/probe/rerank
+    machinery with centroids any engine can reproduce from the seed, which
+    is what lets the driver's DuckDB oracle value-check the IVF plan."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    return c / np.clip(np.linalg.norm(c, axis=1, keepdims=True), 1e-12, None)
+
+
 def make_lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     """Random-hyperplane signature UDF: vector -> long bucket id (the sign
     bit pattern against ``n_planes`` seeded Gaussian hyperplanes)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+    planes = lsh_planes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:

@@ -157,7 +157,48 @@ def sentences_stage(docs: DataFrame, lang: str | None = "tr") -> DataFrame:
     )
 
 
-def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False) -> DataFrame:
+NER_LABEL_SET = ["O", "PER", "LOC", "ORG"]
+
+
+def _make_gru_annotate(sentences: DataFrame):
+    """The ``model="gru"`` annotator: NER labels come from the
+    AutoregressiveTagger model harness (broadcast weights, per-sentence
+    label feedback — the executor shape of the reference's SPUContext GRU,
+    spu_context_ner.py:147-161) instead of the heuristic tagger.  With
+    surrogate weights the output is deterministic but not linguistically
+    meaningful; dropping in trained arrays is the ONLY change left.
+    Morphology and parsing stay on their own annotators (separate models
+    in the reference too)."""
+    from ..operators.model_harness import AutoregressiveTagger, make_autoregressive_tagger_udf
+    from ..operators.ner import mentions_from_labels
+
+    spark = sentences.sparkSession
+    tagger = AutoregressiveTagger.surrogate(
+        vocab=32768, dim=32, hidden=64, n_labels=len(NER_LABEL_SET), seed=11
+    )
+    bc = spark.sparkContext.broadcast(tagger.arrays())
+    label_udf = make_autoregressive_tagger_udf(bc)
+    label_names = F.array(*[F.lit(x) for x in NER_LABEL_SET])
+
+    def annotate(df: DataFrame) -> DataFrame:
+        out = (
+            df.withColumn("tokens", treebank_tokenize("sentence"))
+            .withColumn("_lab_ids", label_udf("tokens"))
+            .withColumn(
+                "_labels",
+                F.transform("_lab_ids", lambda i: F.element_at(label_names, i + 1)),
+            )
+            .withColumn("mentions", mentions_from_labels("tokens", "_labels"))
+            .withColumn("analyses", analyze_morphology("tokens"))
+            .withColumn("arcs", dependency_parse("tokens", "analyses"))
+        )
+        return out.select(*df.columns, "tokens", "analyses", "mentions", "arcs")
+
+    return annotate
+
+
+def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
+                   model: str = "heuristic") -> DataFrame:
     """(url, sent_id, sentence) -> + tokens, analyses, mentions, arcs.
 
     One select chain — Spark fuses the Python evals into a minimal number
@@ -169,15 +210,25 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False) -> DataF
     this trades two shuffles on uniformly-hashed keys for an N-fold cut in
     pandas-UDF work — the right default for crawl-shaped corpora; leave it
     off for unique-heavy text.
+
+    ``model="gru"`` routes NER through the AutoregressiveTagger model
+    harness (broadcast weights) — the real-weight swap point, proven on
+    the production plan; ``"heuristic"`` (default) is the fused
+    deterministic annotator.
     """
-    def annotate(df: DataFrame) -> DataFrame:
-        return df.withColumn("_ann", _annotate_fused_udf("sentence")).select(
-            *df.columns,
-            F.col("_ann.tokens").alias("tokens"),
-            F.col("_ann.analyses").alias("analyses"),
-            F.col("_ann.mentions").alias("mentions"),
-            F.col("_ann.arcs").alias("arcs"),
-        )
+    if model == "gru":
+        annotate = _make_gru_annotate(sentences)
+    elif model == "heuristic":
+        def annotate(df: DataFrame) -> DataFrame:
+            return df.withColumn("_ann", _annotate_fused_udf("sentence")).select(
+                *df.columns,
+                F.col("_ann.tokens").alias("tokens"),
+                F.col("_ann.analyses").alias("analyses"),
+                F.col("_ann.mentions").alias("mentions"),
+                F.col("_ann.arcs").alias("arcs"),
+            )
+    else:
+        raise ValueError(f"unknown model {model!r}; use 'heuristic' or 'gru'")
 
     if not dedup_sentences:
         return annotate(sentences)
@@ -247,37 +298,71 @@ def entities_stage(mentions: DataFrame) -> DataFrame:
     return build_entities(mentions)
 
 
-def edges_stage(triples: DataFrame, entities: DataFrame) -> DataFrame:
+# broadcast cap for the entity lookup: ~100 B/row puts 500k rows around
+# Spark's comfortable broadcast sizes; beyond it an open-domain crawl's
+# entity table must go through the skew-resistant salted join instead
+BROADCAST_MAX_ENTITY_ROWS = 500_000
+
+
+def edges_stage(
+    triples: DataFrame,
+    entities: DataFrame,
+    entity_join: str = "broadcast",
+    entities_rows: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
     """Resolve triple arguments to entity ids -> edges table.
 
     Subject/object surfaces canonicalize with the same key function the
-    entity table was built with; entity lookup is a broadcast hash join
-    (the entities table is vocabulary-sized next to the triple stream), so
-    no shuffle of the triple stream is needed.
+    entity table was built with.  The entity lookup join picks its
+    strategy by ``entity_join``:
+
+    - ``"broadcast"`` (default for the lazy plan builder): vocabulary-
+      sized entities ship to every executor; the triple stream never
+      shuffles.
+    - ``"salted"``: skew-resistant shuffle join (entity_resolution.
+      salted_join) for entity tables too big to broadcast — Zipfian head
+      entities (İstanbul, Türkiye) would otherwise pin whole reducers.
+    - ``"auto"``: size-based switch — uses ``entities_rows`` when the
+      caller already knows the count (the staged job reads it from
+      parquet metadata for free), else counts, then picks broadcast
+      below BROADCAST_MAX_ENTITY_ROWS and salted above.  Only use from
+      call sites where `entities` is materialized; counting a lazy
+      entities plan would execute the full annotation chain twice.
     """
-    ent = F.broadcast(entities.select("entity_id", "canon_key", "type"))
+    from ..operators.entity_resolution import salted_join
+
+    mode = entity_join
+    if mode == "auto":
+        n = entities_rows if entities_rows is not None else entities.count()
+        mode = "broadcast" if n <= BROADCAST_MAX_ENTITY_ROWS else "salted"
+    if mode not in ("broadcast", "salted"):
+        raise ValueError(f"unknown entity_join {entity_join!r}")
+
+    ent = entities.select("entity_id", "canon_key", "type")
+    if mode == "broadcast":
+        ent = F.broadcast(ent)
 
     # subj/obj surfaces resolved via their canon keys against entities
     t = triples
     for arg in ("subj", "obj"):
         key = canonical_key(F.coalesce(F.col(arg), F.lit("")))
         t = t.withColumn(f"{arg}_key", F.when(F.col(arg).isNotNull(), key))
-    e = (
-        t.join(
-            ent.withColumnRenamed("entity_id", "subj_id")
-            .withColumnRenamed("canon_key", "subj_key")
-            .withColumnRenamed("type", "subj_etype"),
-            on=["subj_key"],
-            how="left",
+
+    def rename(side: str):
+        return (
+            ent.withColumnRenamed("entity_id", f"{side}_id")
+            .withColumnRenamed("canon_key", f"{side}_key")
+            .withColumnRenamed("type", f"{side}_etype")
         )
-        .join(
-            ent.withColumnRenamed("entity_id", "obj_id")
-            .withColumnRenamed("canon_key", "obj_key")
-            .withColumnRenamed("type", "obj_etype"),
-            on=["obj_key"],
-            how="left",
+
+    if mode == "broadcast":
+        e = t.join(rename("subj"), on=["subj_key"], how="left").join(
+            rename("obj"), on=["obj_key"], how="left"
         )
-    )
+    else:
+        e = salted_join(t, rename("subj"), key="subj_key", n_salts=n_salts, how="left")
+        e = salted_join(e, rename("obj"), key="obj_key", n_salts=n_salts, how="left")
     return e.select(
         "subj_id",
         F.col("subj"),
@@ -300,7 +385,9 @@ class KGResult:
 
 
 def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr", persist: bool = False,
-                    dedup_sentences: bool = False) -> KGResult:
+                    dedup_sentences: bool = False,
+                    entity_join: str = "broadcast",
+                    model: str = "heuristic") -> KGResult:
     """Assemble the full logical plan (lazy — nothing executes here).
 
     ``persist=True`` caches the annotated sentences (MEMORY_AND_DISK):
@@ -308,9 +395,11 @@ def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr", persist: bool = Fa
     without it each downstream action re-runs the pandas-UDF annotation
     chain — the dominant cost.  On a cluster the same role is played by
     the stage-boundary write (plans.lineage.StageRunner)."""
-    if dedup_sentences:
+    if dedup_sentences or model != "heuristic":
         sentences = sentences_stage(docs, lang)
-        annotated = annotate_stage(sentences, dedup_sentences=True)
+        annotated = annotate_stage(
+            sentences, dedup_sentences=dedup_sentences, model=model
+        )
     else:
         # fully-fused single python stage (split + annotate per document)
         annotated = annotated_documents_stage(docs, lang)
@@ -328,5 +417,5 @@ def run_kg_pipeline(docs: DataFrame, lang: str | None = "tr", persist: bool = Fa
         # consumer re-derives them from `annotated`
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
         entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
-    edges = edges_stage(triples, entities)
+    edges = edges_stage(triples, entities, entity_join=entity_join)
     return KGResult(sentences, annotated, mentions, triples, entities, edges)
