@@ -456,9 +456,25 @@ def _q_deasciify(spark, sf_dir):
 def _q_numbers_to_words(spark, sf_dir):
     from vnlp_spark.functions.numbers import convert_numbers_to_words
 
+    # the driver's documents fixture contains ZERO numeric tokens, so the
+    # raw table would make this check vacuous (identity).  Prepend two
+    # deterministic numeric tokens per doc — a 4-digit int (exercises the
+    # yüz/bin digit rules incl. the 1000..1999 "bin" quirk) and an "a,bb"
+    # decimal (exercises the virgül + leading/trailing-zero rules) — so
+    # the oracle value-checks real conversions on every row.
+    num_text = F.concat_ws(
+        " ",
+        F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+        F.concat(
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(","),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        ),
+        F.col("text"),
+    )
     return (
         _load(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+        .select("doc_id", F.split(num_text, " ").alias("tokens"))
         .select("doc_id", F.concat_ws(" ", convert_numbers_to_words("tokens")).alias("text_num2words"))
         .orderBy("doc_id")
     )
@@ -837,6 +853,50 @@ def _sentiment_oracle() -> str:
     """
 
 
+def _numbers_oracle() -> str:
+    """Replays the digit-position rules of functions/numbers.py for the
+    two synthesized tokens (4-digit int + a,bb decimal); the fixture text
+    itself contains no numeric tokens (verified) so it passes through."""
+    ones = ("['', ' bir', ' iki', ' üç', ' dört', ' beş', ' altı', ' yedi',"
+            " ' sekiz', ' dokuz']")
+    tens = ("['', ' on', ' yirmi', ' otuz', ' kırk', ' elli', ' altmış',"
+            " ' yetmiş', ' seksen', ' doksan']")
+    return f"""
+    WITH nums AS (
+      SELECT doc_id, text,
+        doc_id % 10000 AS n4, doc_id % 97 AS a, doc_id % 100 AS b
+      FROM documents
+    ), words AS (
+      SELECT doc_id, text, b,
+        CASE WHEN n4 = 0 THEN 'sıfır' ELSE ltrim(
+          (CASE WHEN n4 >= 1000 THEN
+             (CASE WHEN n4 > 1999 THEN {ones}[(n4 // 1000)::INT + 1] ELSE '' END)
+             || ' bin'
+           ELSE '' END) ||
+          (CASE WHEN (n4 // 100) % 10 = 1 THEN ' yüz'
+                WHEN (n4 // 100) % 10 > 1 THEN {ones}[((n4 // 100) % 10)::INT + 1] || ' yüz'
+                ELSE '' END) ||
+          {tens}[((n4 // 10) % 10)::INT + 1] || {ones}[(n4 % 10)::INT + 1]
+        ) END AS w4,
+        CASE WHEN a = 0 THEN 'sıfır'
+             ELSE ltrim({tens}[(a // 10)::INT + 1] || {ones}[(a % 10)::INT + 1]) END AS wa
+      FROM nums
+    ), dec AS (
+      SELECT doc_id, text, w4, wa,
+        CASE WHEN b = 0 THEN ''
+             ELSE ' virgül ' ||
+               (CASE WHEN b < 10 THEN 'sıfır ' ELSE '' END) ||
+               ltrim(
+                 CASE WHEN b % 10 = 0 THEN {ones}[(b // 10)::INT + 1]
+                 ELSE {tens}[(b // 10)::INT + 1] || {ones}[(b % 10)::INT + 1] END)
+        END AS wdec
+      FROM words
+    )
+    SELECT doc_id, w4 || ' ' || wa || wdec || ' ' || text AS text_num2words
+    FROM dec ORDER BY doc_id
+    """
+
+
 # RE2-safe twins of the Python-regex Treebank rules
 # (vnlp_spark/functions/tokenizer.py, reference tokenizer.py:19-78): same
 # order, \\g<0> rewritten as an explicit group, no lookarounds used.
@@ -1145,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q"
             ") QUALIFY rank <= 5 ORDER BY query_id, rank"
         ),
+        "numbers_to_words": _numbers_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "simhash_pairs": _simhash_oracle(),

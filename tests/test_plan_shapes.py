@@ -124,12 +124,15 @@ def test_gru_annotate_path(spark):
 
 def test_pos_tags_gru_shape(spark):
     from vnlp_spark.functions.tokenizer import treebank_tokenize
-    from vnlp_spark.operators.pos import UPOS_LABEL_SET, pos_tags_gru
+    from vnlp_spark.operators.pos import pos_tags_gru, upos_label_names
 
+    # the label space is the reference's REAL PoS tokenizer id order
+    names = upos_label_names()
+    assert names[1] == "NOUN" and names[2] == "PUNCT" and names[3] == "VERB"
     docs = generate_web_pages(spark, 20)
     df = docs.select(treebank_tokenize("text").alias("tokens"))
     out = df.select("tokens", pos_tags_gru("tokens", spark).alias("upos")).collect()
     assert len(out) > 0
     for r in out:
         assert len(r["upos"]) == len(r["tokens"])
-        assert set(r["upos"]) <= set(UPOS_LABEL_SET)
+        assert set(r["upos"]) <= set(names)

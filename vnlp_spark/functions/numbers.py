@@ -105,7 +105,10 @@ def py_convert_numbers_to_words(
         try:
             num = float(token)
             out.extend(py_num_to_words(num, num_dec_digits).split())
-        except ValueError:
+        except (ValueError, OverflowError):
+            # OverflowError: float('inf')-parsing tokens ("inf", "Infinity")
+            # crash the reference at int(num); here they pass through
+            # (documented deviation, same class as the negative-int guard)
             out.append(token)
     return out
 

@@ -98,3 +98,22 @@ def charner_pairs(col: Column | str) -> Column:
     """text -> array<string> of 'token\\x01label' pairs (flat encoding keeps
     the column Arrow-friendly; split downstream with substring_index)."""
     return _charner_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def charner_char_ids(text: str) -> List[int]:
+    """Character featurization for the real BiGRU swap point, using the
+    reference's REAL CharNER_char_tokenizer vocabulary (vendored as data;
+    reloaded there via tf.keras tokenizer_from_json).  Keras
+    texts_to_sequences semantics with num_words=150 + oov_token='<OOV>':
+    chars with id >= num_words (or unseen) map to the OOV id."""
+    from .. import resources
+
+    vocab = resources.keras_vocab("charner_char")
+    wi = vocab["word_index"]
+    num_words = vocab["num_words"] or (max(wi.values()) + 1)
+    oov_id = wi[vocab["oov_token"]]
+    out = []
+    for ch in text:
+        i = wi.get(ch, oov_id)
+        out.append(i if i < num_words else oov_id)
+    return out

@@ -121,7 +121,12 @@ def tokenize_single_word(word: str, word_index: dict, max_pieces: int = 8) -> Li
     """Reference T4 (vnlp/utils.py:65-73): word -> up to ``max_pieces``
     subword/char ids, PRE-padded with zeros to fixed width.  ``word_index``
     is a plain {piece: id} vocabulary (the reference loads it from a Keras
-    tokenizer JSON; only the dict is needed — no TF)."""
+    tokenizer JSON; only the dict is needed — no TF).
+
+    For REAL SentencePiece unigram ids (S4) use operators.subword:
+    ``tokenize_single_word_spm`` runs Viterbi over the reference's own
+    vendored 16k model — this char-id variant remains as the
+    vocabulary-free fallback."""
     ids = [word_index.get(ch, 0) for ch in word][:max_pieces]
     return [0] * (max_pieces - len(ids)) + ids
 
@@ -222,22 +227,39 @@ class AutoregressiveTagger:
         return [out[i, : len(seq)].tolist() for i, seq in enumerate(id_batches)]
 
 
-def make_autoregressive_tagger_udf(broadcast_weights, vocab: int = 32768):
+def make_autoregressive_tagger_udf(broadcast_weights, vocab: int = 32768,
+                                   spm_pieces_bc=None):
     """Iterator pandas UDF over array<string> token columns returning
     array<int> label ids — weights rebuilt once per worker, the per-token
     feedback loop runs inside ``tag_batch`` (W2: the parallelism unit is
-    the sentence, never the token)."""
+    the sentence, never the token).
+
+    ``spm_pieces_bc`` (a broadcast of subword.parse_spm_model output)
+    switches featurization from the hashing trick to REAL SentencePiece
+    ids: each token is represented by its first (stem) piece id — the
+    surrogate reduction of the reference's 8-wide piece matrix; the full
+    matrix path for trained weights is process_word_context +
+    subword.spm_tokenize_tokens."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def tagger(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model = AutoregressiveTagger.from_arrays(broadcast_weights.value)
+        encoder = None
+        if spm_pieces_bc is not None:
+            from .subword import SpmUnigramEncoder
+
+            encoder = SpmUnigramEncoder(spm_pieces_bc.value)  # once per worker
+
+        def featurize(ts):
+            toks = list(ts) if ts is not None else []
+            if encoder is None:
+                return hash_token_ids(toks, vocab)
+            return [(ids[0] if (ids := encoder.encode_as_ids(t)) else encoder.unk_id)
+                    for t in toks]
+
         for token_arrays in batches:
-            seqs = [
-                hash_token_ids(list(ts) if ts is not None else [], vocab)
-                for ts in token_arrays
-            ]
-            yield pd.Series(model.tag_batch(seqs))
+            yield pd.Series(model.tag_batch([featurize(ts) for ts in token_arrays]))
 
     return tagger
 

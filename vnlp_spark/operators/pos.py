@@ -92,10 +92,13 @@ def _upos_sql(a: Column) -> Column:
     ).otherwise(F.coalesce(mapping[first_tag], F.lit("X")))
 
 
-UPOS_LABEL_SET = [
-    "NOUN", "VERB", "ADJ", "ADV", "PRON", "DET", "CCONJ", "SCONJ", "ADP",
-    "AUX", "INTJ", "NUM", "PUNCT", "PROPN", "PART", "SYM", "X",
-]
+def upos_label_names() -> List[str]:
+    """The reference's REAL PoS label id order (PoS_label_tokenizer.json:
+    NOUN=1, PUNCT=2, VERB=3, ...; 0 = Keras pad, decoded as X) — trained
+    weights' output units line up with the harness's label ids."""
+    from .. import resources
+
+    return resources.label_list("pos_label", pad="X")
 
 
 def pos_tags_gru(tokens_col: Column | str, spark) -> Column:
@@ -106,6 +109,7 @@ def pos_tags_gru(tokens_col: Column | str, spark) -> Column:
     arrays changes only the broadcast payload."""
     from .model_harness import AutoregressiveTagger, make_autoregressive_tagger_udf
 
+    UPOS_LABEL_SET = upos_label_names()
     tagger = AutoregressiveTagger.surrogate(
         vocab=32768, dim=32, hidden=64, n_labels=len(UPOS_LABEL_SET), seed=13
     )

@@ -157,7 +157,13 @@ def sentences_stage(docs: DataFrame, lang: str | None = "tr") -> DataFrame:
     )
 
 
-NER_LABEL_SET = ["O", "PER", "LOC", "ORG"]
+def _ner_label_names() -> list:
+    """The reference's REAL NER label id order (NER_label_tokenizer.json:
+    O=1, ORG=2, PER=3, LOC=4; 0 = Keras pad, decoded as O) — so trained
+    weights' output units line up with the harness's label ids."""
+    from .. import resources
+
+    return resources.label_list("ner_label", pad="O")
 
 
 def _make_gru_annotate(sentences: DataFrame):
@@ -171,14 +177,19 @@ def _make_gru_annotate(sentences: DataFrame):
     in the reference too)."""
     from ..operators.model_harness import AutoregressiveTagger, make_autoregressive_tagger_udf
     from ..operators.ner import mentions_from_labels
+    from ..operators.subword import parse_spm_model
 
     spark = sentences.sparkSession
+    names = _ner_label_names()
     tagger = AutoregressiveTagger.surrogate(
-        vocab=32768, dim=32, hidden=64, n_labels=len(NER_LABEL_SET), seed=11
+        vocab=32768, dim=32, hidden=64, n_labels=len(names), seed=11
     )
     bc = spark.sparkContext.broadcast(tagger.arrays())
-    label_udf = make_autoregressive_tagger_udf(bc)
-    label_names = F.array(*[F.lit(x) for x in NER_LABEL_SET])
+    # featurize through the reference's real 16k SentencePiece vocabulary
+    # (S4) — the id space trained weights would expect
+    spm_bc = spark.sparkContext.broadcast(parse_spm_model())
+    label_udf = make_autoregressive_tagger_udf(bc, spm_pieces_bc=spm_bc)
+    label_names = F.array(*[F.lit(x) for x in names])
 
     def annotate(df: DataFrame) -> DataFrame:
         out = (
