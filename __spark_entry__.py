@@ -613,6 +613,47 @@ def _q_charner(spark, sf_dir):
     )
 
 
+def _q_er_similarity_link(spark, sf_dir):
+    """J6 machinery value check: blocked + salted char-3-gram Jaccard
+    similarity join (the entity-resolution primitive behind
+    link_mentions), on SQL-reproducible inputs — customer names as
+    mentions, supplier names as candidate entities, blocked on their
+    shared numeric suffix.  Deterministic ranking (jaccard desc, suppkey)
+    instead of max_by so the oracle can replay it exactly."""
+    from pyspark.sql import Window
+
+    from vnlp_spark.operators.entity_resolution import char_ngrams, jaccard, salted_join
+
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("mention"),
+            F.substring("c_name", -3, 3).alias("_block"),
+            char_ngrams(F.col("c_name")).alias("_grams"),
+        )
+    )
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("entity"),
+            F.substring("s_name", -3, 3).alias("_block"),
+            char_ngrams(F.col("s_name")).alias("_cand_grams"),
+        )
+    )
+    joined = salted_join(cust, supp, key="_block", n_salts=4).withColumn(
+        "sim", F.round(jaccard(F.col("_grams"), F.col("_cand_grams")), 6)
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("sim"), F.col("suppkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("sim") >= 0.3))
+        .select("custkey", "mention", "suppkey", "entity", "sim")
+        .orderBy("custkey")
+    )
+
+
 def _q_dynamic_stopwords(spark, sf_dir):
     from vnlp_spark.operators.stopwords import dynamically_detect_stop_words
 
@@ -694,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "token_validity": _q_token_validity,
         "charner_tags": _q_charner,
+        "er_similarity_link": _q_er_similarity_link,
         "dynamic_stopwords": _q_dynamic_stopwords,
         "triple_precision_recall": _q_triple_pr,
     }
@@ -1206,6 +1248,43 @@ def oracle_sql() -> dict[str, str]:
             ") QUALIFY rank <= 5 ORDER BY query_id, rank"
         ),
         "numbers_to_words": _numbers_oracle(),
+        "er_similarity_link": (
+            r"""
+            WITH cg AS (
+              SELECT c_custkey AS custkey, c_name AS mention,
+                substring(c_name, length(c_name) - 2, 3) AS blk,
+                list_distinct(list_transform(
+                  range(1, greatest(length('^' || c_name || '$') - 2, 1) + 1),
+                  i -> substring('^' || c_name || '$', i, 3))) AS grams
+              FROM customer
+            ), sg AS (
+              SELECT s_suppkey AS suppkey, s_name AS entity,
+                substring(s_name, length(s_name) - 2, 3) AS blk,
+                list_distinct(list_transform(
+                  range(1, greatest(length('^' || s_name || '$') - 2, 1) + 1),
+                  i -> substring('^' || s_name || '$', i, 3))) AS grams
+              FROM supplier
+            ), joined AS (
+              SELECT custkey, mention, suppkey, entity,
+                round(CASE WHEN len(cg.grams) + len(sg.grams)
+                             - len(list_intersect(cg.grams, sg.grams)) > 0
+                  THEN len(list_intersect(cg.grams, sg.grams))
+                     / (len(cg.grams) + len(sg.grams)
+                        - len(list_intersect(cg.grams, sg.grams)))::DOUBLE
+                  ELSE 0.0 END, 6) AS sim,
+                row_number() OVER (PARTITION BY custkey
+                                   ORDER BY CASE WHEN len(cg.grams) + len(sg.grams)
+                                                   - len(list_intersect(cg.grams, sg.grams)) > 0
+                                     THEN round(len(list_intersect(cg.grams, sg.grams))
+                                        / (len(cg.grams) + len(sg.grams)
+                                           - len(list_intersect(cg.grams, sg.grams)))::DOUBLE, 6)
+                                     ELSE 0.0 END DESC, suppkey) AS rk
+              FROM cg JOIN sg USING (blk)
+            )
+            SELECT custkey, mention, suppkey, entity, sim
+            FROM joined WHERE rk = 1 AND sim >= 0.3 ORDER BY custkey
+            """
+        ),
         "knn_lsh": _knn_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "simhash_pairs": _simhash_oracle(),

@@ -134,3 +134,24 @@ def test_long_sentence_routed_not_crashing(spark):
     kg = run_kg_pipeline(docs.select("url", "warc_ts", "html", "text", "lang"))
     assert kg.annotated.filter(F.col("arcs").isNull()).count() == 1
     assert kg.triples.count() == 0
+
+
+def test_kg_job_end_to_end_with_resume(spark, tmp_path):
+    """The spark-submit entry point end to end on synthetic input: all six
+    stages + lineage written, auto entity-join branch taken, and a second
+    invocation resumes (skips completed stages) with identical outputs."""
+    from vnlp_spark.bin.kg_job import main
+
+    out = str(tmp_path / "kg_out")
+    assert main(["--input", "synthetic:60", "--output", out]) == 0
+    runner_dirs = {"sentences", "annotated", "mentions", "triples", "entities", "edges"}
+    import os
+
+    for d in runner_dirs:
+        assert os.path.exists(os.path.join(out, d, "_SUCCESS")), d
+        assert os.path.exists(os.path.join(out, "_lineage", d, "_SUCCESS")), d
+    edges1 = sorted(map(tuple, spark.read.parquet(os.path.join(out, "edges")).collect()))
+    # resume: everything already done -> same outputs, no recompute errors
+    assert main(["--input", "synthetic:60", "--output", out]) == 0
+    edges2 = sorted(map(tuple, spark.read.parquet(os.path.join(out, "edges")).collect()))
+    assert edges1 == edges2 and len(edges1) > 0

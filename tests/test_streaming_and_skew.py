@@ -139,3 +139,27 @@ def test_stateful_entity_totals_accumulate(spark, landing_dir):
     ).collect()
     expect = {r["canon_key"]: r["count"] for r in batch}
     assert got == expect
+
+
+def test_stream_exact_dedup(spark, landing_dir):
+    from vnlp_spark.streaming.stream_kg import stream_exact_dedup
+
+    pages = spark.readStream.schema(WEB_PAGE_SCHEMA).parquet(landing_dir)
+    q = (
+        stream_exact_dedup(pages)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from stream_dedup_t").collect()
+    # one survivor per distinct canonical text == batch exact_dedup groups
+    from vnlp_spark.operators.dedup import exact_dedup
+
+    batch_groups = exact_dedup(
+        spark.read.parquet(landing_dir), text_col="text", id_col="url"
+    ).count()
+    assert len(out) == batch_groups > 0
+    assert set(out[0].asDict()) == {"url", "warc_ts", "html", "text", "lang"}

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     from pyspark.sql import SparkSession
 
+    # only stop the session on exit if this job created it (embedded
+    # callers — tests, notebooks — keep theirs)
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("vnlp-kg-job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
         f"{n_entities} entities, {n_edges} edges -> {args.output}",
         file=sys.stderr,
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -127,3 +127,24 @@ def stateful_entity_totals(pages: DataFrame, lang: str | None = "tr") -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_exact_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each canonical-text
+    fingerprint within the watermark horizon passes; later copies drop.
+
+    ``dropDuplicates`` on a watermarked streaming DataFrame keeps
+    per-fingerprint state only until the watermark expires — bounded
+    state, unlike an unwatermarked distinct (which would grow with the
+    corpus).  At crawl scale the fingerprint is an 8-byte-keyed state
+    lookup per page; the same canonical-form MD5 the batch exact_dedup
+    aggregates on, so stream output == batch keeper set for in-horizon
+    duplicates."""
+    from ..functions.text_stats import normalized_fingerprint
+
+    return (
+        pages.withColumn("fp", normalized_fingerprint("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["fp"])
+        .drop("fp")
+    )
