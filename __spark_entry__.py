@@ -613,6 +613,32 @@ def _q_charner(spark, sf_dir):
     )
 
 
+def _q_displacy_outputs(spark, sf_dir):
+    """F2: displaCy-format JSON per document (DP arcs + NER entity spans)
+    — presentation output, rows-only check (JSON dict key order is not a
+    SQL-replayable contract)."""
+    from vnlp_spark.functions.display import dp_displacy_json, ner_displacy_json
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+    from vnlp_spark.operators.dep_parser import dependency_parse
+    from vnlp_spark.operators.morphology import analyze_morphology
+    from vnlp_spark.operators.ner import ner_tags
+    from vnlp_spark.operators.pos import pos_from_analyses
+
+    df = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "text", treebank_tokenize("text").alias("tokens"))
+        .withColumn("analyses", analyze_morphology("tokens"))
+        .withColumn("arcs", dependency_parse("tokens", "analyses"))
+        .withColumn("upos", pos_from_analyses("analyses"))
+        .withColumn("labels", ner_tags("tokens"))
+    )
+    return df.select(
+        "doc_id",
+        dp_displacy_json("arcs", "upos").alias("dp_displacy"),
+        ner_displacy_json("text", "tokens", "labels").alias("ner_displacy"),
+    ).orderBy("doc_id")
+
+
 def _q_er_similarity_link(spark, sf_dir):
     """J6 machinery value check: blocked + salted char-3-gram Jaccard
     similarity join (the entity-resolution primitive behind
@@ -735,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "token_validity": _q_token_validity,
         "charner_tags": _q_charner,
+        "displacy_outputs": _q_displacy_outputs,
         "er_similarity_link": _q_er_similarity_link,
         "dynamic_stopwords": _q_dynamic_stopwords,
         "triple_precision_recall": _q_triple_pr,

@@ -318,3 +318,60 @@ def test_dynamic_stopword_parity(ref_stopwords, corpus):
     assert sorted(ref_stopwords.dynamically_detect_stop_words(doc_tokens)) == sorted(
         py_dynamically_detect_stop_words(doc_tokens)
     )
+
+
+# --- displaCy converters (F2 + NER span half of F1) ----------------------
+
+@pytest.fixture(scope="module")
+def ref_dp_utils():
+    return _load_by_path("ref_dp_utils", "dependency_parser/utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_ner_utils():
+    return _load_by_path("ref_ner_utils", "named_entity_recognizer/utils.py")
+
+
+def test_dp_displacy_parity(ref_dp_utils, corpus):
+    from vnlp_spark.functions.display import dp_to_displacy
+    from vnlp_spark.functions.tokenizer import py_treebank_tokenize
+    from vnlp_spark.operators.dep_parser import py_parse_tokens
+    from vnlp_spark.operators.pos import py_pos_tags
+
+    checked = 0
+    for t in corpus[:800]:
+        tokens = py_treebank_tokenize(t)
+        arcs = py_parse_tokens(tokens)
+        if not arcs:
+            continue
+        pos = list(zip(tokens, py_pos_tags(tokens)))
+        assert dp_to_displacy(arcs, pos) == ref_dp_utils.dp_pos_to_displacy_format(
+            arcs, pos
+        ), t
+        assert dp_to_displacy(arcs) == ref_dp_utils.dp_pos_to_displacy_format(arcs), t
+        checked += 1
+    assert checked >= 300
+
+
+def test_ner_displacy_parity(ref_ner_utils):
+    """Cursor-based span finder vs the reference's finditer approach on
+    regex-metacharacter-free sentences (where both are well-defined; the
+    reference regex-injects raw words — see display.py docstring)."""
+    import re
+
+    from vnlp_spark.functions.display import ner_to_displacy
+    from vnlp_spark.functions.tokenizer import py_treebank_tokenize
+    from vnlp_spark.operators.ner import py_ner_pairs
+    from vnlp_spark.plans.corpus import SENTENCE_POOL
+
+    checked = 0
+    for t in SENTENCE_POOL:
+        tokens = py_treebank_tokenize(t)
+        if any(re.escape(w) != w for w in tokens if any(c.isalpha() for c in w)):
+            continue
+        pairs = py_ner_pairs(tokens)
+        assert ner_to_displacy(t, pairs) == ref_ner_utils.ner_to_displacy_format(
+            t, pairs
+        ), t
+        checked += 1
+    assert checked >= 10
