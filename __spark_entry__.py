@@ -5,8 +5,22 @@
 SURVEY.md §2 (plus the training-data-pipeline additions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query that is
 ANSI-SQL-expressible (same column names — the driver hash-compares values).
-Non-SQL-expressible ops (python-regex tokenization, morphology, KG stages)
-are registered without an oracle and get rows-only checks.
+
+Oracle strategies, in increasing ingenuity:
+- direct translation (aggregations, windows, joins, native text ops);
+- algorithm replay with seeded constants inlined as SQL literals
+  (LSH hyperplanes, IVF centroids, simhash bit votes, the Treebank
+  regexp_replace chain, the Turkish number digit rules);
+- invariant oracles where the contract is the check (multimodal
+  unit-norm features).
+
+Genuinely non-SQL-expressible ops (python-`regex` sentence splitting,
+morphology/NER/parse + the KG stages built on them, decision-list
+deasciification, trained word2vec, displaCy JSON) are registered without
+an oracle and get rows-only checks; their semantics are covered instead
+by the corpus-wide differential parity suite against the runnable
+reference layer (tests/test_reference_parity.py) and the independent
+UD-guideline gold (vnlp_spark/plans/gold_ud.py).
 """
 from __future__ import annotations
 

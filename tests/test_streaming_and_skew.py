@@ -145,8 +145,10 @@ def test_stream_exact_dedup(spark, landing_dir):
     from vnlp_spark.streaming.stream_kg import stream_exact_dedup
 
     pages = spark.readStream.schema(WEB_PAGE_SCHEMA).parquet(landing_dir)
+    # horizon wider than the corpus's warc_ts spread (180 days), so every
+    # duplicate lands in-horizon and stream output == batch keeper set
     q = (
-        stream_exact_dedup(pages)
+        stream_exact_dedup(pages, watermark="200 days")
         .writeStream.format("memory")
         .queryName("stream_dedup_t")
         .outputMode("append")

@@ -55,15 +55,15 @@ def dp_to_displacy(
 
 
 def _token_spans(text: str, tokens: List[str]) -> List[Optional[Tuple[int, int]]]:
-    """Char span of each token via a left-to-right cursor; None when a
-    token cannot be located (e.g. tokenizer-normalized quotes)."""
+    """Char span of each token via a strictly left-to-right cursor; None
+    when a token cannot be located after the cursor (e.g. tokenizer-
+    normalized quotes).  No backwards rescan — a from-0 fallback could
+    move the cursor back over consumed text and hand later tokens
+    earlier occurrences."""
     spans: List[Optional[Tuple[int, int]]] = []
     cursor = 0
     for tok in tokens:
         at = text.find(tok, cursor)
-        if at < 0:
-            # tolerate overlapping re-scan (tokenizers may duplicate splits)
-            at = text.find(tok)
         if at < 0:
             spans.append(None)
             continue
@@ -74,26 +74,41 @@ def _token_spans(text: str, tokens: List[str]) -> List[Optional[Tuple[int, int]]
 
 def ner_to_displacy(text: str, ner_result: Sequence[Tuple[str, str]]) -> dict:
     """[(token, label)] -> displaCy entity dict with char spans; adjacent
-    same-label entity tokens merge into one span (non-alpha tokens are
-    skipped, as in the reference)."""
-    kept = [(w, lab) for w, lab in ner_result if any(c.isalpha() for c in w)]
-    spans = _token_spans(text, [w for w, _ in kept])
+    same-label entity tokens merge into one span.
+
+    Reference-faithful control flow (named_entity_recognizer/utils.py:
+    39-66), reproduced quirk-for-quirk: the continuation lookahead reads
+    the NEXT element of the FULL ner_result; a non-alpha token is skipped
+    for span assignment only and changes no state (so "Ahmet , Veli" is
+    two PER ents even though ","'s own iteration is a no-op); an
+    "O"-labeled alpha token also changes no state (a pending continuation
+    span stays open with its original start).  Deviation: a token whose
+    span cannot be located is skipped like a non-alpha token instead of
+    crashing (the reference indexes into an empty location list there)."""
+    spans_by_word = iter(
+        _token_spans(text, [w for w, _ in ner_result if any(c.isalpha() for c in w)])
+    )
     out = {"text": text, "ents": [], "title": None}
-    open_ent: Optional[dict] = None
-    for i, ((_w, label), span) in enumerate(zip(kept, spans)):
+    ent: dict = {}
+    is_continuation = False
+    for idx, (word, label) in enumerate(ner_result):
+        if not any(c.isalpha() for c in word):
+            continue  # no state change, exactly like the reference
+        span = next(spans_by_word)
         if span is None:
-            continue
+            continue  # deviation: unlocatable token, no state change
         start, end = span
         if label != "O":
-            if open_ent is None:
-                open_ent = {"start": start, "label": label}
-            nxt = kept[i + 1][1] if i + 1 < len(kept) else None
-            if nxt != label:
-                open_ent["end"] = end
-                out["ents"].append(open_ent)
-                open_ent = None
-        else:
-            open_ent = None
+            if not is_continuation:
+                ent = {"start": start, "label": label}
+            nxt = ner_result[idx + 1][1] if idx + 1 < len(ner_result) else None
+            if nxt == label:
+                is_continuation = True
+            else:
+                ent["end"] = end
+                out["ents"].append(ent)
+                ent = {}
+                is_continuation = False
     return out
 
 

@@ -491,14 +491,17 @@ def annotator_scores() -> dict:
         for g, p in zip(entry["upos"], pred_pos):
             pos_n += 1
             pos_ok += g == p
+        # every gold token counts in the UAS/LAS denominator — a sentence
+        # the parser declines (None) or under-covers scores its missing
+        # arcs as wrong, it does not shrink the denominator
         arcs = py_parse_tokens(toks) or []
-        for (idx, _tok, head, rel), g_head, g_rel in zip(
-            arcs, entry["heads"], entry["deprels"]
-        ):
+        arc_map = {idx: (head, rel) for (idx, _tok, head, rel) in arcs}
+        for i, (g_head, g_rel) in enumerate(zip(entry["heads"], entry["deprels"]), start=1):
             arc_n += 1
-            if head == g_head:
+            pred = arc_map.get(i)
+            if pred is not None and pred[0] == g_head:
                 uas_ok += 1
-                if rel == g_rel:
+                if pred[1] == g_rel:
                     las_ok += 1
         pred_ner = py_ner_tags(toks)
         for g, p in zip(entry["ner"], pred_ner):

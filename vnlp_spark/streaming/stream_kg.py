@@ -129,22 +129,24 @@ def stateful_entity_totals(pages: DataFrame, lang: str | None = "tr") -> DataFra
     )
 
 
-def stream_exact_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup: first occurrence of each canonical-text
-    fingerprint within the watermark horizon passes; later copies drop.
+def stream_exact_dedup(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup: the first occurrence of each canonical-text
+    fingerprint passes; copies arriving within the watermark horizon drop.
 
-    ``dropDuplicates`` on a watermarked streaming DataFrame keeps
-    per-fingerprint state only until the watermark expires — bounded
-    state, unlike an unwatermarked distinct (which would grow with the
-    corpus).  At crawl scale the fingerprint is an 8-byte-keyed state
-    lookup per page; the same canonical-form MD5 the batch exact_dedup
-    aggregates on, so stream output == batch keeper set for in-horizon
-    duplicates."""
+    Uses ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates`` on a
+    non-event-time key would keep one state entry per distinct fingerprint
+    FOREVER (Spark only evicts dedup state when the event-time column is
+    part of the key), which is an executor-OOM time bomb at crawl scale.
+    The WithinWatermark variant expires each fingerprint's state once the
+    watermark passes its event time: state is bounded by the horizon's
+    page volume, and duplicates farther apart than the horizon
+    deliberately re-emit (cross-horizon dedup is the batch layer's job —
+    exact_dedup over the materialized corpus)."""
     from ..functions.text_stats import normalized_fingerprint
 
     return (
         pages.withColumn("fp", normalized_fingerprint("text"))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")
     )
