@@ -375,3 +375,62 @@ def test_ner_displacy_parity(ref_ner_utils):
         ), t
         checked += 1
     assert checked >= 10
+
+
+# --- morphological candidate generator (M1a) -----------------------------
+
+@pytest.fixture(scope="module")
+def ref_candidate_generator():
+    """The reference's TurkishStemSuffixCandidateGenerator with this
+    repo's suffix fixture injected (the snapshot lacks Suffixes&Tags.txt,
+    so both sides share one suffix table; stems + exact lookup load from
+    the reference's own files).  What's differentially tested is the
+    candidate-generation ALGORITHM."""
+    mod = _load_by_path("ref_yildiz", "stemmer_morph_analyzer/_yildiz_analyzer.py")
+    from vnlp_spark import resources
+
+    G = mod.TurkishStemSuffixCandidateGenerator
+    ref = G.__new__(G)
+    ref.case_sensitive = True
+    ref.asciification = False
+    ref.suffix_normalization = False
+    ref.suffix_dic = {k: list(v) for k, v in resources.suffix_dict().items()}
+    ref.stem_dic = {}
+    ref.read_stem_list()
+    ref.exact_lookup_table = {}
+    ref.read_exact_lookup_table()
+    return ref
+
+
+def test_candidate_generator_parity(ref_candidate_generator, corpus):
+    from vnlp_spark.functions.tokenizer import py_treebank_tokenize
+    from vnlp_spark.operators.morphology import CandidateGenerator
+
+    mine = CandidateGenerator()
+    vocab = set()
+    for t in corpus:
+        vocab.update(py_treebank_tokenize(t))
+    vocab.update([
+        "kitaplarımızdan", "evdekiler", "gözlükçü", "İstanbul'daki",
+        "koşuyordum", "anlamadım", "güzelleştirdik", "123", "xyzabc",
+    ])
+    same = ref_crash = 0
+    diffs = []
+    for w in sorted(vocab):
+        nb = sorted((r, s, tuple(t)) for r, s, t in mine.get_analysis_candidates(w))
+        try:
+            na = sorted(
+                (r, s, tuple(t))
+                for r, s, t in ref_candidate_generator.get_analysis_candidates(w)
+            )
+        except KeyError:
+            # the reference crashes on e.g. a trailing apostrophe ("bir'");
+            # this engine must return (and does) instead of failing a task
+            ref_crash += 1
+            continue
+        if na == nb:
+            same += 1
+        else:
+            diffs.append((w, na[:2], nb[:2]))
+    assert diffs == [], f"{len(diffs)} candidate diffs; first: {diffs[:3]!r}"
+    assert same >= 300 and ref_crash <= 5
