@@ -1,0 +1,103 @@
+"""SPUContext 4-branch architecture: forward faithfulness, autoregressive
+decode, and the Spark UDF path."""
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from vnlp_spark.operators.spu_context import (
+    SENTENCE_MAX_LEN,
+    SPUContextModel,
+    make_spu_context_tagger_udf,
+)
+from vnlp_spark.operators.subword import SpmUnigramEncoder, spm_tokenize_tokens
+
+
+@pytest.fixture(scope="module")
+def model():
+    return SPUContextModel.surrogate(units=16, emb_dim=16, n_labels=5, seed=17)
+
+
+@pytest.fixture(scope="module")
+def enc():
+    return SpmUnigramEncoder.from_model_file()
+
+
+def _naive_tag(model, pieces, S=SENTENCE_MAX_LEN):
+    """Reference-literal per-token forward: every context slot re-encoded
+    through word_rnn exactly as TimeDistributed does
+    (_spu_context_utils.py:110-160), no sharing, one token at a time."""
+    L = len(pieces)
+    out = []
+    preds = []
+    pad_row = [0] * len(pieces[0]) if L else []
+    for w in range(L):
+        cur = model.encode_words(np.asarray([pieces[w]], dtype=np.int64))
+        left_rows = [pad_row] * max(0, S - w) + list(pieces[max(0, w - S):w])
+        right_rows = list(pieces[w + 1 : w + 1 + S])
+        right_rows += [pad_row] * (S - len(right_rows))
+        left_enc = model.encode_words(np.asarray(left_rows, dtype=np.int64))[None]
+        right_enc = model.encode_words(np.asarray(right_rows, dtype=np.int64))[None]
+        prev = np.zeros((1, S, model.n_labels), dtype=np.float32)
+        hist = preds[max(0, w - S):w]
+        if hist:
+            prev[0, S - len(hist):, :] = np.eye(model.n_labels, dtype=np.float32)[hist]
+        feats = np.concatenate(
+            [cur, model.left(left_enc), model.right(right_enc), model.prev(prev)],
+            axis=1,
+        )
+        x = np.maximum(feats @ model.fc1 + model.fc1b, 0)
+        x = np.maximum(x @ model.fc2 + model.fc2b, 0)
+        label = int(np.argmax(x @ model.out + model.outb, axis=1)[0])
+        preds.append(label)
+        out.append(label)
+    return out
+
+
+def test_batched_forward_equals_reference_literal_forward(model, enc):
+    """The encode-once + gather optimization must be numerically identical
+    to the reference's re-encode-every-slot semantics."""
+    sents = [
+        spm_tokenize_tokens(["Ahmet", "dün", "İstanbul'da", "mağaza", "açtı", "."], enc),
+        spm_tokenize_tokens(["Galatasaray", "Fenerbahçe'yi", "yendi", "."], enc),
+        spm_tokenize_tokens(["Kısa", "."], enc),
+    ]
+    fast = model.tag_sentences(sents)
+    for s, f in zip(sents, fast):
+        assert _naive_tag(model, s) == f
+
+
+def test_tag_sentences_shapes_and_determinism(model, enc):
+    sents = [
+        spm_tokenize_tokens(["Bu", "bir", "deneme", "cümlesi", "."], enc),
+        [],
+        spm_tokenize_tokens(["Tek"], enc),
+    ]
+    tags = model.tag_sentences(sents)
+    assert [len(t) for t in tags] == [5, 0, 1]
+    assert tags == model.tag_sentences(sents)
+    assert all(0 <= x < model.n_labels for t in tags for x in t)
+    # weight round-trip
+    assert tags == SPUContextModel.from_arrays(model.arrays()).tag_sentences(sents)
+
+
+def test_long_sentence_beyond_context_window(model, enc):
+    toks = ["kelime"] * (SENTENCE_MAX_LEN + 10)
+    sents = [spm_tokenize_tokens(toks, enc)]
+    tags = model.tag_sentences(sents)
+    assert len(tags[0]) == SENTENCE_MAX_LEN + 10
+
+
+def test_spu_context_udf(spark):
+    from vnlp_spark.functions.tokenizer import treebank_tokenize
+    from vnlp_spark.plans.corpus import generate_web_pages
+
+    docs = generate_web_pages(spark, 20)
+    udf = make_spu_context_tagger_udf(spark, units=16, emb_dim=16)
+    df = docs.select(treebank_tokenize("text").alias("tokens"))
+    rows = df.select("tokens", udf("tokens").alias("labels")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r["labels"]) == len(r["tokens"])
+    # deterministic across executions
+    rows2 = df.select("tokens", udf("tokens").alias("labels")).collect()
+    assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
