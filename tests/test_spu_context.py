@@ -101,3 +101,36 @@ def test_spu_context_udf(spark):
     # deterministic across executions
     rows2 = df.select("tokens", udf("tokens").alias("labels")).collect()
     assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
+
+
+def test_spu_context_annotate_stage(spark):
+    """model='spu_context' runs the full 4-branch architecture on the
+    production annotate plan: same schema as heuristic, deterministic,
+    shuffle-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from vnlp_spark.plans.corpus import generate_web_pages
+    from vnlp_spark.plans.pipeline import annotate_stage, sentences_stage
+
+    docs = generate_web_pages(spark, 15)
+    ann = annotate_stage(sentences_stage(docs), model="spu_context")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ann.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    heur = annotate_stage(sentences_stage(docs))
+    assert ann.schema == heur.schema
+
+    def snap(df):
+        return sorted(
+            (r["url"], r["sent_id"], r["m"])
+            for r in df.select(
+                "url", "sent_id", F.to_json("mentions").alias("m")
+            ).collect()
+        )
+
+    first = snap(ann)
+    assert first == snap(annotate_stage(sentences_stage(docs), model="spu_context"))
+    assert len(first) > 0

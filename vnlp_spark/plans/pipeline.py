@@ -166,29 +166,44 @@ def _ner_label_names() -> list:
     return resources.label_list("ner_label", pad="O")
 
 
-def _make_gru_annotate(sentences: DataFrame):
-    """The ``model="gru"`` annotator: NER labels come from the
-    AutoregressiveTagger model harness (broadcast weights, per-sentence
-    label feedback — the executor shape of the reference's SPUContext GRU,
-    spu_context_ner.py:147-161) instead of the heuristic tagger.  With
-    surrogate weights the output is deterministic but not linguistically
-    meaningful; dropping in trained arrays is the ONLY change left.
-    Morphology and parsing stay on their own annotators (separate models
-    in the reference too)."""
-    from ..operators.model_harness import AutoregressiveTagger, make_autoregressive_tagger_udf
+def _make_gru_annotate(sentences: DataFrame, model: str = "gru"):
+    """The model-harness annotators: NER labels come from a broadcast
+    neural tagger instead of the heuristic rules.
+
+    - ``"gru"``: the AutoregressiveTagger harness (single GRU with
+      previous-label feedback — the executor SHAPE of the reference's
+      loop, spu_context_ner.py:147-161).
+    - ``"spu_context"``: the reference's FULL 4-branch architecture
+      (operators/spu_context.py) — word/left/right/prev-entity GRU stacks
+      over real SentencePiece piece ids, autoregressive decode.
+
+    With surrogate weights the outputs are deterministic but not
+    linguistically meaningful; dropping in trained arrays is the ONLY
+    change left.  Morphology and parsing stay on their own annotators
+    (separate models in the reference too)."""
     from ..operators.ner import mentions_from_labels
-    from ..operators.subword import parse_spm_model
 
     spark = sentences.sparkSession
     names = _ner_label_names()
-    tagger = AutoregressiveTagger.surrogate(
-        vocab=32768, dim=32, hidden=64, n_labels=len(names), seed=11
-    )
-    bc = spark.sparkContext.broadcast(tagger.arrays())
-    # featurize through the reference's real 16k SentencePiece vocabulary
-    # (S4) — the id space trained weights would expect
-    spm_bc = spark.sparkContext.broadcast(parse_spm_model())
-    label_udf = make_autoregressive_tagger_udf(bc, spm_pieces_bc=spm_bc)
+    if model == "spu_context":
+        from ..operators.spu_context import make_spu_context_tagger_udf
+
+        label_udf = make_spu_context_tagger_udf(spark, n_labels=len(names))
+    else:
+        from ..operators.model_harness import (
+            AutoregressiveTagger,
+            make_autoregressive_tagger_udf,
+        )
+        from ..operators.subword import parse_spm_model
+
+        tagger = AutoregressiveTagger.surrogate(
+            vocab=32768, dim=32, hidden=64, n_labels=len(names), seed=11
+        )
+        bc = spark.sparkContext.broadcast(tagger.arrays())
+        # featurize through the reference's real 16k SentencePiece
+        # vocabulary (S4) — the id space trained weights would expect
+        spm_bc = spark.sparkContext.broadcast(parse_spm_model())
+        label_udf = make_autoregressive_tagger_udf(bc, spm_pieces_bc=spm_bc)
     label_names = F.array(*[F.lit(x) for x in names])
 
     def annotate(df: DataFrame) -> DataFrame:
@@ -223,12 +238,13 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
     off for unique-heavy text.
 
     ``model="gru"`` routes NER through the AutoregressiveTagger model
-    harness (broadcast weights) — the real-weight swap point, proven on
-    the production plan; ``"heuristic"`` (default) is the fused
-    deterministic annotator.
+    harness (broadcast weights); ``model="spu_context"`` through the
+    reference's full 4-branch architecture — both real-weight swap
+    points, proven on the production plan; ``"heuristic"`` (default) is
+    the fused deterministic annotator.
     """
-    if model == "gru":
-        annotate = _make_gru_annotate(sentences)
+    if model in ("gru", "spu_context"):
+        annotate = _make_gru_annotate(sentences, model=model)
     elif model == "heuristic":
         def annotate(df: DataFrame) -> DataFrame:
             return df.withColumn("_ann", _annotate_fused_udf("sentence")).select(
