@@ -272,10 +272,16 @@ class HeuristicDisambiguator:
             _NON_WORD.match(t) for t in tokens[idx + 1:]
         )
         if first == "Verb":
+            # participle / verbal-noun derivations are not sentence-final
+            # predicates; finite readings are (yapacak. = Fut, not FutPart)
+            deriv = tag_set & {
+                "PresPart", "FutPart", "PastPart", "Agt", "Inf", "Inf2",
+                "Inf3", "Ness", "With", "Without", "Rel", "Ly",
+            }
             if "Imp" in tag_set:
                 s += 25.0 if sent_final else -15.0
             elif sent_final:
-                s += 8.0
+                s += 8.0 if not deriv else -4.0
         if first == "Punc":
             s += 100.0
         if first in ("Conj", "Pron"):
@@ -286,12 +292,26 @@ class HeuristicDisambiguator:
             s += 8.0  # tiny closed class (bir, bu, şu, her...): near-certain
         if first == "Adverb" and idx == 0:
             s += 6.0  # sentence-initial adverbs (Şimdi, Sonra, ...)
-        if first == "Adj":
-            s += 6.0  # adjectives are cited whole; resist over-segmentation
+        if first == "Adj" and len(tags) == 1:
+            # citation-form adjectives resist over-segmentation, but the
+            # bonus must stay below Pnon+Nom (5.0) so noun/adj homographs
+            # in argument positions keep their nominal reading (taze
+            # balık getirdi: balık = Noun, not Adj)
+            s += 4.0
         # a case-marked segmentation with a dictionary root usually beats
         # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
         if not suffix and has_segmented_rival and first != "Adj":
             s -= 8.0
+        # zero-copula readings (X+DB+Verb+Zero: "evdeydi") are real but
+        # rare relative to their segmentation rivals; a 1st/2nd-person
+        # possessive under one ("şi+m+di" = 'it was my şi') is absurd
+        if "Zero" in tag_set:
+            s -= 2.0
+            if tag_set & {"P1sg", "P2sg", "P1pl", "P2pl"}:
+                s -= 8.0
+        # two-letter roots mostly arise from over-segmentation
+        if suffix and len(root) <= 2:
+            s -= 3.0
         # nominal priors: unmarked possessive > P3sg > other
         if "Pnon" in tag_set:
             s += 4.0
