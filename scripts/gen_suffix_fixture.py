@@ -302,6 +302,7 @@ def verbal_paradigm():
             (high + "t", "Verb+DB+Verb+Caus"),       # akıt
             ("d" + high + "r", "Verb+DB+Verb+Caus"),  # yaptır (d-variant)
             ("t" + high + "r", "Verb+DB+Verb+Caus"),
+            (high + "r", "Verb+DB+Verb+Caus"),        # uçur, duyur, içir
             ("l" + low + "ş", "@DENOM+DB+Verb+Become"),      # zenginleş
             ("l" + low + "n", "@DENOM+DB+Verb+Acquire"),     # evlen
             ("l" + low + "şt" + high + "r", "@DENOM+DB+Verb+Become+DB+Verb+Caus"),
@@ -346,6 +347,16 @@ def derivational_paradigm():
         # -lH "with" adjectives (güneşli, şanslı) and -sHz "without"
         rows.add(("l" + high, "Noun+DB+Adj+With"))
         rows.add(("s" + high + "z", "Noun+DB+Adj+Without"))
+        # stacked: -sHzlHk nominalization (sabırsızlıkla) and -sHzcA /
+        # -lHcA adverbials (sessizce)
+        sz = "s" + high + "z"
+        for case, forms in cases.items():
+            for f in forms:
+                rows.add((sz + f, f"Noun+DB+Adj+Without+DB+Noun+Ness+A3sg+Pnon+{case}"))
+        for c in ("c", "ç"):
+            low2 = "a" if high in "ıu" else "e"
+            rows.add((sz + c + low2, "Noun+DB+Adj+Without+DB+Adverb+Ly"))
+            rows.add(("l" + high + c + low2, "Noun+DB+Adj+With+DB+Adverb+Ly"))
         # agent/occupation -CH (gözlükçü)
         for c in ("c", "ç"):
             rows.add((c + high, "Noun+DB+Noun+Agt+A3sg+Pnon+Nom"))

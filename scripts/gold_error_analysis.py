@@ -68,7 +68,9 @@ def run(entries, verbose=True):
         fn += len(gold - pred)
 
         analyses = py_analyze_tokens(toks)
-        upos = [upos_from_analysis(a) for a in analyses]
+        from vnlp_spark.operators.pos import adjust_upos
+
+        upos = adjust_upos(toks, [upos_from_analysis(a) for a in analyses], analyses)
         pos_diffs = [
             (toks[i], g, p, analyses[i])
             for i, (g, p) in enumerate(zip(e["upos"], upos))

@@ -7,20 +7,30 @@ dependency_parser/utils.py:51-64); sentences longer than 40 tokens are
 refused (spu_context_dp.py:159-162).
 
 The reference's GRU weights are S3-hosted and unavailable offline, so this
-is a deterministic head-final heuristic parser with the same output
-contract (swap point: any ``(tokens, upos, analyses) -> arcs`` callable).
-Attachment rules for Turkish SOV order:
+is a deterministic attachment parser with the same output contract (swap
+point: any ``(tokens, upos, analyses) -> arcs`` callable).  Round-3
+redesign, tuned on the gold_ud tuning split (held-out split frozen first —
+plans/gold_ud_heldout.py):
 
-- root = last verb of the sentence (else last non-punct token)
-- other verbs attach to the root: ``parataxis`` when a comma separates
-  them from it, else ``advcl``
-- nouns/pronouns attach to the next verb (else root) with a case-driven
-  relation: Acc->obj, Dat/Loc/Abl->obl, Ins->obl, Nom directly before the
-  verb->nsubj, Gen->nmod to the next nominal
-- a genitive or bare nominal immediately before another nominal -> nmod
-- adjectives -> amod to the next nominal; determiners -> det; adverbs ->
-  advmod to the next verb; adpositions -> case to the previous nominal
-- punctuation -> punct, attached to the nearest preceding verb (else root)
+- clause segmentation: every argument attaches to the next finite
+  predicate at or after it (Turkish is head-final); predicates are finite
+  verbs, or the copular root of a verbless sentence
+- root: the last finite verb; CCONJ-coordinated verb pairs root the FIRST
+  conjunct (UD), comma-separated clauses keep the reference's
+  last-verb-root + leftward parataxis convention (the reference's own DP
+  test sentence is annotated that way)
+- capitalized-nominal runs are segmented into mentions (possessed head ->
+  nmod chain, given-name breaks, apostrophe-case-marked breaks, flat
+  names) and the run HEAD takes the clause role
+- one nsubj per clause: possessive compounds (bare nominal before a
+  possessed nominal -> nmod) and temporal nouns (-> obl) are peeled off
+  first; the first remaining unmarked nominal is the subject, with a
+  bare-object / indefinite-subject tiebreak for the directly-preverbal
+  slot (det/adj-modified, plural, possessed, proper, pronominal or
+  passive-verb -> nsubj; bare mid-clause singular -> obj)
+- case-driven obliques (Dat/Loc/Abl/Ins -> obl, Acc -> obj, Gen -> nmod,
+  Gen before a participle -> its nsubj), degree adverbs to the next
+  ADJ/ADV, participles as acl / ccomp / csubj rather than predicates
 
 The 40-token refusal is reproduced as ``arcs = null`` (callers route long
 sentences to chunking upstream and the lineage layer counts refusals).
@@ -31,6 +41,7 @@ array<struct<idx:int, token:string, head:int, deprel:string>>.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import pandas as pd
@@ -44,12 +55,72 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .morphology import py_analyze_tokens
+from .morphology import py_analyze_tokens, to_lower
 from .pos import upos_from_analysis
 
 MAX_TOKENS = 40  # reference hard cap (spu_context_dp.py:159-162)
 
 _NOMINAL = {"NOUN", "PROPN", "PRON", "NUM"}
+_CAP_RE = re.compile(r"^[A-ZÇĞİIÖŞÜ]")
+
+# lexical classes (token-level, Turkish-lowered) --------------------------
+
+# words UD-Turkish treebanks tag ADV regardless of the morph table's
+# nominal reading (dün = 'yesterday', not 'yesterday-the-noun')
+_TEMPORAL_ADVS = {
+    "dün", "bugün", "yarın", "şimdi", "demin", "artık", "hemen", "henüz",
+    "hâlâ", "hala", "bazen", "asla", "belki", "yine", "gene", "ayrıca",
+    "ardından", "sonunda", "birlikte", "beraber", "erkenden", "yeniden",
+    "tekrar", "önce", "sonra", "erken", "geç",
+    # lexicalized manner adverbs (Ins-case in the morph table)
+    "başarıyla", "hızla", "dikkatle", "özenle", "içeri", "dışarı",
+    "zamanında",
+}
+# degree adverbs: advmod to a following ADJ/ADV
+_DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
+# temporal noun ROOTS: bare-nominative time expressions are obl, never
+# subjects/objects (sabah kalktım)
+_TEMPORAL_ROOTS = {
+    "sabah", "akşam", "gece", "öğle", "gündüz", "hafta", "yıl", "ay",
+    "gün", "sene", "yaz", "kış", "bahar", "sonbahar", "ilkbahar",
+    "dakika", "saat", "saniye", "dönem", "çeyrek", "mevsim", "asır",
+    "yüzyıl", "pazartesi", "salı", "çarşamba", "perşembe", "cuma",
+    "cumartesi", "pazar",
+}
+# ADP whose complement precedes it (postpositions) keep the old handling;
+# önce/sonra after a bare time NP are ADP too
+_SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart"}
+
+# transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
+# homography next to the verb (Takım maçı kazandı = obj; Takım kaptanı
+# oynadı = compound subject).  Small curated list of frequent verbs.
+_TRANSITIVE_ROOTS = {
+    "kazan", "oku", "gör", "izle", "seç", "al", "ver", "yap", "iç", "ye",
+    "bul", "sev", "bekle", "söyle", "anlat", "duyur", "tanıt", "aç",
+    "kapat", "kır", "getir", "götür", "koy", "yaz", "çiz", "öğren",
+    "öğret", "bil", "iste", "dinle", "sat", "öde", "kes", "pişir",
+    "hazırla", "topla", "at", "tut", "çek", "unut", "hatırla", "başlat",
+    "bitir", "kur", "boz", "incele", "araştır", "savun", "eleştir",
+    "destekle", "kutla", "belirle", "etkile", "sun", "gönder", "ölç",
+    "yen", "taşı", "kullan", "paylaş", "yayınla", "keşfet", "genişlet",
+    "işlet", "tamamla", "kovala", "şaşırt", "zorla", "yaptır", "geniş",
+    "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
+    "et",
+}
+
+
+@lru_cache(maxsize=1)
+def _typed_gazetteer():
+    from .. import resources
+
+    gaz = resources.ner_gazetteer()
+    per, typed = set(), {}
+    for w, lbl in gaz.items():
+        if lbl == "PER":
+            per.add(to_lower(w))
+        if lbl != "ORGKEY":
+            typed[to_lower(w)] = lbl
+    return per, typed
 
 
 def _case_of(analysis: str) -> str:
@@ -58,6 +129,93 @@ def _case_of(analysis: str) -> str:
         if case in tags:
             return case
     return ""
+
+
+def _base(token: str) -> str:
+    return to_lower(token.split("'")[0].split("’")[0])
+
+
+def _is_possessed(token: str, analysis: str) -> bool:
+    tags = set(analysis.replace("^", "+").split("+"))
+    if tags & {"P1sg", "P2sg", "P3sg", "P1pl", "P2pl", "P3pl"}:
+        return True
+    # apostrophe-Prop analyses absorb the possessive into the root
+    # (Belediyesi'nin -> belediyesi+...+Gen): recover P3sg from the
+    # pre-apostrophe surface (-sH always; bare -H when the remainder is a
+    # dictionary stem: Boğazı yes, Aslı no)
+    if "'" in token or "’" in token:
+        base = _base(token)
+        if re.search(r"s[ıiuü]$", base):
+            return True
+        if len(base) > 3 and base[-1] in "ıiuü" and base[-2] not in "aeıioöuü":
+            from .. import resources
+
+            if base[:-1] in resources.stem_dict():
+                return True
+    return False
+
+
+
+
+def _segment_runs(tokens, upos, analyses) -> List[List[int]]:
+    """Maximal runs of adjacent capitalized nominals, segmented into
+    mention groups: [ [i, j, ...], ... ] (singletons omitted)."""
+    per, typed = _typed_gazetteer()
+    runs = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if upos[i] in ("PROPN", "NOUN", "NUM") and _CAP_RE.match(tokens[i]):
+            j = i
+            while (
+                j + 1 < n
+                and upos[j + 1] in ("PROPN", "NOUN")
+                and _CAP_RE.match(tokens[j + 1])
+            ):
+                j += 1
+            if j > i:
+                runs.append(list(range(i, j + 1)))
+            i = j + 1
+        else:
+            i += 1
+
+    def possessed(k):
+        return _is_possessed(tokens[k], analyses[k])
+
+    def split_run(run):
+        groups, cur = [], [run[0]]
+        for k in run[1:]:
+            prev = cur[-1]
+            brk = False
+            # a given name starts its own mention unless the next token is
+            # its bare surname (2-token flat name, nothing entityish)
+            if _base(tokens[prev]) in per and len(cur) == 1:
+                nxt_entityish = (
+                    possessed(k)
+                    or _base(tokens[k]) in typed
+                    or ("'" in tokens[k] and _case_of(analyses[k]) not in ("Nom", ""))
+                    or (k + 1 < len(tokens) and upos[k + 1] in ("PROPN", "NOUN")
+                        and _CAP_RE.match(tokens[k + 1]))
+                )
+                brk = nxt_entityish
+            # two adjacent gazetteer entities where the second carries its
+            # own apostrophe case are separate mentions (Galatasaray
+            # Fenerbahçe'yi); possessed continuations stay one mention
+            # (İstanbul Boğazı'nda)
+            elif ("'" in tokens[k] and not possessed(k)
+                  and _case_of(analyses[k]) not in ("Nom", "")):
+                brk = True
+            if brk:
+                groups.append(cur)
+                cur = [k]
+            else:
+                cur.append(k)
+        groups.append(cur)
+        return [g for g in groups if len(g) > 1]
+
+    out = []
+    for run in runs:
+        out.extend(split_run(run))
+    return out
 
 
 def py_parse_tokens(
@@ -74,76 +232,380 @@ def py_parse_tokens(
         analyses = py_analyze_tokens(tokens)
     if upos is None:
         upos = [upos_from_analysis(a) for a in analyses]
+    from .pos import _readings, adjust_upos
 
-    verbs = [i for i, u in enumerate(upos) if u == "VERB"]
-    non_punct = [i for i, u in enumerate(upos) if u != "PUNCT"]
-    root = verbs[-1] if verbs else (non_punct[-1] if non_punct else n - 1)
+    upos = adjust_upos(tokens, upos, analyses)
 
-    def next_verb(i: int) -> int:
-        for v in verbs:
-            if v > i:
-                return v
+    tagsets = [set(a.replace("^", "+").split("+")) for a in analyses]
+    roots_of = [a.split("+", 1)[0] for a in analyses]
+
+    # --- predicates and root -------------------------------------------
+    subord = [bool(tagsets[i] & _SUBORD_TAGS) for i in range(n)]
+    finite = [i for i in range(n) if upos[i] == "VERB" and not subord[i]]
+    non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
+    copular = not finite
+
+    if finite:
+        root = finite[-1]
+        # CCONJ-coordinated finite verbs root the FIRST conjunct (UD)
+        for v in finite:
+            nxts = [w for w in finite if w > v]
+            if nxts and any(upos[c] == "CCONJ" for c in range(v + 1, nxts[0])):
+                root = v
+                break
+        preds = list(finite)
+    else:
+        root = non_punct[-1] if non_punct else n - 1
+        # walk back over trailing "CCONJ X" conjunct groups (güzel ve
+        # güneşli -> root güzel)
+        while True:
+            k = root - 1
+            while k >= 0 and upos[k] == "PUNCT":
+                k -= 1
+            if k > 0 and upos[k] == "CCONJ":
+                nk = k - 1
+                while nk >= 0 and upos[nk] == "PUNCT":
+                    nk -= 1
+                if nk >= 0:
+                    root = nk
+                    continue
+            break
+        preds = [root]
+
+    def next_pred(i: int) -> int:
+        for p in preds:
+            if p >= i and p != i:
+                return p
         return root
 
-    def next_nominal(i: int) -> int:
+    def next_verbish(i: int) -> Optional[int]:
+        # nearest following verb INCLUDING subordinate participles/verbal
+        # nouns: objects and obliques attach locally (Kitapları okumak),
+        # subjects attach to the finite predicate (Başbakan ... söyledi)
         for j in range(i + 1, n):
+            if upos[j] == "VERB":
+                return j
+        return None
+
+    def next_nominal(i: int, stop: Optional[int] = None) -> Optional[int]:
+        for j in range(i + 1, n if stop is None else stop):
             if upos[j] in _NOMINAL:
                 return j
-        return next_verb(i)
+        return None
 
-    def prev_verb(i: int) -> int:
-        cands = [v for v in verbs if v < i]
-        return cands[-1] if cands else root
-
-    heads = [0] * n
+    heads = [-1] * n
     rels = [""] * n
+
+    def possessed(k):
+        return _is_possessed(tokens[k], analyses[k])
+
+    # --- Acc / P3sg+Nom homography (gündemi, maçı, kaptanı) -------------
+    # signals, in priority order: a passive verb takes the subject
+    # (possessed-Nom) reading; a singular bare-nominal compound modifier
+    # to the left plus an intransitive verb (or an object already present)
+    # takes the compound-head reading; verb-adjacency modulo transparent /
+    # oblique material takes the object reading
+    eff_case = [_case_of(a) for a in analyses]
+    eff_poss = [possessed(i) for i in range(n)]
+    _TRANSPARENT = {"ADV", "ADJ", "DET", "PUNCT", "ADP", "NUM"}
+
+    def _adjacent_to_verb(i: int, v: int) -> bool:
+        for j in range(i + 1, v):
+            if upos[j] in _TRANSPARENT:
+                continue
+            if upos[j] in _NOMINAL and eff_case[j] in ("Dat", "Loc", "Abl", "Ins"):
+                continue  # obliques may intervene before the object
+            if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
+                continue  # bare time expressions are obliques too
+            if (upos[j] == "NOUN" and j + 1 == v
+                    and roots_of[v] in ("ol", "et", "yap")):
+                continue  # light-verb nominal (davet etti, kutlama yaptı)
+            return False
+        return True
+
+    for i in range(n - 1, -1, -1):
+        if upos[i] != "NOUN" or eff_case[i] not in ("Acc", "Nom"):
+            continue
+        # only a token whose CHOSEN analysis sits in the ambiguous pair
+        # is re-resolved (görgü -> görk+ü split does not make the chosen
+        # whole-word Pnon+Nom reading ambiguous)
+        chosen_ambiguous = "Acc" in tagsets[i] or (
+            "Nom" in tagsets[i] and tagsets[i] & {"P3sg", "P3pl"}
+        )
+        r = _readings(tokens[i])
+        if not chosen_ambiguous or "acc" not in r or "p3nom" not in r:
+            continue
+        v = next_verbish(i)
+        if v is None:
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
+        if "Pass" in tagsets[v]:
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
+        if (
+            i > 0
+            and upos[i - 1] in ("NOUN", "PROPN")
+            and eff_case[i - 1] in ("Nom", "")
+            and not eff_poss[i - 1]
+            and roots_of[i - 1] in _TEMPORAL_ROOTS
+        ):
+            # a bare time noun to the left always modifies (hafta sonu,
+            # akşam yemeği) -> compound-head reading
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
+        if tagsets[v] & {"A1sg", "A2sg", "A1pl", "A2pl"}:
+            # pro-dropped 1st/2nd-person subject: the nominal is the object
+            # (Mektubu dun aksam postaya verdim)
+            eff_case[i], eff_poss[i] = "Acc", False
+            continue
+        prev_bare_mod = (
+            i > 0
+            and upos[i - 1] in ("NOUN", "PROPN")
+            and eff_case[i - 1] in ("Nom", "")
+            and not eff_poss[i - 1]
+            and "A3pl" not in tagsets[i - 1]
+        )
+        obj_later = any(
+            upos[j] in _NOMINAL and eff_case[j] == "Acc" for j in range(i + 1, v)
+        )
+        if prev_bare_mod and (roots_of[v] not in _TRANSITIVE_ROOTS or obj_later):
+            eff_case[i], eff_poss[i] = "Nom", True
+        elif _adjacent_to_verb(i, v):
+            eff_case[i], eff_poss[i] = "Acc", False
+        else:
+            eff_case[i], eff_poss[i] = "Nom", True
+
+    # --- mention runs: non-head tokens attach inside the run -----------
+    run_head = {}
+    run_member = set()
+    for group in _segment_runs(tokens, upos, analyses):
+        run_member.update(group)
+        # flat 2-token person names (given + surname) head FIRST; all
+        # other runs head LAST (possessive compounds / org names)
+        if (len(group) == 2 and _base(tokens[group[0]]) in _typed_gazetteer()[0]
+                and not possessed(group[-1])):
+            head = group[0]
+            rel = "flat"
+        else:
+            head = group[-1]
+            rel = "nmod"
+        for k in group:
+            if k != head:
+                heads[k], rels[k] = head + 1, rel
+                run_head[k] = head
+
+    # --- verbs ----------------------------------------------------------
     for i in range(n):
-        u = upos[i]
+        if heads[i] != -1 or upos[i] != "VERB":
+            continue
         if i == root:
             heads[i], rels[i] = 0, "root"
-        elif u == "PUNCT":
-            heads[i], rels[i] = prev_verb(i) + 1, "punct"
-        elif u == "VERB":
-            between = tokens[i + 1: root]
-            sep = any(t == "," for t in between)
-            heads[i], rels[i] = root + 1, ("parataxis" if sep else "advcl")
-        elif u == "DET":
-            heads[i], rels[i] = next_nominal(i) + 1, "det"
-        elif u == "ADJ":
-            heads[i], rels[i] = next_nominal(i) + 1, "amod"
-        elif u == "ADV":
-            heads[i], rels[i] = next_verb(i) + 1, "advmod"
-        elif u == "ADP":
-            # postposition: case-marks the *previous* nominal
-            prev_nom = next((j for j in range(i - 1, -1, -1) if upos[j] in _NOMINAL), root)
-            heads[i], rels[i] = prev_nom + 1, "case"
-        elif u in _NOMINAL:
+        elif subord[i]:
+            p = next_pred(i)
+            tags = tagsets[i]
             case = _case_of(analyses[i])
-            nv = next_verb(i)
-            if case == "Gen":
-                if i + 1 < n and upos[i + 1] == "ADP":
-                    # postpositional phrase (Onun için) -> oblique of the verb
-                    heads[i], rels[i] = nv + 1, "obl"
-                else:
-                    heads[i], rels[i] = next_nominal(i) + 1, "nmod"
-            elif case == "Acc":
-                heads[i], rels[i] = nv + 1, "obj"
-            elif case in ("Dat", "Loc", "Abl", "Ins"):
-                heads[i], rels[i] = nv + 1, "obl"
-            else:  # Nom / unmarked
-                nxt = i + 1
-                if u in ("PROPN", "PRON"):
-                    # proper nouns / pronouns in the nominative are subjects
-                    heads[i], rels[i] = nv + 1, "nsubj"
-                elif nxt < n and upos[nxt] in _NOMINAL and nxt != nv:
-                    heads[i], rels[i] = nxt + 1, "nmod"
-                elif nxt == nv or (nxt < n and upos[nxt] == "VERB"):
-                    # unmarked common noun right before the verb: indefinite
-                    # object incorporation (tatil yaptı, kitap okudu)
-                    heads[i], rels[i] = nv + 1, "obj"
-                else:
-                    heads[i], rels[i] = nv + 1, "obl"
+            if tags & {"PresPart"}:
+                nom = next_nominal(i)
+                heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
+            elif "Inf" in tags and case in ("", "Nom"):
+                heads[i], rels[i] = p + 1, "csubj"
+            elif tags & {"FutPart", "PastPart", "Inf2"} and case in ("Acc", "Dat"):
+                heads[i], rels[i] = p + 1, "ccomp"
+            elif tags & {"FutPart", "PastPart"}:
+                nom = next_nominal(i)
+                heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
+            else:
+                heads[i], rels[i] = p + 1, "ccomp"
         else:
+            # non-root finite verb: conj after a CCONJ, parataxis across a
+            # comma, converb/advcl otherwise
+            between = range(i + 1, root if i < root else n)
+            if any(upos[c] == "CCONJ" for c in range(0, i) if c > (max([v for v in finite if v < i], default=-1))):
+                heads[i], rels[i] = root + 1, "conj"
+            elif i < root and any(tokens[c] == "," for c in between):
+                heads[i], rels[i] = root + 1, "parataxis"
+            elif i > root:
+                heads[i], rels[i] = root + 1, "conj"
+            else:
+                heads[i], rels[i] = root + 1, "advcl"
+
+    # --- copular root (verbless sentence) -------------------------------
+    if copular and heads[root] == -1:
+        heads[root], rels[root] = 0, "root"
+
+    # --- function words --------------------------------------------------
+    for i in range(n):
+        if heads[i] != -1:
+            continue
+        u = upos[i]
+        if u == "PUNCT":
+            prev = [p for p in preds if p < i]
+            heads[i], rels[i] = (prev[-1] if prev else root) + 1, "punct"
+        elif u == "CCONJ":
+            # cc attaches forward to the conjunct it introduces; a
+            # conj-labeled verb wins over nearer nominals (clause
+            # coordination: ucurdu ve ... yedi)
+            conj_v = next((j for j in range(i + 1, n) if rels[j] == "conj"), None)
+            if conj_v is not None:
+                heads[i], rels[i] = conj_v + 1, "cc"
+            else:
+                for j in range(i + 1, n):
+                    if heads[j] == -1 or upos[j] in _NOMINAL or upos[j] in ("VERB", "ADJ"):
+                        heads[i], rels[i] = j + 1, "cc"
+                        break
+                else:
+                    heads[i], rels[i] = root + 1, "cc"
+        elif u == "DET":
+            nom = next_nominal(i)
+            heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "det"
+        elif u == "NUM":
+            nom = next_nominal(i)
+            heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "nummod"
+        elif u == "ADP":
+            prev_nom = next((j for j in range(i - 1, -1, -1) if upos[j] in _NOMINAL), None)
+            heads[i], rels[i] = ((prev_nom if prev_nom is not None else root) + 1), "case"
+        elif u == "ADV":
+            low = to_lower(tokens[i])
+            if low in _DEGREE_ADVS:
+                tgt = next((j for j in range(i + 1, n) if upos[j] in ("ADJ", "ADV")), None)
+                if tgt is None:
+                    tgt = next_pred(i)
+                heads[i], rels[i] = tgt + 1, "advmod"
+            else:
+                heads[i], rels[i] = next_pred(i) + 1, "advmod"
+        elif u == "ADJ":
+            j = i - 1
+            while j >= 0 and upos[j] == "PUNCT":
+                j -= 1
+            if j >= 0 and upos[j] == "CCONJ":
+                # coordinated predicate adjective: güzel ve güneşli
+                prev_c = next(
+                    (k for k in range(j - 1, -1, -1) if upos[k] in ("ADJ", "NOUN", "PROPN")),
+                    None,
+                )
+                if prev_c is not None:
+                    heads[i], rels[i] = prev_c + 1, "conj"
+                    continue
+            nom = next_nominal(i, stop=next_pred(i) + 1)
+            tgt = nom if nom is not None else next_pred(i)
+            rel = "acl" if tagsets[i] & {"PresPart"} else "amod"
+            heads[i], rels[i] = tgt + 1, rel
+
+    # --- nominal arguments, clause by clause ----------------------------
+    def verb_person_12(p: int) -> bool:
+        # a 1st/2nd-person predicate has a pro-dropped subject; a 3rd-
+        # person nominal cannot be its nsubj (Raporu yarın göndereceğim)
+        return upos[p] == "VERB" and bool(
+            tagsets[p] & {"A1sg", "A2sg", "A1pl", "A2pl"}
+        )
+
+    subj_of = {}
+    for i in range(n):
+        if heads[i] != -1 or upos[i] not in _NOMINAL:
+            continue
+        p = next_pred(i)
+        v = next_verbish(i)
+        vt = v if v is not None else p  # local attachment for obj/obl
+        case = eff_case[i]
+        low_root = roots_of[i]
+        prev_upos = upos[i - 1] if i > 0 else ""
+
+        # nominal conjunct: X ve Y (only when no verb intervenes between
+        # the conjuncts -- otherwise the CCONJ coordinates clauses)
+        if prev_upos == "CCONJ":
+            first = next((j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL), None)
+            verb_between = first is not None and any(
+                upos[j] == "VERB" for j in range(first + 1, i)
+            )
+            if first is not None and not verb_between:
+                heads[i], rels[i] = first + 1, "conj"
+                continue
+
+        if case == "Gen":
+            if i + 1 < n and upos[i + 1] == "ADP":
+                heads[i], rels[i] = vt + 1, "obl"
+            elif i + 1 < n and upos[i + 1] == "VERB" and subord[i + 1]:
+                # genitive subject of a participle clause (Öğretmenin
+                # anlattığı konu)
+                heads[i], rels[i] = i + 2, "nsubj"
+            else:
+                nom = next_nominal(i)
+                heads[i], rels[i] = ((nom if nom is not None else p) + 1), "nmod"
+        elif case == "Acc":
+            heads[i], rels[i] = vt + 1, "obj"
+        elif case in ("Dat", "Loc", "Abl", "Ins"):
+            heads[i], rels[i] = vt + 1, "obl"
+        else:  # Nom / unmarked
+            preverbal = i + 1 == vt or (i + 1 < n and run_head.get(i + 1) == vt)
+            # possessive compound: bare SINGULAR nominal before a possessed
+            # nominal in the same mention scope.  With a non-Nom head the
+            # compound reading only stands when this token is not a viable
+            # clause subject (Üniversite sınavlarına çalışıyorlardı -> nmod;
+            # Banka müşterilerine ... sundu -> Banka is the subject)
+            compoundable = (
+                i + 1 < n
+                and upos[i + 1] in _NOMINAL
+                and eff_poss[i + 1]
+                and i + 1 != p
+                and "A3pl" not in tagsets[i]
+                and not (i + 1 in run_member and i not in run_member)
+            )
+            if (compoundable and eff_case[i + 1] not in ("Nom", "")
+                    and not tagsets[i + 1] & {"P1sg", "P2sg", "P1pl", "P2pl"}):
+                viable_subject = (
+                    p not in subj_of
+                    and not verb_person_12(p)
+                    and low_root not in _TEMPORAL_ROOTS
+                    and not ("A3pl" in tagsets[p] and "A3pl" not in tagsets[i])
+                )
+                compoundable = not viable_subject
+            if compoundable:
+                heads[i], rels[i] = i + 2, "nmod"
+            elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
+                heads[i], rels[i] = p + 1, "obl"
+            elif p not in subj_of and not verb_person_12(p):
+                if preverbal:
+                    # directly preverbal: indefinite subject vs bare object
+                    modified = any(
+                        heads[j] == i + 1 and rels[j] in ("det", "amod", "nummod")
+                        for j in range(i)
+                    )
+                    clause_start = i == min(
+                        (k for k in range(n)
+                         if next_pred(k) == p and upos[k] != "PUNCT"),
+                        default=i,
+                    )
+                    subjish = (
+                        modified
+                        or eff_poss[i]
+                        or "A3pl" in tagsets[i]
+                        or upos[i] in ("PROPN", "PRON")
+                        or "Prop" in tagsets[i]
+                        or "Pass" in tagsets[vt if upos[vt] == "VERB" else i]
+                        or clause_start
+                    )
+                    if subjish and vt == p:
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
+                    elif roots_of[vt] in ("ol", "et"):
+                        # support-verb construction: üye oldu, ikamet etti
+                        # (yap/gör light verbs keep their obj per UD-BOUN)
+                        heads[i], rels[i] = vt + 1, "compound"
+                    else:
+                        heads[i], rels[i] = vt + 1, "obj"
+                else:
+                    heads[i], rels[i] = p + 1, "nsubj"
+                    subj_of[p] = i
+            elif preverbal and roots_of[vt] in ("ol", "et"):
+                heads[i], rels[i] = vt + 1, "compound"
+            elif preverbal:
+                heads[i], rels[i] = vt + 1, "obj"
+            else:
+                heads[i], rels[i] = vt + 1, "obl"
+
+    # --- leftovers -------------------------------------------------------
+    for i in range(n):
+        if heads[i] == -1:
             heads[i], rels[i] = root + 1, "dep"
 
     return [(i + 1, tokens[i], heads[i], rels[i]) for i in range(n)]

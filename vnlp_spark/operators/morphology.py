@@ -256,6 +256,7 @@ class HeuristicDisambiguator:
         idx: int,
         tokens: Sequence[str],
         has_segmented_rival: bool,
+        has_finite_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -279,12 +280,21 @@ class HeuristicDisambiguator:
                 "Inf3", "Ness", "With", "Without", "Rel", "Ly",
             }
             if "Imp" in tag_set:
-                s += 25.0 if sent_final else -15.0
+                if sent_final:
+                    s += 2.0 if has_finite_rival else 25.0
+                else:
+                    s += -15.0
             elif sent_final:
                 s += 8.0 if not deriv else -4.0
+            if not deriv and tag_set & {"Aor", "Past", "Prog1", "Fut", "Narr"}:
+                # finite readings beat nominal homographs also mid-sentence
+                # (arttı = art+Past, not 'its remainder')
+                s += 2.0
         if first == "Punc":
             s += 100.0
-        if first in ("Conj", "Pron"):
+        if first == "Conj":
+            s += 6.0  # tiny closed class (ve, ama, fakat): near-certain
+        if first == "Pron":
             s += 2.0  # closed-class readings are frequent
         if first == "Postp":
             s += 4.0  # postpositions (için, gibi, kadar) beat noun rivals
@@ -309,9 +319,22 @@ class HeuristicDisambiguator:
             s -= 2.0
             if tag_set & {"P1sg", "P2sg", "P1pl", "P2pl"}:
                 s -= 8.0
-        # two-letter roots mostly arise from over-segmentation
+            if not sent_final:
+                # copular predicates are clause-final; a mid-clause token
+                # is almost never 'tak+ım' = "I am a peg"
+                s -= 12.0
+        # one/two-letter roots mostly arise from over-segmentation
         if suffix and len(root) <= 2:
-            s -= 3.0
+            s -= 8.0 if len(root) == 1 else 3.0
+        # gemination readings (root+suffix one char short of the surface,
+        # his+i -> hissi) only exist for a closed root class; elsewhere
+        # the reading steals a consonant (arttı != art+ı)
+        if (
+            suffix
+            and len(root) + len(suffix) == len(tokens[idx]) - 1
+            and root not in ("his", "hak", "zan", "af", "ret", "şık", "sır")
+        ):
+            s -= 6.0
         # nominal priors: unmarked possessive > P3sg > other
         if "Pnon" in tag_set:
             s += 4.0
@@ -328,10 +351,26 @@ class HeuristicDisambiguator:
         return s
 
     def select(self, candidates, idx: int, tokens: Sequence[str]) -> int:
-        cands = candidates[:NUM_MAX_ANALYSIS]
+        # score every candidate: the reference's NUM_MAX_ANALYSIS cap is a
+        # model-input shape, not a search bound, and the whole-word reading
+        # is emitted LAST by the generator (hastane after hasta+ne)
+        cands = candidates
+        # a one-letter suffix barely outweighs the whole-word reading
+        # (hava vs hav+a); only >=2-char NOMINAL case splits demote it
+        # (baş+tan yes; toplan+tı finite-verb reading no — toplantı the
+        # noun beats the passive-past verb reading)
         has_segmented_rival = any(
-            sfx and not isinstance(tags, str) and self._in_stems(root)
+            sfx and len(sfx) >= 2 and not isinstance(tags, str)
+            and tags and tags[0].startswith("Noun") and self._in_stems(root)
             for root, sfx, tags in cands
+        )
+        # a whole-word imperative loses to a finite segmentation rival
+        # (içer = iç+Aor, not 'contain!'); keeps its bonus otherwise (başla)
+        has_finite_rival = any(
+            sfx and not isinstance(tags, str) and tags
+            and tags[0].startswith("Verb")
+            and {"Aor", "Past", "Prog1", "Fut", "Narr"} & set(tags)
+            for _root, sfx, tags in cands
         )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
@@ -342,6 +381,7 @@ class HeuristicDisambiguator:
                 idx,
                 tokens,
                 has_segmented_rival,
+                has_finite_rival,
             )
             if sc > best_score:
                 best, best_score = ci, sc

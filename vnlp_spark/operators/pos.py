@@ -14,6 +14,7 @@ _yildiz_analyzer.py TAG_FLAG_MAP; UPOS per the PoS model's label set).
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 import pandas as pd
@@ -51,11 +52,110 @@ def upos_from_analysis(analysis: str) -> str:
     tags = tags_str.split("+")
     if tags[0] == "Noun" and len(tags) > 1 and tags[1] == "Prop":
         return "PROPN"
+    if tags[0] == "Noun" and len(tags) > 1 and tags[1] == "Time":
+        return "NUM"  # digit tokens analyzed Noun+Time (29, 2024)
     return _MORPH_TO_UPOS.get(tags[0], "X")
 
 
+@lru_cache(maxsize=200_000)
+def _readings(token: str) -> frozenset:
+    """Coarse reading classes available for a token, from the candidate
+    generator (cached; used for context disambiguation in the adjusted-POS
+    layer and the parser — 'can this word be a bare adjective / a plain
+    noun / both Acc and P3sg+Nom?')."""
+    from .morphology import _engine
+
+    gen, _dis = _engine()
+    out = set()
+    for _root, _suffix, tags in gen.get_analysis_candidates(token):
+        if isinstance(tags, str):
+            continue
+        tset = set(tags)
+        if tags[0] == "Adj" and len(tags) == 1:
+            out.add("bare_adj")
+        if tags[0] == "Noun" and "Prop" not in tset:
+            if "Acc" in tset:
+                out.add("acc")
+            if "Nom" in tset and tset & {"P3sg", "P3pl"}:
+                out.add("p3nom")
+            if "Nom" in tset and "Pnon" in tset and "A3sg" in tset:
+                out.add("bare_noun")
+    return frozenset(out)
+
+
+# adjectives that also work adverbially directly before a verb
+_ADVERBIAL_ADJS = {
+    "yorgun", "olumsuz", "olumlu", "hızlı", "yavaş", "iyi", "kötü",
+    "doğru", "kolay", "zor", "güzel", "sessiz", "rahat", "mutlu",
+}
+
+
+def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List[str]:
+    """Context repairs on the morph-derived UPOS (gold tuning-split error
+    clusters): temporal/degree adverbs read as nominals, case-marked
+    participles as subordinate verbs, noun/adjective homographs resolved
+    by the following token.  Shared by py_pos_tags and the parser."""
+    from .dep_parser import _DEGREE_ADVS, _TEMPORAL_ADVS, _case_of
+    from .morphology import to_lower
+
+    n = len(tokens)
+    out = list(upos)
+    for i in range(n):
+        low = to_lower(tokens[i])
+        tags = set(analyses[i].replace("^", "+").split("+"))
+        if low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
+            # önce/sonra after an ablative or time NP stay postpositions
+            if low in ("önce", "sonra") and i > 0 and (
+                _case_of(analyses[i - 1]) == "Abl" or upos[i - 1] in ("NOUN", "NUM")
+            ):
+                out[i] = "ADP"
+            else:
+                out[i] = "ADV"
+        elif low in _DEGREE_ADVS:
+            nxt = out[i + 1] if i + 1 < n else ""
+            if nxt in ("ADJ", "ADV", "VERB") or (
+                i + 1 < n and to_lower(tokens[i + 1]) in _DEGREE_ADVS
+            ):
+                out[i] = "ADV"
+        elif out[i] == "NOUN" and (
+            "PastPart" in tags
+            or (tags & {"FutPart", "Inf2"}
+                and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl"))
+        ):
+            # case-marked participles are subordinate verbs, not nominals
+            # (yapacağını söyledi, anlattığı konu); bare FutPart nominals
+            # stay nominal (gelecek hafta)
+            out[i] = "VERB"
+        elif (
+            out[i] == "NOUN"
+            and "Pnon" in tags
+            and "Nom" in tags
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and "bare_adj" in _readings(tokens[i])
+        ):
+            # noun/adjective homograph directly before a nominal is the
+            # adjective (taze balık)
+            out[i] = "ADJ"
+    for i in range(n - 1):
+        if out[i] == "ADJ" and out[i + 1] == "VERB":
+            if analyses[i + 1].split("+", 1)[0] in ("ol", "et"):
+                continue  # predicative complement: rahatsız oldu
+            low = to_lower(tokens[i])
+            if "bare_noun" in _readings(tokens[i]) and low not in _ADVERBIAL_ADJS:
+                # homograph directly before the verb is an argument
+                # (taze balık getirdi -> balık NOUN)
+                out[i] = "NOUN"
+            else:
+                # adjective used adverbially (yorgun döndüm)
+                out[i] = "ADV"
+    return out
+
+
 def py_pos_tags(tokens: List[str]) -> List[str]:
-    return [upos_from_analysis(a) for a in py_analyze_tokens(tokens)]
+    analyses = py_analyze_tokens(tokens)
+    raw = [upos_from_analysis(a) for a in analyses]
+    return adjust_upos(tokens, raw, analyses)
 
 
 def py_pos_pairs(tokens: List[str]) -> List[Tuple[str, str]]:
@@ -89,6 +189,8 @@ def _upos_sql(a: Column) -> Column:
     mapping = F.create_map(*[F.lit(x) for kv in _MORPH_TO_UPOS.items() for x in kv])
     return F.when(
         (first_tag == "Noun") & (second_tag == "Prop"), F.lit("PROPN")
+    ).when(
+        (first_tag == "Noun") & (second_tag == "Time"), F.lit("NUM")
     ).otherwise(F.coalesce(mapping[first_tag], F.lit("X")))
 
 

@@ -395,6 +395,332 @@ UD_GOLD: List[dict] = [
         deprels=["nmod", "nmod", "nsubj", "amod", "obj", "root", "punct"],
         ner=["ORG", "ORG", "ORG", "O", "O", "O", "O"],
     ),
+    # ---- round-3 tuning expansion (45 sentences; held-out split was
+    # frozen FIRST in plans/gold_ud_heldout.py) --------------------------
+    dict(
+        text="Köprü geçen hafta trafiğe kapatıldı.",
+        tokens=["Köprü", "geçen", "hafta", "trafiğe", "kapatıldı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Yeni hastane gelecek yıl açılacak.",
+        tokens=["Yeni", "hastane", "gelecek", "yıl", "açılacak", "."],
+        upos=["ADJ", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["amod", "nsubj", "amod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Mektubu dün akşam postaya verdim.",
+        tokens=["Mektubu", "dün", "akşam", "postaya", "verdim", "."],
+        upos=["NOUN", "ADV", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["obj", "advmod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Sorularınızı toplantıda yanıtlayacağız.",
+        tokens=["Sorularınızı", "toplantıda", "yanıtlayacağız", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Öğrenciler kütüphanede sessizce ders çalışıyor.",
+        tokens=["Öğrenciler", "kütüphanede", "sessizce", "ders", "çalışıyor", "."],
+        upos=["NOUN", "NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obl", "advmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sporcular sabah koşusuna erken başladı.",
+        tokens=["Sporcular", "sabah", "koşusuna", "erken", "başladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Kurul üyeleri yeni başkanı seçti.",
+        tokens=["Kurul", "üyeleri", "yeni", "başkanı", "seçti", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Mahalleli gürültüden rahatsız oldu.",
+        tokens=["Mahalleli", "gürültüden", "rahatsız", "oldu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Banka müşterilerine yeni hizmet sundu.",
+        tokens=["Banka", "müşterilerine", "yeni", "hizmet", "sundu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Kek tarifini annemden öğrendim.",
+        tokens=["Kek", "tarifini", "annemden", "öğrendim", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Yolcular uçağa binmeyi bekliyor.",
+        tokens=["Yolcular", "uçağa", "binmeyi", "bekliyor", "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "obl", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Kapanan fabrika yüzlerce işçiyi etkiledi.",
+        tokens=["Kapanan", "fabrika", "yüzlerce", "işçiyi", "etkiledi", "."],
+        upos=["VERB", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["acl", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Konuşmayı yarın tekrar dinleyeceğim.",
+        tokens=["Konuşmayı", "yarın", "tekrar", "dinleyeceğim", "."],
+        upos=["NOUN", "ADV", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["obj", "advmod", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Kardeşlerim bahçede kum havuzunda oynadı.",
+        tokens=["Kardeşlerim", "bahçede", "kum", "havuzunda", "oynadı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Sergi gelecek ay sona erecek.",
+        tokens=["Sergi", "gelecek", "ay", "sona", "erecek", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Projeyi zamanında teslim ettik.",
+        tokens=["Projeyi", "zamanında", "teslim", "ettik", "."],
+        upos=["NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["obj", "advmod", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Öneriler kurulda uzun uzun tartışıldı.",
+        tokens=["Öneriler", "kurulda", "uzun", "uzun", "tartışıldı", "."],
+        upos=["NOUN", "NOUN", "ADV", "ADV", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "obl", "advmod", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Kuraklık bu yaz çiftçileri zorladı.",
+        tokens=["Kuraklık", "bu", "yaz", "çiftçileri", "zorladı", "."],
+        upos=["NOUN", "DET", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "det", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sokak kedileri mahallede herkesi tanır.",
+        tokens=["Sokak", "kedileri", "mahallede", "herkesi", "tanır", "."],
+        upos=["NOUN", "NOUN", "NOUN", "PRON", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Yemekler masaya sırayla getirildi.",
+        tokens=["Yemekler", "masaya", "sırayla", "getirildi", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Hastalar sonuçları sabırsızlıkla bekliyor.",
+        tokens=["Hastalar", "sonuçları", "sabırsızlıkla", "bekliyor", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Ressam tablosunu müzeye bağışladı.",
+        tokens=["Ressam", "tablosunu", "müzeye", "bağışladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Çocuklar parkta uçurtma uçurdu ve dondurma yedi.",
+        tokens=["Çocuklar", "parkta", "uçurtma", "uçurdu", "ve", "dondurma",
+                "yedi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "CCONJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[4, 4, 4, 0, 7, 7, 4, 4],
+        deprels=["nsubj", "obl", "obj", "root", "cc", "obj", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Fiyatlar arttı ama talep düşmedi.",
+        tokens=["Fiyatlar", "arttı", "ama", "talep", "düşmedi", "."],
+        upos=["NOUN", "VERB", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=["nsubj", "root", "cc", "nsubj", "conj", "punct"],
+    ),
+    dict(
+        text="Anne ve çocuk markete girdi.",
+        tokens=["Anne", "ve", "çocuk", "markete", "girdi", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 1, 5, 0, 5],
+        deprels=["nsubj", "cc", "conj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Sunucu konukları sahneye davet etti.",
+        tokens=["Sunucu", "konukları", "sahneye", "davet", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Takım kaptanı sakatlığına rağmen oynadı.",
+        tokens=["Takım", "kaptanı", "sakatlığına", "rağmen", "oynadı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 3, 0, 5],
+        deprels=["nmod", "nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Yarışmacılar sahnede şarkılarını söyledi.",
+        tokens=["Yarışmacılar", "sahnede", "şarkılarını", "söyledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Bu kitabı herkese öneririm.",
+        tokens=["Bu", "kitabı", "herkese", "öneririm", "."],
+        upos=["DET", "NOUN", "PRON", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["det", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Sokakta eski bir arkadaşımı gördüm.",
+        tokens=["Sokakta", "eski", "bir", "arkadaşımı", "gördüm", "."],
+        upos=["NOUN", "ADJ", "DET", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["obl", "amod", "det", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Hafta sonu deniz kenarında yürüyüş yaptık.",
+        tokens=["Hafta", "sonu", "deniz", "kenarında", "yürüyüş", "yaptık", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "obl", "nmod", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Gazeteci olayın görgü tanıklarıyla konuştu.",
+        tokens=["Gazeteci", "olayın", "görgü", "tanıklarıyla", "konuştu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "nmod", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Müzede tarihi eserler sergileniyor.",
+        tokens=["Müzede", "tarihi", "eserler", "sergileniyor", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["obl", "amod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Şarkıcı yeni albümünü tanıttı ve turneye çıktı.",
+        tokens=["Şarkıcı", "yeni", "albümünü", "tanıttı", "ve", "turneye",
+                "çıktı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "CCONJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[4, 3, 4, 0, 7, 7, 4, 4],
+        deprels=["nsubj", "amod", "obj", "root", "cc", "obl", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Ormanda kaybolan köpek sahibine kavuştu.",
+        tokens=["Ormanda", "kaybolan", "köpek", "sahibine", "kavuştu", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["obl", "acl", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Uzmanlar depreme hazırlık çağrısı yaptı.",
+        tokens=["Uzmanlar", "depreme", "hazırlık", "çağrısı", "yaptı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Dükkan sahibi kepenkleri erken kapattı.",
+        tokens=["Dükkan", "sahibi", "kepenkleri", "erken", "kapattı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Öğretmenimiz sınav tarihini duyurdu.",
+        tokens=["Öğretmenimiz", "sınav", "tarihini", "duyurdu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Kitaplığın rafları tozla kaplıydı.",
+        tokens=["Kitaplığın", "rafları", "tozla", "kaplıydı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADJ", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Toplantı salonu bugün tamamen dolu.",
+        tokens=["Toplantı", "salonu", "bugün", "tamamen", "dolu", "."],
+        upos=["NOUN", "NOUN", "ADV", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "advmod", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Dolapta taze meyve var.",
+        tokens=["Dolapta", "taze", "meyve", "var", "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADJ", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["obl", "amod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Cüzdanımda hiç para yoktu.",
+        tokens=["Cüzdanımda", "hiç", "para", "yoktu", "."],
+        upos=["NOUN", "ADV", "NOUN", "ADJ", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["obl", "advmod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Ayşe Yılmaz yarışmada birinci oldu.",
+        tokens=["Ayşe", "Yılmaz", "yarışmada", "birinci", "oldu", "."],
+        upos=["PROPN", "PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obl", "compound", "root", "punct"],
+        ner=["PER", "PER", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Mehmet Öz hastanede doktorluk yapıyor.",
+        tokens=["Mehmet", "Öz", "hastanede", "doktorluk", "yapıyor", "."],
+        upos=["PROPN", "PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obl", "obj", "root", "punct"],
+        ner=["PER", "PER", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Ziraat Bankası yeni şube açtı.",
+        tokens=["Ziraat", "Bankası", "yeni", "şube", "açtı", "."],
+        upos=["PROPN", "PROPN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "amod", "obj", "root", "punct"],
+        ner=["ORG", "ORG", "O", "O", "O", "O"],
+    ),
 ]
 
 for _g in UD_GOLD:
