@@ -577,6 +577,8 @@ def py_parse_tokens(
                     )
                     subjish = (
                         modified
+                        or to_lower(tokens[vt]) in ("var", "yok")
+                        or roots_of[vt] in ("var", "yok")
                         or eff_poss[i]
                         or "A3pl" in tagsets[i]
                         or upos[i] in ("PROPN", "PRON")

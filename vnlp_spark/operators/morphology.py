@@ -361,7 +361,8 @@ class HeuristicDisambiguator:
         # noun beats the passive-past verb reading)
         has_segmented_rival = any(
             sfx and len(sfx) >= 2 and not isinstance(tags, str)
-            and tags and tags[0].startswith("Noun") and self._in_stems(root)
+            and tags and tags[0].startswith("Noun") and "DB" not in tags
+            and self._in_stems(root)
             for root, sfx, tags in cands
         )
         # a whole-word imperative loses to a finite segmentation rival

@@ -83,6 +83,13 @@ def _readings(token: str) -> frozenset:
     return frozenset(out)
 
 
+# existential predicates: var/yok (+ copular tense) are ADJ roots in the
+# UD Turkish treebanks, not the homophonous verb imperatives
+_EXISTENTIALS = {"var", "yok", "vardır", "yoktur"}
+# past/evidential existentials (vardı, yokmuş) keep the finite-verb
+# reading: the reference's published PoS output tags "vardı" VERB
+# (part_of_speech_tagger.py:52-57)
+
 # adjectives that also work adverbially directly before a verb
 _ADVERBIAL_ADJS = {
     "yorgun", "olumsuz", "olumlu", "hızlı", "yavaş", "iyi", "kötü",
@@ -103,7 +110,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     for i in range(n):
         low = to_lower(tokens[i])
         tags = set(analyses[i].replace("^", "+").split("+"))
-        if low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
+        if low in _EXISTENTIALS:
+            out[i] = "ADJ"
+        elif low == "hiç":
+            out[i] = "ADV"
+        elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
             # önce/sonra after an ablative or time NP stay postpositions
             if low in ("önce", "sonra") and i > 0 and (
                 _case_of(analyses[i - 1]) == "Abl" or upos[i - 1] in ("NOUN", "NUM")
@@ -126,6 +137,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # (yapacağını söyledi, anlattığı konu); bare FutPart nominals
             # stay nominal (gelecek hafta)
             out[i] = "VERB"
+        elif (
+            out[i] == "ADJ"
+            and tags & {"With", "Without"}
+            and not (i + 1 < n and out[i + 1] in ("ADJ", "DET", "NUM")
+                     or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
+                         and _case_of(analyses[i + 1]) in ("Nom", "")))
+        ):
+            # -lH/-sHz adjective not modifying anything nominal is a
+            # zero-derived noun (Mahalleli ... rahatsız oldu)
+            out[i] = "NOUN"
         elif (
             out[i] == "NOUN"
             and "Pnon" in tags

@@ -693,7 +693,7 @@ UD_GOLD: List[dict] = [
     dict(
         text="Cüzdanımda hiç para yoktu.",
         tokens=["Cüzdanımda", "hiç", "para", "yoktu", "."],
-        upos=["NOUN", "ADV", "NOUN", "ADJ", "PUNCT"],
+        upos=["NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
         heads=[4, 4, 4, 0, 4],
         deprels=["obl", "advmod", "nsubj", "root", "punct"],
     ),
