@@ -719,12 +719,17 @@ def _q_triple_pr(spark, sf_dir):
     for df in (kg.annotated, kg.triples, kg.entities):
         df.unpersist()
     ud = score_vs_ud_gold(spark)
+    from vnlp_spark.plans.gold_ud_heldout import HELD_OUT
+
+    held = score_vs_ud_gold(spark, HELD_OUT)
     return spark.createDataFrame(
         [
             ("pinned_fixture", round(pr.precision, 4), round(pr.recall, 4),
              pr.n_gold, pr.n_pred, pr.n_hit),
-            ("ud_guideline_gold", round(ud["precision"], 4), round(ud["recall"], 4),
+            ("ud_tuning_gold", round(ud["precision"], 4), round(ud["recall"], 4),
              ud["n_gold"], ud["n_pred"], ud["n_hit"]),
+            ("ud_heldout_gold", round(held["precision"], 4), round(held["recall"], 4),
+             held["n_gold"], held["n_pred"], held["n_hit"]),
         ],
         ["gold_source", "precision", "recall", "n_gold", "n_pred", "n_hit"],
     )

@@ -752,11 +752,12 @@ def gold_triples_for(entry: dict) -> List[tuple]:
     return out
 
 
-def gold_documents(spark):
+def gold_documents(spark, entries=None):
     """One web-page row per gold sentence (input_hint schema)."""
     from pyspark.sql import functions as F
 
-    rows = [(f"ud://{i}", entry["text"]) for i, entry in enumerate(UD_GOLD)]
+    entries = UD_GOLD if entries is None else entries
+    rows = [(f"ud://{i}", entry["text"]) for i, entry in enumerate(entries)]
     df = spark.createDataFrame(rows, ["url", "text"])
     return df.select(
         "url",
@@ -767,19 +768,22 @@ def gold_documents(spark):
     )
 
 
-def score_vs_ud_gold(spark) -> dict:
+def score_vs_ud_gold(spark, entries=None) -> dict:
     """Run the real pipeline over the gold sentences; P/R of emitted
-    triples vs gold-arc-mined triples, matched on (url, subj, pred, obj)."""
+    triples vs gold-arc-mined triples, matched on (url, subj, pred, obj).
+    Pass plans.gold_ud_heldout.HELD_OUT as ``entries`` for the frozen
+    held-out number (the headline metric; tuning never saw it)."""
     from .pipeline import run_kg_pipeline
 
-    kg = run_kg_pipeline(gold_documents(spark), lang="tr")
+    entries = UD_GOLD if entries is None else entries
+    kg = run_kg_pipeline(gold_documents(spark, entries), lang="tr")
     pred = [
         (r["url"], r["subj"], r["pred"], r["obj"])
         for r in kg.triples.select("url", "subj", "pred", "obj").collect()
     ]
     gold = [
         (f"ud://{i}", s, p, o)
-        for i, entry in enumerate(UD_GOLD)
+        for i, entry in enumerate(entries)
         for (s, p, o, _obl) in gold_triples_for(entry)
     ]
     gold_set = set(gold)
@@ -794,7 +798,7 @@ def score_vs_ud_gold(spark) -> dict:
     }
 
 
-def annotator_scores() -> dict:
+def annotator_scores(entries=None) -> dict:
     """Pure-python eval of the surrogate annotators against the gold:
     UPOS accuracy, UAS/LAS, NER token accuracy + macro F1 over PER/LOC/ORG.
     Published in BENCH.md next to the reference's own numbers."""
@@ -808,7 +812,8 @@ def annotator_scores() -> dict:
     ner_ok = ner_n = 0
     per_label = {lab: [0, 0, 0] for lab in ("PER", "LOC", "ORG")}  # tp, fp, fn
     tok_mismatch = 0
-    for entry in UD_GOLD:
+    entries = UD_GOLD if entries is None else entries
+    for entry in entries:
         toks = entry["tokens"]
         if py_treebank_tokenize(entry["text"]) != toks:
             tok_mismatch += 1
@@ -847,7 +852,7 @@ def annotator_scores() -> dict:
         rec = tp / (tp + fn) if tp + fn else 0.0
         f1s[lab] = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {
-        "n_sentences": len(UD_GOLD),
+        "n_sentences": len(entries),
         "tokenization_mismatches": tok_mismatch,
         "upos_accuracy": pos_ok / pos_n if pos_n else 0.0,
         "uas": uas_ok / arc_n if arc_n else 0.0,
