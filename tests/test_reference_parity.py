@@ -26,9 +26,38 @@ import pytest
 
 REF = "/root/reference/vnlp"
 
+# content pins for every reference file this suite EXECUTES: the snapshot
+# is untrusted public content, so a mutated file must fail loudly instead
+# of running inside the test process (ADVICE r02)
+_REF_SHA256 = {
+    "normalizer/_deasciifier.py":
+        "f40bf3cd6809beb8c9f9efefaf7d898ac13993a512ae2a0c411df98d4ce3cabd",
+    "dependency_parser/utils.py":
+        "7271c608a1393611cc52288b5a45f2a4158a7f8f0f5e8479aa4288dbc393f0d1",
+    "named_entity_recognizer/utils.py":
+        "3f0ca0cce6c551be8e3efa0b55e0a8a16e2b049f625c9edb590ada9d110e0be4",
+    "sentence_splitter/sentence_splitter.py":
+        "4cb9383b2400a443e225690cc06a9578bdb798f47a4c32f01fad5330446af739",
+    "stopword_remover/stopword_remover.py":
+        "165d0c38ad4dfc42dc4dfbe0d85f7d2822b33d335940784277722dced72f7ce1",
+    "tokenizer/tokenizer.py":
+        "0237d16a0493583c5e3d88372893298e4a13d751b03ed161efceb1faec9d7047",
+    "stemmer_morph_analyzer/_yildiz_analyzer.py":
+        "d1b3f112b1405799fc15ef0b455358a6c03fbe6fe10036f932f283fd7306e669",
+}
+
 
 def _load_by_path(name: str, relpath: str):
-    spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
+    import hashlib
+
+    path = f"{REF}/{relpath}"
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    assert digest == _REF_SHA256[relpath], (
+        f"reference file {relpath} changed on disk (sha256 {digest}); "
+        "refusing to exec an unpinned snapshot"
+    )
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
     spec.loader.exec_module(mod)

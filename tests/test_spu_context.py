@@ -134,3 +134,31 @@ def test_spu_context_annotate_stage(spark):
     first = snap(ann)
     assert first == snap(annotate_stage(sentences_stage(docs), model="spu_context"))
     assert len(first) > 0
+
+
+def test_backward_stack_matches_keras_per_layer_reversal():
+    """Keras stacks set go_backwards=True on EACH layer: layer 1 returns
+    its sequence in processing (reversed) order and layer 2 reverses its
+    input again.  Pin _GRUStack(go_backwards=True) against that explicit
+    per-layer computation (ADVICE r02: a single up-front reversal feeds
+    layer 2 the states in the wrong order)."""
+    from vnlp_spark.operators.spu_context import _GRUStack
+
+    rng = np.random.default_rng(3)
+    units, d, t = 4, 3, 6
+    w = _GRUStack.init_weights(rng, d, units)
+    # make weights non-symmetric so order errors can't cancel
+    w = [a + 0.1 * np.arange(a.size, dtype=np.float32).reshape(a.shape) / a.size
+         for a in w]
+    stack = _GRUStack(w, go_backwards=True)
+    x = rng.standard_normal((2, t, d)).astype(np.float32)
+
+    # explicit Keras semantics, layer by layer
+    (W1, U1, b1), (W2, U2, b2) = stack.layers
+    seq1, _ = _GRUStack._cell_seq(x[:, ::-1, :], W1, U1, b1, return_seq=True)
+    _, h2 = _GRUStack._cell_seq(seq1[:, ::-1, :], W2, U2, b2, return_seq=False)
+    np.testing.assert_allclose(stack(x), h2, rtol=1e-6)
+
+    # and show the single-reversal variant is a DIFFERENT function
+    _, h_single = _GRUStack._cell_seq(seq1, W2, U2, b2, return_seq=False)
+    assert not np.allclose(h2, h_single)

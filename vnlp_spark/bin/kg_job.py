@@ -85,18 +85,20 @@ def main(argv=None) -> int:
     entities = P.entities_stage(mentions)
     if "entities" in wanted:
         entities = runner.run("entities", entities, force=args.force)
-        # entities is now a materialized parquet read: count() resolves
-        # from footer metadata, so the broadcast-vs-salted switch is free
+        # the stage's lineage table already recorded per-bucket counts:
+        # the broadcast-vs-salted switch costs a 64-row read, not a
+        # re-count of the entity table
         edges = P.edges_stage(
-            triples, entities, entity_join="auto", entities_rows=entities.count()
+            triples, entities, entity_join="auto",
+            entities_rows=runner.row_count("entities"),
         )
     else:
         edges = P.edges_stage(triples, entities)
     if "edges" in wanted:
         edges = runner.run("edges", edges, force=args.force)
 
-    n_triples = triples.count()
-    n_entities = entities.count()
+    n_triples = runner.row_count("triples") if "triples" in wanted else triples.count()
+    n_entities = runner.row_count("entities") if "entities" in wanted else entities.count()
     n_edges = edges.count()
     dt = time.monotonic() - t0
     print(

@@ -265,12 +265,17 @@ def ngram_jaccard_dedup(
     """Char-3-gram Jaccard near-dup pairs (a, b, jaccard).
 
     ``mode="lsh"`` (default — the 100 TB path): candidate pairs come from
-    MinHash LSH banding (bucketed joins on uniform hash keys, no all-pairs
-    anywhere), then each candidate is verified with exact char-3-gram
-    Jaccard.  ``mode="exact_blocked"``: all-pairs within length buckets —
-    exact recall, O(bucket²) cost; use it only for short-text/small tables
-    or as the audit twin of the LSH path (it is the semantics the DuckDB
-    oracle replays at test scale)."""
+    word-3-shingle MinHash LSH banding (bucketed joins on uniform hash
+    keys, no all-pairs anywhere), then each candidate is verified with
+    exact char-3-gram Jaccard.  Candidate and verify metrics differ, so
+    texts SHORTER than the shingle width (whose shingle set collapses to
+    one whole-text shingle) would be silently under-recalled (ADVICE
+    r02); those short rows — a bounded sliver of any web corpus — are
+    routed through the exact length-blocked candidate path and unioned
+    in.  ``mode="exact_blocked"``: all-pairs within length buckets for
+    the WHOLE table — exact recall, O(bucket²) cost; audit twin of the
+    LSH path (it is the semantics the DuckDB oracle replays at test
+    scale)."""
     from ..functions.normalizer import turkish_lower
     from .entity_resolution import char_ngrams, jaccard
 
@@ -278,9 +283,28 @@ def ngram_jaccard_dedup(
         F.col(id_col),
         char_ngrams(turkish_lower(F.col(text_col))).alias("grams"),
         (F.length(text_col) / 20).cast("int").alias("len_bucket"),
+        (F.size(F.split(turkish_lower(F.trim(F.col(text_col))), r"\s+")) < 3).alias(
+            "short"
+        ),
     )
     if mode == "lsh":
         cands = minhash_candidate_pairs(df, text_col, id_col)
+        # sub-shingle-width texts: exact blocked pairs within the short set
+        sg = g.filter("short")
+        short_cands = (
+            sg.alias("l")
+            .join(
+                sg.alias("r"),
+                on=[
+                    F.col("l.len_bucket") == F.col("r.len_bucket"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+            )
+        )
+        cands = cands.select("a", "b").union(short_cands).distinct()
         pairs = (
             cands.join(
                 g.select(F.col(id_col).alias("a"), F.col("grams").alias("grams_a")), "a"

@@ -76,11 +76,19 @@ def _pseudo_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB — real kernel needs Pillow (not in this container)."""
+    """PNG payloads decode for REAL (pure-python codec, operators/png.py:
+    zlib IDAT + numpy unfilter) and featurize as an 8x8 block-mean
+    thumbnail.  Non-PNG formats (JPEG/WebP) still need a codec library
+    the container lacks — honest NotImplementedError unless fake=True
+    (deterministic pseudo-decode for tests)."""
+    from .png import decode_png, image_features, is_png
+
+    if payload and is_png(payload):
+        return image_features(decode_png(payload), FEATURE_DIM)
     if not fake:
         raise NotImplementedError(
-            "image decode requires Pillow; run with fake=True for the "
-            "deterministic pseudo-decode used in tests"
+            "non-PNG image decode requires Pillow; PNG decodes natively, "
+            "or run with fake=True for the deterministic pseudo-decode"
         )
     return _pseudo_decode(payload)
 

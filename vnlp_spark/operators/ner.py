@@ -82,13 +82,22 @@ def py_ner_tags(tokens: List[str]) -> List[str]:
             label = typed[base]
         elif _ALL_CAPS_RE.match(token.split("'")[0]):
             label = "ORG"
-        elif base in orgkeys or any(base.startswith(k) and len(base) - len(k) <= 3 for k in orgkeys if len(k) > 3):
+        elif base in orgkeys or any(
+            len(base) - d > 3 and base[: len(base) - d] in orgkeys
+            for d in (1, 2, 3)
+        ):
+            # orgkey + <=3 suffix chars (Bankası -> Bankasında): constant
+            # prefix probes instead of a scan over the orgkey set
             # organization head word: only an entity continuation, never alone
             if prev != "O":
                 label = "ORG"
-                # retype the whole pending span (VNGRS AI Takımı -> ORG)
+                # retype the pending span (VNGRS AI Takımı -> ORG), but a
+                # gazetteer-typed person boundary ends the mention (Murat
+                # Türkiye İş Bankası'nda: Murat stays PER)
                 j = idx - 1
                 while j >= 0 and labels[j] != "O":
+                    if typed.get(_base_form(tokens[j])) == "PER":
+                        break
                     labels[j] = "ORG"
                     j -= 1
         elif capitalized and (idx > 0 or has_apos):

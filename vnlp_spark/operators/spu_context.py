@@ -96,11 +96,21 @@ class _GRUStack:
         return (seq, h) if return_seq else (None, h)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        """(n, t, d) -> (n, units) final state."""
+        """(n, t, d) -> (n, units) final state.
+
+        Keras sets ``go_backwards=True`` on EACH stacked layer
+        (reference create_rnn_stacks): a backward layer reverses its own
+        input and returns the sequence in processing (reversed) order, so
+        layer 2 must reverse layer 1's output again before consuming it.
+        Reversing only once would feed layer 2 the states in the opposite
+        order and silently break the trained-weight swap contract
+        (ADVICE r02)."""
+        (W1, U1, b1), (W2, U2, b2) = self.layers
         if self.go_backwards:
             x = x[:, ::-1, :]
-        (W1, U1, b1), (W2, U2, b2) = self.layers
         seq, _ = self._cell_seq(x, W1, U1, b1, return_seq=True)
+        if self.go_backwards:
+            seq = seq[:, ::-1, :]
         _, h = self._cell_seq(seq, W2, U2, b2, return_seq=False)
         return h
 

@@ -90,3 +90,14 @@ class StageRunner:
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.base, "_lineage", "*"))
+
+    def row_count(self, stage: str) -> int:
+        """Total rows of a completed stage from its lineage table (64 tiny
+        rows) — no re-count over the stage data (VERDICT r02 #7)."""
+        _data, lin_dir = self._paths(stage)
+        val = (
+            self.spark.read.parquet(lin_dir)
+            .agg(F.sum("n_rows"))
+            .collect()[0][0]
+        )
+        return int(val or 0)

@@ -255,7 +255,9 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
                 F.col("_ann.arcs").alias("arcs"),
             )
     else:
-        raise ValueError(f"unknown model {model!r}; use 'heuristic' or 'gru'")
+        raise ValueError(
+            f"unknown model {model!r}; use 'heuristic', 'gru' or 'spu_context'"
+        )
 
     if not dedup_sentences:
         return annotate(sentences)
