@@ -216,6 +216,59 @@ def _finite_bodies(high, low, ends_vowel):
     rows.add((high + "n", "Pos+Imp+A2pl"))
     rows.add((high + "n" + high + "z", "Pos+Imp+A2pl"))
 
+    # abilitative ------------------------------------------------------
+    # positive -(y)Abil + tense (gidebilir, yapabilirler): 'bil' is a
+    # fixed i/e-class consonant-final stem
+    abil = ("y" if ends_vowel else "") + low + "bil"
+    pz_ie = {"A1sg": "im", "A2sg": "sin", "A3sg": "", "A1pl": "iz",
+             "A2pl": "siniz", "A3pl": "ler"}
+    pz_yor = {"A1sg": "um", "A2sg": "sun", "A3sg": "", "A1pl": "uz",
+              "A2pl": "sunuz", "A3pl": "lar"}
+    pk_ie = {"A1sg": "m", "A2sg": "n", "A3sg": "", "A1pl": "k",
+             "A2pl": "niz", "A3pl": "ler"}
+    for ptag, ps in pk_ie.items():
+        rows.add((abil + "di" + ps, f"Able+Pos+Past+{ptag}"))
+    for ptag, ps in pz_ie.items():
+        rows.add((abil + "ir" + ps, f"Able+Pos+Aor+{ptag}"))
+        rows.add((abil + "miş" + ps, f"Able+Pos+Narr+{ptag}"))
+        fut = "eceğ" if ps and ps[0] in _VOWELS else "ecek"
+        rows.add((abil + fut + ps, f"Able+Pos+Fut+{ptag}"))
+    for ptag, ps in pz_yor.items():
+        rows.add((abil + "iyor" + ps, f"Able+Pos+Prog1+{ptag}"))
+    # negative -(y)AmA + tense (gidemedi, yapamadı, okuyamaz,
+    # gelemeyecek, gidemiyor); harmony continues in the stem's A-class
+    ama = ("y" if ends_vowel else "") + low + "m" + low
+    h2 = "ı" if low == "a" else "i"
+    pz2 = {"A1sg": h2 + "m", "A2sg": "s" + h2 + "n", "A3sg": "",
+           "A1pl": h2 + "z", "A2pl": "s" + h2 + "n" + h2 + "z",
+           "A3pl": "l" + low + "r"}
+    pk2 = {"A1sg": "m", "A2sg": "n", "A3sg": "", "A1pl": "k",
+           "A2pl": "n" + h2 + "z", "A3pl": "l" + low + "r"}
+    for ptag, ps in pk2.items():
+        rows.add((ama + "d" + h2 + ps, f"Able+Neg+Past+{ptag}"))
+    for ptag, ps in pz2.items():
+        rows.add((ama + "z" + ps, f"Able+Neg+Aor+{ptag}"))
+        rows.add((ama + "m" + h2 + "ş" + ps, f"Able+Neg+Narr+{ptag}"))
+        fut = "y" + low + "c" + low + ("ğ" if ps and ps[0] in _VOWELS else "k")
+        rows.add((ama + fut + ps, f"Able+Neg+Fut+{ptag}"))
+    for ptag, ps in pz_yor.items():
+        rows.add((ama[:-1] + h2 + "yor" + ps, f"Able+Neg+Prog1+{ptag}"))
+    rows.add((ama + "m", "Able+Neg+Aor+A1sg"))  # gidemem
+
+    # converbs (adverbial subordination) -------------------------------
+    yy = "y" if ends_vowel else ""
+    rows.add((yy + high + "nc" + low, "Pos+When"))          # -(y)HncA
+    rows.add((yy + high + "p", "Pos+AfterDoingSo"))         # -(y)Hp
+    rows.add((yy + low + "r" + low + "k", "Pos+ByDoingSo"))  # -(y)ArAk
+    rows.add(("m" + low + "d" + low + "n", "Neg+WithoutHavingDoneSo"))
+    # -ken on aorist/progressive (çalışırken, koşarken, giderken)
+    if ends_vowel:
+        rows.add(("rken", "Pos+Aor+While"))
+    else:
+        rows.add((low + "rken", "Pos+Aor+While"))
+        rows.add((high + "rken", "Pos+Aor+While"))
+        rows.add((high + "yorken", "Pos+Prog1+While"))
+
     # participles ------------------------------------------------------
     # present participle -An / -yAn  -> adjective (bekleyen, gelen)
     pres = ("y" if ends_vowel else "") + low + "n"

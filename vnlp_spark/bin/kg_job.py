@@ -99,7 +99,7 @@ def main(argv=None) -> int:
 
     n_triples = runner.row_count("triples") if "triples" in wanted else triples.count()
     n_entities = runner.row_count("entities") if "entities" in wanted else entities.count()
-    n_edges = edges.count()
+    n_edges = runner.row_count("edges") if "edges" in wanted else edges.count()
     dt = time.monotonic() - t0
     print(
         f"[kg-job] done in {dt:.1f}s: {n_triples} triples, "

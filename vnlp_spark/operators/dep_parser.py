@@ -90,6 +90,11 @@ _TEMPORAL_ROOTS = {
 # ADP whose complement precedes it (postpositions) keep the old handling;
 # önce/sonra after a bare time NP are ADP too
 _SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart"}
+# converb (adverbial-clause) suffixes: -(y)HncA, -(y)Hp, -(y)ArAk, -ken,
+# -mAdAn.  Converbs are never finite predicates; -HncA clauses carry
+# their own subject, the rest share the matrix subject.
+_CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While",
+                 "WithoutHavingDoneSo"}
 
 # transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
 # homography next to the verb (Takım maçı kazandı = obj; Takım kaptanı
@@ -106,6 +111,10 @@ _TRANSITIVE_ROOTS = {
     "işlet", "tamamla", "kovala", "şaşırt", "zorla", "yaptır", "geniş",
     "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
     "et",
+    # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
+    # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
+    # bare preverbal nominal before them parses oblique (parka gidemedi)
+    "oyna", "çalış", "söyle", "yüz", "kazan",
 }
 
 
@@ -239,9 +248,32 @@ def py_parse_tokens(
     tagsets = [set(a.replace("^", "+").split("+")) for a in analyses]
     roots_of = [a.split("+", 1)[0] for a in analyses]
 
+    # --- lexicalized -mA nominalizations in argument slots ---------------
+    # An Inf2 verbal noun carrying an argument case with no left argument
+    # of its own is a plain nominal (Konuşmayı ... dinleyeceğim -> obj);
+    # with an immediately-preceding case-marked dependent it stays a
+    # clausal complement (kitabı okumayı sevmek -> ccomp)
+    for i in range(n):
+        if (
+            upos[i] == "VERB"
+            and "Inf2" in tagsets[i]
+            and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
+        ):
+            prev_arg = (
+                i > 0
+                and upos[i - 1] in _NOMINAL
+                and _case_of(analyses[i - 1]) in ("Acc", "Dat", "Abl", "Ins", "Gen")
+            )
+            if not prev_arg:
+                upos[i] = "NOUN"
+
     # --- predicates and root -------------------------------------------
     subord = [bool(tagsets[i] & _SUBORD_TAGS) for i in range(n)]
-    finite = [i for i in range(n) if upos[i] == "VERB" and not subord[i]]
+    converb = [bool(tagsets[i] & _CONVERB_TAGS) for i in range(n)]
+    finite = [
+        i for i in range(n)
+        if upos[i] == "VERB" and not subord[i] and not converb[i]
+    ]
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
 
@@ -254,6 +286,13 @@ def py_parse_tokens(
                 root = v
                 break
         preds = list(finite)
+        # -HncA converbs host their own subject: treat them as clause
+        # predicates for argument attachment (Yağmur yağınca maç
+        # ertelendi -> Yağmur is yağınca's nsubj); other converbs share
+        # the matrix subject and stay out of preds
+        when_preds = [i for i in range(n) if converb[i] and "When" in tagsets[i]]
+        if when_preds:
+            preds = sorted(set(preds) | set(when_preds))
     else:
         root = non_punct[-1] if non_punct else n - 1
         # walk back over trailing "CCONJ X" conjunct groups (güzel ve
@@ -272,6 +311,36 @@ def py_parse_tokens(
             break
         preds = [root]
 
+    heads = [-1] * n
+    rels = [""] * n
+
+    # --- verbless nominal-predicate clause before a comma ----------------
+    # "Benim adım Melikşah, ..." : a pre-first-predicate comma segment with
+    # >=2 nominals, no verb, whose LAST nominal is bare-Nom and follows a
+    # possessed nominal (or one opened by a Gen), is its own copular clause:
+    # the last nominal is a parataxis predicate, not an argument downstream
+    first_pred = min(preds) if preds else n
+    seg_start = 0
+    for c in range(min(first_pred, n)):
+        if tokens[c] != ",":
+            continue
+        seg = [k for k in range(seg_start, c) if upos[k] in _NOMINAL]
+        if (
+            len(seg) >= 2
+            and not any(upos[k] == "VERB" for k in range(seg_start, c))
+        ):
+            x, y = seg[-1], seg[-2]
+            x_bare = _case_of(analyses[x]) in ("Nom", "") and not _is_possessed(
+                tokens[x], analyses[x]
+            )
+            y_possish = _is_possessed(tokens[y], analyses[y]) or any(
+                _case_of(analyses[k]) == "Gen" for k in seg[:-1]
+            )
+            if x_bare and y_possish:
+                heads[x], rels[x] = root + 1, "parataxis"
+                preds = sorted(preds + [x])
+        seg_start = c + 1
+
     def next_pred(i: int) -> int:
         for p in preds:
             if p >= i and p != i:
@@ -280,10 +349,13 @@ def py_parse_tokens(
 
     def next_verbish(i: int) -> Optional[int]:
         # nearest following verb INCLUDING subordinate participles/verbal
-        # nouns: objects and obliques attach locally (Kitapları okumak),
-        # subjects attach to the finite predicate (Başbakan ... söyledi)
+        # nouns and participial adjectives: objects and obliques attach
+        # locally (Kitapları okumak, Yarışı kazanan sporcu), subjects
+        # attach to the finite predicate (Başbakan ... söyledi)
         for j in range(i + 1, n):
             if upos[j] == "VERB":
+                return j
+            if upos[j] == "ADJ" and tagsets[j] & {"PresPart"}:
                 return j
         return None
 
@@ -292,9 +364,6 @@ def py_parse_tokens(
             if upos[j] in _NOMINAL:
                 return j
         return None
-
-    heads = [-1] * n
-    rels = [""] * n
 
     def possessed(k):
         return _is_possessed(tokens[k], analyses[k])
@@ -342,6 +411,11 @@ def py_parse_tokens(
         if "Pass" in tagsets[v]:
             eff_case[i], eff_poss[i] = "Nom", True
             continue
+        if i > 0 and eff_case[i - 1] == "Gen":
+            # a genitive possessor licenses the possessed-Nom reading
+            # (Şirketin geliri ... arttı -> gelir+P3sg+Nom, subject)
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
         if (
             i > 0
             and upos[i - 1] in ("NOUN", "PROPN")
@@ -373,7 +447,23 @@ def py_parse_tokens(
         elif _adjacent_to_verb(i, v):
             eff_case[i], eff_poss[i] = "Acc", False
         else:
-            eff_case[i], eff_poss[i] = "Nom", True
+            # non-adjacent: a SENTENCE-INITIAL ambiguous nominal is a
+            # fronted (topicalized) object when a better subject candidate
+            # (bare-Nom, unpossessed, non-temporal nominal) stands between
+            # it and the verb (Kitabı öğretmen öğrencilere dağıttı);
+            # compound-head reading otherwise
+            later_subject = i == 0 and any(
+                upos[j] in _NOMINAL
+                and eff_case[j] in ("Nom", "")
+                and not eff_poss[j]
+                and roots_of[j] not in _TEMPORAL_ROOTS
+                and "Unknown" not in tagsets[j]
+                for j in range(i + 1, v)
+            )
+            if later_subject:
+                eff_case[i], eff_poss[i] = "Acc", False
+            else:
+                eff_case[i], eff_poss[i] = "Nom", True
 
     # --- mention runs: non-head tokens attach inside the run -----------
     run_head = {}
@@ -400,6 +490,10 @@ def py_parse_tokens(
             continue
         if i == root:
             heads[i], rels[i] = 0, "root"
+        elif converb[i]:
+            # adverbial clause on the next finite predicate
+            fin = next((p for p in finite if p > i), root)
+            heads[i], rels[i] = fin + 1, "advcl"
         elif subord[i]:
             p = next_pred(i)
             tags = tagsets[i]
@@ -486,6 +580,15 @@ def py_parse_tokens(
                 if prev_c is not None:
                     heads[i], rels[i] = prev_c + 1, "conj"
                     continue
+            if (
+                i + 1 < n
+                and upos[i + 1] == "VERB"
+                and roots_of[i + 1] in ("ol", "et", "gel", "görün", "dur")
+            ):
+                # predicative complement of a copular/psych verb
+                # (rahatsız oldu, mantıklı geldi)
+                heads[i], rels[i] = i + 2, "compound"
+                continue
             nom = next_nominal(i, stop=next_pred(i) + 1)
             tgt = nom if nom is not None else next_pred(i)
             rel = "acl" if tagsets[i] & {"PresPart"} else "amod"
@@ -601,7 +704,15 @@ def py_parse_tokens(
             elif preverbal and roots_of[vt] in ("ol", "et"):
                 heads[i], rels[i] = vt + 1, "compound"
             elif preverbal:
-                heads[i], rels[i] = vt + 1, "obj"
+                # bare preverbal nominal with the subject slot filled:
+                # object of a transitive verb (uçurtma uçurdu — causatives
+                # are inherently transitive), oblique of an intransitive
+                # (parka gidemedi)
+                transitive = (
+                    roots_of[vt] in _TRANSITIVE_ROOTS
+                    or "Caus" in tagsets[vt]
+                )
+                heads[i], rels[i] = vt + 1, "obj" if transitive else "obl"
             else:
                 heads[i], rels[i] = vt + 1, "obl"
 

@@ -76,6 +76,26 @@ def capitalize(text: str) -> str:
     return text
 
 
+# Existential copular paradigm (var/yok + zero-copula TAM endings): the
+# vendored suffix model composes these for true Verb stems only, so the
+# closed inflected forms are supplied here (same format as the exact-lookup
+# table: "suffix/root+Tag+...").  Without them "yoktu" falls through to
+# Unknown and the parser loses the existential-subject rule.  Applied as a
+# short-circuit in _analyze_one — NOT inside CandidateGenerator, whose
+# get_analysis_candidates stays byte-parity with the reference algorithm
+# (tests/test_reference_parity.py::test_candidate_generator_parity).
+_EXISTENTIAL_EXACT = {
+    root + sfx: [f"{sfx}/{root}+Adj+DB+Verb+Zero+{tam}+A3sg"]
+    for root, endings in (
+        ("var", (("dı", "Past"), ("dır", "Pres+Cop"), ("mış", "Narr"),
+                 ("sa", "Cond"))),
+        ("yok", (("tu", "Past"), ("tur", "Pres+Cop"), ("muş", "Narr"),
+                 ("sa", "Cond"))),
+    )
+    for sfx, tam in endings
+}
+
+
 class CandidateGenerator:
     """Rule engine producing (root, suffix, tags) candidates per token."""
 
@@ -257,6 +277,8 @@ class HeuristicDisambiguator:
         tokens: Sequence[str],
         has_segmented_rival: bool,
         has_finite_rival: bool = False,
+        prev_case: str = "",
+        has_plain_finite_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -290,6 +312,14 @@ class HeuristicDisambiguator:
                 # finite readings beat nominal homographs also mid-sentence
                 # (arttı = art+Past, not 'its remainder')
                 s += 2.0
+                # a dative complement to the left selects the verb over a
+                # whole-word noun homograph (yola çıktı != 'the printout')
+                if prev_case in ("Dat", "Abl"):
+                    s += 6.0
+            # prefer the underived finite reading over a voice-derived
+            # rival (oynuyor = oyna+Prog1, not oy+Pass+Prog1)
+            if "Pass" in tag_set and "DB" in tags and has_plain_finite_rival:
+                s -= 6.0
         if first == "Punc":
             s += 100.0
         if first == "Conj":
@@ -340,6 +370,10 @@ class HeuristicDisambiguator:
             s += 4.0
         elif "P3sg" in tag_set:
             s += 3.0
+        # 2nd-person possessive readings are vanishingly rare in web prose
+        # relative to their segmentation homographs (hastane != hasta+P2sg+Dat)
+        if tag_set & {"P2sg", "P2pl"}:
+            s -= 3.0
         if "Nom" in tag_set:
             s += 1.0
         if "Prop" in tag_set and (
@@ -350,7 +384,8 @@ class HeuristicDisambiguator:
             s += 12.0  # apostrophe, mid-sentence capital, or gazetteer name
         return s
 
-    def select(self, candidates, idx: int, tokens: Sequence[str]) -> int:
+    def select(self, candidates, idx: int, tokens: Sequence[str],
+               prev_case: str = "") -> int:
         # score every candidate: the reference's NUM_MAX_ANALYSIS cap is a
         # model-input shape, not a search bound, and the whole-word reading
         # is emitted LAST by the generator (hastane after hasta+ne)
@@ -373,6 +408,14 @@ class HeuristicDisambiguator:
             and {"Aor", "Past", "Prog1", "Fut", "Narr"} & set(tags)
             for _root, sfx, tags in cands
         )
+        # an underived (no-DB) finite verb rival demotes voice-derived
+        # readings of the same token (oynuyor: oyna+Prog1 over oy+Pass)
+        has_plain_finite_rival = any(
+            not isinstance(tags, str) and tags
+            and tags[0] == "Verb" and "DB" not in tags
+            and {"Aor", "Past", "Prog1", "Fut", "Narr"} & set(tags)
+            for _root, _sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -383,6 +426,8 @@ class HeuristicDisambiguator:
                 tokens,
                 has_segmented_rival,
                 has_finite_rival,
+                prev_case,
+                has_plain_finite_rival,
             )
             if sc > best_score:
                 best, best_score = ci, sc
@@ -402,14 +447,24 @@ _ANALYSIS_CACHE: dict = {}
 _ANALYSIS_CACHE_MAX = 500_000
 
 
-def _analyze_one(token: str, sent_final: bool, non_initial: bool) -> str:
-    key = (token, sent_final, non_initial)
+def _analyze_one(token: str, sent_final: bool, non_initial: bool,
+                 prev_case: str = "") -> str:
+    key = (token, sent_final, non_initial, prev_case)
     hit = _ANALYSIS_CACHE.get(key)
     if hit is None:
         gen, dis = _engine()
-        candidates = gen.get_analysis_candidates(token)
-        ctx = ([""] if non_initial else []) + [token] + ([] if sent_final else ["x"])
-        pick = dis.select(candidates, 1 if non_initial else 0, ctx)
+        exist = _EXISTENTIAL_EXACT.get(to_lower(token))
+        if exist is not None:
+            # closed-class existential copula: deterministic analysis
+            suffix, rest = exist[0].split("/", 1)
+            parts = _TAG_SEP.split(rest)
+            candidates = [(parts[0], suffix, parts[1:])]
+            pick = 0
+        else:
+            candidates = gen.get_analysis_candidates(token)
+            ctx = ([""] if non_initial else []) + [token] + ([] if sent_final else ["x"])
+            pick = dis.select(candidates, 1 if non_initial else 0, ctx,
+                              prev_case)
         root, _suffix, tags = candidates[pick]
         if isinstance(tags, str):
             tags = [tags]
@@ -420,18 +475,29 @@ def _analyze_one(token: str, sent_final: bool, non_initial: bool) -> str:
     return hit
 
 
+_CASE_TAGS = ("Acc", "Dat", "Loc", "Abl", "Gen", "Ins", "Nom")
+
+
 def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
     """Tokenized sentence -> best analysis string per token (the
-    ``StemmerAnalyzer.predict`` output contract, CAPITALIZE_PNONS=False)."""
+    ``StemmerAnalyzer.predict`` output contract, CAPITALIZE_PNONS=False).
+
+    Left context (previous token's chosen case) feeds the disambiguator's
+    homograph preferences (yola çıktı -> çık+Past, not the 'printout'
+    noun); it is part of the bounded cache key."""
     out = []
     n = len(tokens)
     # trailing-punct run: every token at or after this position is NON_WORD
     tail = n
     while tail > 0 and _NON_WORD.match(tokens[tail - 1]):
         tail -= 1
+    prev_case = ""
     for idx, token in enumerate(tokens):
         sent_final = idx >= tail - 1
-        out.append(_analyze_one(token, sent_final, idx > 0))
+        analysis = _analyze_one(token, sent_final, idx > 0, prev_case)
+        out.append(analysis)
+        tags = set(analysis.split("+"))
+        prev_case = next((c for c in _CASE_TAGS if c in tags), "")
     return out
 
 

@@ -143,9 +143,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and not (i + 1 < n and out[i + 1] in ("ADJ", "DET", "NUM")
                      or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
                          and _case_of(analyses[i + 1]) in ("Nom", "")))
+            and not all(out[j] == "PUNCT" for j in range(i + 1, n))
+            and not (i + 1 < n and out[i + 1] == "VERB"
+                     and analyses[i + 1].split("+", 1)[0]
+                     in ("ol", "et", "gel", "görün", "dur"))
         ):
             # -lH/-sHz adjective not modifying anything nominal is a
-            # zero-derived noun (Mahalleli ... rahatsız oldu)
+            # zero-derived noun (Mahalleli ... rahatsız oldu); but keep
+            # the adjective reading in predicative position (yol ...
+            # daha güvenli.) and before copular/psych verbs (mantıklı
+            # geldi)
             out[i] = "NOUN"
         elif (
             out[i] == "NOUN"
@@ -153,15 +160,22 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "Nom" in tags
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) in ("Nom", "")
             and "bare_adj" in _readings(tokens[i])
         ):
-            # noun/adjective homograph directly before a nominal is the
-            # adjective (taze balık)
+            # noun/adjective homograph directly before a BARE nominal is
+            # the adjective (taze balık); before a case-marked nominal the
+            # noun reading stands (Bakan projenin ... söyledi)
             out[i] = "ADJ"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
-            if analyses[i + 1].split("+", 1)[0] in ("ol", "et"):
+            nxt_root = analyses[i + 1].split("+", 1)[0]
+            if nxt_root in ("ol", "et"):
                 continue  # predicative complement: rahatsız oldu
+            if nxt_root in ("gel", "görün", "dur") and i > 0 and (
+                _case_of(analyses[i - 1]) == "Dat"
+            ):
+                continue  # psych-verb frame: bana mantıklı geldi
             low = to_lower(tokens[i])
             if "bare_noun" in _readings(tokens[i]) and low not in _ADVERBIAL_ADJS:
                 # homograph directly before the verb is an argument

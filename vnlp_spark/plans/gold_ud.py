@@ -721,6 +721,138 @@ UD_GOLD: List[dict] = [
         deprels=["nmod", "nsubj", "amod", "obj", "root", "punct"],
         ner=["ORG", "ORG", "O", "O", "O", "O"],
     ),
+    # ---- round-3 tuning expansion, batch 2 (16 sentences): clause
+    # coordination, -DIğInI reported speech, question particle, "göre"
+    # postposition, copular-past adjective predicate, -An participle
+    # relative, genitive-possessive subject, negative-ability verb,
+    # nummod duration, comitative, fronted object, -IncA advcl,
+    # comparative nominal predicate, comma parataxis, dative
+    # experiencer.  Held-out split remains frozen and untouched. -------
+    dict(
+        text="Başbakan toplantıya katıldı ve gazetecilere açıklama yaptı.",
+        tokens=["Başbakan", "toplantıya", "katıldı", "ve", "gazetecilere",
+                "açıklama", "yaptı", "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[3, 3, 0, 7, 7, 7, 3, 3],
+        deprels=["nsubj", "obl", "root", "cc", "obl", "obj", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Bakan projenin bittiğini söyledi.",
+        tokens=["Bakan", "projenin", "bittiğini", "söyledi", "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nsubj", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Toplantı yarın yapılacak mı?",
+        tokens=["Toplantı", "yarın", "yapılacak", "mı", "?"],
+        upos=["NOUN", "ADV", "VERB", "AUX", "PUNCT"],
+        heads=[3, 3, 0, 3, 3],
+        deprels=["nsubj", "advmod", "root", "aux", "punct"],
+    ),
+    dict(
+        text="Uzmanlara göre enflasyon gelecek ay düşecek.",
+        tokens=["Uzmanlara", "göre", "enflasyon", "gelecek", "ay",
+                "düşecek", "."],
+        upos=["NOUN", "ADP", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 1, 6, 5, 6, 0, 6],
+        deprels=["obl", "case", "nsubj", "amod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Hava dün çok soğuktu.",
+        tokens=["Hava", "dün", "çok", "soğuktu", "."],
+        upos=["NOUN", "ADV", "ADV", "ADJ", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "advmod", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Yarışı kazanan sporcu madalya aldı.",
+        tokens=["Yarışı", "kazanan", "sporcu", "madalya", "aldı", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["obj", "acl", "nsubj", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Şirketin geliri bu yıl arttı.",
+        tokens=["Şirketin", "geliri", "bu", "yıl", "arttı", "."],
+        upos=["NOUN", "NOUN", "DET", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "det", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Çocuklar hafta sonu parka gidemedi.",
+        tokens=["Çocuklar", "hafta", "sonu", "parka", "gidemedi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Festival üç gün sürdü.",
+        tokens=["Festival", "üç", "gün", "sürdü", "."],
+        upos=["NOUN", "NUM", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nummod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Ayşe arkadaşıyla sinemaya gitti.",
+        tokens=["Ayşe", "arkadaşıyla", "sinemaya", "gitti", "."],
+        upos=["PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obl", "root", "punct"],
+        ner=["PER", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Kitabı öğretmen öğrencilere dağıttı.",
+        tokens=["Kitabı", "öğretmen", "öğrencilere", "dağıttı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["obj", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Yağmur yağınca maç ertelendi.",
+        tokens=["Yağmur", "yağınca", "maç", "ertelendi", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Bu yol eski yoldan daha güvenli.",
+        tokens=["Bu", "yol", "eski", "yoldan", "daha", "güvenli", "."],
+        upos=["DET", "NOUN", "ADJ", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["det", "nsubj", "amod", "obl", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ekip sabah yola çıktı, akşam köye ulaştı.",
+        tokens=["Ekip", "sabah", "yola", "çıktı", ",", "akşam", "köye",
+                "ulaştı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT", "NOUN", "NOUN",
+              "VERB", "PUNCT"],
+        # last-verb root + leftward parataxis: the engine keeps the
+        # reference treebank's comma-clause convention (dep_parser.py
+        # header), so the gold follows it too
+        heads=[4, 4, 4, 8, 4, 8, 8, 0, 8],
+        deprels=["nsubj", "obl", "obl", "parataxis", "punct", "obl",
+                 "obl", "root", "punct"],
+    ),
+    dict(
+        text="Şirket yeni fabrikanın açılacağını açıkladı.",
+        tokens=["Şirket", "yeni", "fabrikanın", "açılacağını", "açıkladı",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "nsubj", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Bu fikir bana mantıklı geldi.",
+        tokens=["Bu", "fikir", "bana", "mantıklı", "geldi", "."],
+        upos=["DET", "NOUN", "PRON", "ADJ", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["det", "nsubj", "obl", "compound", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
