@@ -68,12 +68,18 @@ def nominal_paradigm(include_copula=True, include_ki=True):
             }
             for ptag, s in cop.items():
                 rows.add((surface + s, "+".join(tags + ["DB", "Verb", "Zero", ptag])))
-            # past copula ydH / dH (+ person_k)
-            past = ("y" if ends_vowel else "") + "d" + high
-            for ptag, ps in (("A1sg", "m"), ("A2sg", "n"), ("A3sg", ""),
-                             ("A1pl", "k"), ("A2pl", "n" + high + "z")):
-                rows.add((surface + past + ps,
-                          "+".join(tags + ["DB", "Verb", "Zero", "Past", ptag])))
+            # past copula ydH / dH / tH (+ person_k); the t-variant is the
+            # voicing assimilation after voiceless finals (soğuktu, gençti)
+            pasts = [("y" if ends_vowel else "") + "d" + high]
+            if not ends_vowel:
+                pasts.append("t" + high)
+                rows.add((surface + "t" + high + "r",
+                          "+".join(tags + ["DB", "Verb", "Zero", "Pres+Cop+A3sg"])))
+            for past in pasts:
+                for ptag, ps in (("A1sg", "m"), ("A2sg", "n"), ("A3sg", ""),
+                                 ("A1pl", "k"), ("A2pl", "n" + high + "z")):
+                    rows.add((surface + past + ps,
+                              "+".join(tags + ["DB", "Verb", "Zero", "Past", ptag])))
 
     def expand(state, surface, tags_so_far, stage):
         high, low, ends_vowel, after_p3 = state
@@ -279,6 +285,11 @@ def _finite_bodies(high, low, ends_vowel):
         stemk = d + high + "k"
         stemg = d + high + "ğ"
         rows.add((stemk, "Pos+DB+Adj+PastPart"))
+        # bare (unpossessed) case-marked -DHk nominals: yedikten (sonra),
+        # anlattıkta — the -DHktAn sonra adverbial frame
+        for ctag, cs in (("Abl", "t" + low + "n"), ("Loc", "t" + low)):
+            rows.add((stemk + cs,
+                      f"Pos+DB+Noun+PastPart+A3sg+Pnon+{ctag}"))
         for ptag, ps in (("P1sg", high + "m"), ("P2sg", high + "n"),
                          ("P3sg", high), ("P1pl", high + "m" + high + "z")):
             base = stemg + ps
@@ -360,6 +371,10 @@ def verbal_paradigm():
             ("l" + low + "n", "@DENOM+DB+Verb+Acquire"),     # evlen
             ("l" + low + "şt" + high + "r", "@DENOM+DB+Verb+Become+DB+Verb+Caus"),
             (high + "lt", "Verb+DB+Verb+Pass+DB+Verb+Caus" if False else "Verb+DB+Verb+Caus"),
+            # stacked causative+passive (yürütüldü, yaptırıldı)
+            ("t" + high + "l", "Verb+DB+Verb+Caus+DB+Verb+Pass"),
+            ("d" + high + "r" + high + "l", "Verb+DB+Verb+Caus+DB+Verb+Pass"),
+            ("t" + high + "r" + high + "l", "Verb+DB+Verb+Caus+DB+Verb+Pass"),
         ]
         for vsurf, vtags in voices:
             for s, t in cons_bodies:
@@ -400,6 +415,14 @@ def derivational_paradigm():
         # -lH "with" adjectives (güneşli, şanslı) and -sHz "without"
         rows.add(("l" + high, "Noun+DB+Adj+With"))
         rows.add(("s" + high + "z", "Noun+DB+Adj+Without"))
+        # copula on the derived adjective (önemlidir, önemliydi, sorunsuzdur)
+        for dsurf, dtags in (("l" + high, "Noun+DB+Adj+With"),
+                             ("s" + high + "z", "Noun+DB+Adj+Without")):
+            ev = dsurf[-1] in _VOWELS
+            rows.add((dsurf + "d" + high + "r",
+                      dtags + "+DB+Verb+Zero+Pres+Cop+A3sg"))
+            rows.add((dsurf + ("y" if ev else "") + "d" + high,
+                      dtags + "+DB+Verb+Zero+Past+A3sg"))
         # stacked: -sHzlHk nominalization (sabırsızlıkla) and -sHzcA /
         # -lHcA adverbials (sessizce)
         sz = "s" + high + "z"

@@ -501,10 +501,21 @@ def py_parse_tokens(
             if tags & {"PresPart"}:
                 nom = next_nominal(i)
                 heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
+            elif "Inf" in tags and i + 1 < n and upos[i + 1] == "ADP":
+                # purpose clause: kazanmak için çalıştı
+                heads[i], rels[i] = p + 1, "advcl"
             elif "Inf" in tags and case in ("", "Nom"):
                 heads[i], rels[i] = p + 1, "csubj"
             elif tags & {"FutPart", "PastPart", "Inf2"} and case in ("Acc", "Dat"):
                 heads[i], rels[i] = p + 1, "ccomp"
+            elif (
+                tags & {"PastPart"}
+                and case in ("Abl", "Loc")
+                and i + 1 < n
+                and to_lower(tokens[i + 1]) in ("sonra", "önce")
+            ):
+                # temporal adverbial frame: yedikten sonra
+                heads[i], rels[i] = p + 1, "advcl"
             elif tags & {"FutPart", "PastPart"}:
                 nom = next_nominal(i)
                 heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
@@ -556,7 +567,14 @@ def py_parse_tokens(
             nom = next_nominal(i)
             heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "nummod"
         elif u == "ADP":
-            prev_nom = next((j for j in range(i - 1, -1, -1) if upos[j] in _NOMINAL), None)
+            # complement is the nearest preceding nominal OR subordinate
+            # verb form (kazanmak için, yedikten sonra)
+            prev_nom = next(
+                (j for j in range(i - 1, -1, -1)
+                 if upos[j] in _NOMINAL
+                 or (upos[j] == "VERB" and (subord[j] or converb[j]))),
+                None,
+            )
             heads[i], rels[i] = ((prev_nom if prev_nom is not None else root) + 1), "case"
         elif u == "ADV":
             low = to_lower(tokens[i])

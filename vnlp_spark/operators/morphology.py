@@ -327,7 +327,7 @@ class HeuristicDisambiguator:
         if first == "Pron":
             s += 2.0  # closed-class readings are frequent
         if first == "Postp":
-            s += 4.0  # postpositions (için, gibi, kadar) beat noun rivals
+            s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
             s += 8.0  # tiny closed class (bir, bu, şu, her...): near-certain
         if first == "Adverb" and idx == 0:

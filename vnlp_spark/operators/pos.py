@@ -112,6 +112,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         tags = set(analyses[i].replace("^", "+").split("+"))
         if low in _EXISTENTIALS:
             out[i] = "ADJ"
+        elif (
+            out[i] == "VERB"
+            and "Zero" in tags
+            and (lambda gs: gs[0].split("+")[1:2] == ["Adj"]
+                 or (len(gs) >= 2 and gs[-2].split("+")[0] == "Adj"))(
+                analyses[i].replace("^", "+").split("+DB+"))
+            and analyses[i].split("+", 1)[0] not in ("var", "yok")
+            and not tags & {"A1sg", "A2sg", "A1pl", "A2pl"}
+        ):
+            # zero-copula 3rd-person adjectival predicate keeps ADJ in UD
+            # (soğuktu, kaplıydı, önemlidir); var/yok stay VERB per the
+            # reference's published PoS output
+            out[i] = "ADJ"
         elif low == "hiç":
             out[i] = "ADV"
         elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
@@ -161,11 +174,13 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
             and _case_of(analyses[i + 1]) in ("Nom", "")
+            and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN"))
             and "bare_adj" in _readings(tokens[i])
         ):
             # noun/adjective homograph directly before a BARE nominal is
-            # the adjective (taze balık); before a case-marked nominal the
-            # noun reading stands (Bakan projenin ... söyledi)
+            # the adjective (taze balık); before a case-marked nominal
+            # (Bakan projenin ... söyledi) or a longer nominal chain
+            # (Karar kurul tarafından ...) the noun reading stands
             out[i] = "ADJ"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":

@@ -853,6 +853,96 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 5, 5, 0, 5],
         deprels=["det", "nsubj", "obl", "compound", "root", "punct"],
     ),
+    # ---- round-3 tuning expansion, batch 3 (12 sentences): passive with
+    # tarafından agent, purpose clause -mAk için, -DHktAn sonra, possessed
+    # existential, title apposition run, pronoun subject + negation,
+    # -dir copular predicate, date oblique, comitative+birlikte, -DHğHm
+    # relative, kadar postposition, comma-separated oblique clause. -----
+    dict(
+        text="Karar kurul tarafından alındı.",
+        tokens=["Karar", "kurul", "tarafından", "alındı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Sınavı kazanmak için çok çalıştı.",
+        tokens=["Sınavı", "kazanmak", "için", "çok", "çalıştı", "."],
+        upos=["NOUN", "VERB", "ADP", "ADV", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["obj", "advcl", "case", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Yemek yedikten sonra yürüyüşe çıktık.",
+        tokens=["Yemek", "yedikten", "sonra", "yürüyüşe", "çıktık", "."],
+        upos=["NOUN", "VERB", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["obj", "advcl", "case", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kentin büyük bir parkı var.",
+        tokens=["Kentin", "büyük", "bir", "parkı", "var", "."],
+        upos=["NOUN", "ADJ", "DET", "NOUN", "ADJ", "PUNCT"],
+        heads=[4, 4, 4, 5, 0, 5],
+        deprels=["nmod", "amod", "det", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Başkan Ahmet Yılmaz açıklama yaptı.",
+        tokens=["Başkan", "Ahmet", "Yılmaz", "açıklama", "yaptı", "."],
+        upos=["NOUN", "PROPN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["nmod", "nmod", "nsubj", "obj", "root", "punct"],
+        ner=["O", "PER", "PER", "O", "O", "O"],
+    ),
+    dict(
+        text="Onlar raporu dün göndermedi.",
+        tokens=["Onlar", "raporu", "dün", "göndermedi", "."],
+        upos=["PRON", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Bu proje ülke için önemlidir.",
+        tokens=["Bu", "proje", "ülke", "için", "önemlidir", "."],
+        upos=["DET", "NOUN", "NOUN", "ADP", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 3, 0, 5],
+        deprels=["det", "nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Toplantı 15 Mayıs'ta yapılacak.",
+        tokens=["Toplantı", "15", "Mayıs'ta", "yapılacak", "."],
+        upos=["NOUN", "NUM", "PROPN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nummod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Proje ekiple birlikte yürütüldü.",
+        tokens=["Proje", "ekiple", "birlikte", "yürütüldü", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Okuduğum kitap çok güzeldi.",
+        tokens=["Okuduğum", "kitap", "çok", "güzeldi", "."],
+        upos=["VERB", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["acl", "nsubj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Toplantı akşama kadar sürdü.",
+        tokens=["Toplantı", "akşama", "kadar", "sürdü", "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Şirket, krize rağmen büyüdü.",
+        tokens=["Şirket", ",", "krize", "rağmen", "büyüdü", "."],
+        upos=["NOUN", "PUNCT", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "punct", "obl", "case", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
