@@ -71,13 +71,15 @@ _TEMPORAL_ADVS = {
     "dün", "bugün", "yarın", "şimdi", "demin", "artık", "hemen", "henüz",
     "hâlâ", "hala", "bazen", "asla", "belki", "yine", "gene", "ayrıca",
     "ardından", "sonunda", "birlikte", "beraber", "erkenden", "yeniden",
-    "tekrar", "önce", "sonra", "erken", "geç",
+    "tekrar", "önce", "sonra", "erken", "geç", "gerçekten",
     # lexicalized manner adverbs (Ins-case in the morph table)
     "başarıyla", "hızla", "dikkatle", "özenle", "içeri", "dışarı",
-    "zamanında",
+    "zamanında", "sırayla",
 }
 # degree adverbs: advmod to a following ADJ/ADV
 _DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
+# multiword idioms: second token attaches `fixed` to the first
+_FIXED_BIGRAMS = {("canla", "başla"), ("aşağı", "yukarı"), ("er", "geç")}
 # temporal noun ROOTS: bare-nominative time expressions are obl, never
 # subjects/objects (sabah kalktım)
 _TEMPORAL_ROOTS = {
@@ -89,12 +91,22 @@ _TEMPORAL_ROOTS = {
 }
 # ADP whose complement precedes it (postpositions) keep the old handling;
 # önce/sonra after a bare time NP are ADP too
-_SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart"}
+_SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart", "PresPart"}
 # converb (adverbial-clause) suffixes: -(y)HncA, -(y)Hp, -(y)ArAk, -ken,
 # -mAdAn.  Converbs are never finite predicates; -HncA clauses carry
 # their own subject, the rest share the matrix subject.
 _CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While",
                  "WithoutHavingDoneSo"}
+
+# titles/professions: before a capitalized name they head the mention and
+# the name attaches flat (Profesör Orhan konuştu -> Profesör nsubj,
+# Orhan -> flat); they are never themselves proper nouns
+_TITLES = {
+    "profesör", "doçent", "doktor", "bakan", "başbakan", "cumhurbaşkanı",
+    "vali", "kaymakam", "müdür", "başkan", "general", "albay", "komutan",
+    "öğretmen", "avukat", "mühendis", "kaptan", "şef", "hoca", "uzman",
+    "başhekim", "savcı", "hakim", "rektör", "dekan",
+}
 
 # transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
 # homography next to the verb (Takım maçı kazandı = obj; Takım kaptanı
@@ -110,7 +122,7 @@ _TRANSITIVE_ROOTS = {
     "yen", "taşı", "kullan", "paylaş", "yayınla", "keşfet", "genişlet",
     "işlet", "tamamla", "kovala", "şaşırt", "zorla", "yaptır", "geniş",
     "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
-    "et",
+    "et", "çal",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -278,13 +290,14 @@ def py_parse_tokens(
     copular = not finite
 
     if finite:
-        root = finite[-1]
-        # CCONJ-coordinated finite verbs root the FIRST conjunct (UD)
-        for v in finite:
-            nxts = [w for w in finite if w > v]
-            if nxts and any(upos[c] == "CCONJ" for c in range(v + 1, nxts[0])):
-                root = v
-                break
+        # UD roots the FIRST main-clause predicate: later finite verbs
+        # attach to it as conj (CCONJ coordination) or parataxis (comma
+        # clause chains).  (UD 2.9 Turkish treebanks and the frozen gold
+        # split both use this direction; the reference's docstring example
+        # output for its own test sentence roots the LAST verb instead —
+        # a documented deviation, triple extraction is identical because
+        # both root and parataxis count as predicates.)
+        root = finite[0]
         preds = list(finite)
         # -HncA converbs host their own subject: treat them as clause
         # predicates for argument attachment (Yağmur yağınca maç
@@ -314,6 +327,11 @@ def py_parse_tokens(
     heads = [-1] * n
     rels = [""] * n
 
+    # --- lexicalized fixed expressions ----------------------------------
+    for i in range(1, n):
+        if (to_lower(tokens[i - 1]), to_lower(tokens[i])) in _FIXED_BIGRAMS:
+            heads[i], rels[i] = i, "fixed"
+
     # --- verbless nominal-predicate clause before a comma ----------------
     # "Benim adım Melikşah, ..." : a pre-first-predicate comma segment with
     # >=2 nominals, no verb, whose LAST nominal is bare-Nom and follows a
@@ -336,8 +354,19 @@ def py_parse_tokens(
             y_possish = _is_possessed(tokens[y], analyses[y]) or any(
                 _case_of(analyses[k]) == "Gen" for k in seg[:-1]
             )
-            if x_bare and y_possish:
-                heads[x], rels[x] = root + 1, "parataxis"
+            # a zero-copula token is itself the clause's predicate
+            # (29 yaşındayım); otherwise require the bare-predicate-after-
+            # possessed-subject shape (Benim adım Melikşah)
+            x_pred = "Zero" in tagsets[x] or (x_bare and y_possish)
+            if x_pred:
+                if x < root:
+                    # the nominal clause PRECEDES the first finite
+                    # predicate: under the first-clause-root convention it
+                    # is the UD root, later clauses attach as parataxis
+                    heads[x], rels[x] = 0, "root"
+                    root = x
+                else:
+                    heads[x], rels[x] = root + 1, "parataxis"
                 preds = sorted(preds + [x])
         seg_start = c + 1
 
@@ -393,7 +422,7 @@ def py_parse_tokens(
         return True
 
     for i in range(n - 1, -1, -1):
-        if upos[i] != "NOUN" or eff_case[i] not in ("Acc", "Nom"):
+        if upos[i] not in ("NOUN", "PRON") or eff_case[i] not in ("Acc", "Nom"):
             continue
         # only a token whose CHOSEN analysis sits in the ambiguous pair
         # is re-resolved (görgü -> görk+ü split does not make the chosen
@@ -422,9 +451,11 @@ def py_parse_tokens(
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
             and roots_of[i - 1] in _TEMPORAL_ROOTS
+            and not (i > 1 and upos[i - 2] == "DET")
         ):
             # a bare time noun to the left always modifies (hafta sonu,
-            # akşam yemeği) -> compound-head reading
+            # akşam yemeği) -> compound-head reading; a det-marked time
+            # noun is a clause adjunct instead (bu yaz çiftçileri zorladı)
             eff_case[i], eff_poss[i] = "Nom", True
             continue
         if tagsets[v] & {"A1sg", "A2sg", "A1pl", "A2pl"}:
@@ -438,11 +469,38 @@ def py_parse_tokens(
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
             and "A3pl" not in tagsets[i - 1]
+            and not (roots_of[i - 1] in _TEMPORAL_ROOTS
+                     and i > 1 and upos[i - 2] == "DET")
         )
         obj_later = any(
             upos[j] in _NOMINAL and eff_case[j] == "Acc" for j in range(i + 1, v)
         )
-        if prev_bare_mod and (roots_of[v] not in _TRANSITIVE_ROOTS or obj_later):
+        # an OBLIGATORILY transitive predicate (causative morphology, or a
+        # bare-noun light-verb construction: davet etti) demands its
+        # object: the object reading wins outright.  For merely listed
+        # transitives the compound-modifier reading survives when oblique
+        # material separates the nominal from the verb (Takım kaptanı
+        # sakatlığına rağmen oynadı -> compound subject; Takım maçı
+        # kazandı -> object) or a clear subject stands further left
+        # (Fatma ... moda tasarımı okuyor -> compound object)
+        obligate_v = "Caus" in tagsets[v] or (
+            v > 0 and upos[v - 1] == "NOUN" and v - 1 != i
+            and eff_case[v - 1] in ("Nom", "") and roots_of[v] in ("et", "yap")
+        )
+        transitive_v = roots_of[v] in _TRANSITIVE_ROOTS or obligate_v
+        strict_adj = all(upos[j] in _TRANSPARENT for j in range(i + 1, v))
+        subject_elsewhere = any(
+            upos[j] in ("PROPN", "PRON")
+            or (upos[j] in _NOMINAL and eff_case[j] in ("Nom", "")
+                and not eff_poss[j] and roots_of[j] not in _TEMPORAL_ROOTS)
+            for j in range(0, i - 1)
+        )
+        if prev_bare_mod and (
+            not transitive_v
+            or obj_later
+            or (not strict_adj and not obligate_v)
+            or (subject_elsewhere and not obligate_v)
+        ):
             eff_case[i], eff_poss[i] = "Nom", True
         elif _adjacent_to_verb(i, v):
             eff_case[i], eff_poss[i] = "Acc", False
@@ -469,11 +527,38 @@ def py_parse_tokens(
     run_head = {}
     run_member = set()
     for group in _segment_runs(tokens, upos, analyses):
+        # a run's LAST token directly before a possessed lowercase nominal
+        # belongs to THAT compound, not the mention (Google Türkiye
+        # ofisini genişletiyor -> Türkiye nmod-> ofisini, Google subject;
+        # Bakan Ege kıyılarındaki... -> Ege nmod-> kıyılarındaki), unless
+        # the run token is itself the possessed compound head (Ankara
+        # Üniversitesi öğrencileri stays one mention chain)
+        last = group[-1]
+        nxt = last + 1
+        if (
+            nxt < n
+            and upos[nxt] in ("NOUN", "PROPN")
+            and not _CAP_RE.match(tokens[nxt])
+            and _is_possessed(tokens[nxt], analyses[nxt])
+            and not possessed(last)
+        ):
+            heads[last], rels[last] = nxt + 1, "nmod"
+            run_head[last] = nxt
+            group = group[:-1]
+            if len(group) < 2:
+                continue  # the remainder is a standalone clause argument
         run_member.update(group)
-        # flat 2-token person names (given + surname) head FIRST; all
-        # other runs head LAST (possessive compounds / org names)
-        if (len(group) == 2 and _base(tokens[group[0]]) in _typed_gazetteer()[0]
-                and not possessed(group[-1])):
+        # title + capitalized name and flat 2-token person names (given +
+        # surname) head FIRST; all other runs head LAST (possessive
+        # compounds / org names)
+        if (
+            not possessed(group[-1])
+            and (
+                _base(tokens[group[0]]) in _TITLES
+                or (len(group) == 2
+                    and _base(tokens[group[0]]) in _typed_gazetteer()[0])
+            )
+        ):
             head = group[0]
             rel = "flat"
         else:
@@ -522,17 +607,19 @@ def py_parse_tokens(
             else:
                 heads[i], rels[i] = p + 1, "ccomp"
         else:
-            # non-root finite verb: conj after a CCONJ, parataxis across a
-            # comma, converb/advcl otherwise
-            between = range(i + 1, root if i < root else n)
-            if any(upos[c] == "CCONJ" for c in range(0, i) if c > (max([v for v in finite if v < i], default=-1))):
-                heads[i], rels[i] = root + 1, "conj"
-            elif i < root and any(tokens[c] == "," for c in between):
+            # non-root finite verb (always AFTER the first-verb root):
+            # conj when a CCONJ introduces its clause, parataxis across a
+            # comma, advcl otherwise
+            prev_fin = max([v for v in finite if v < i], default=-1)
+            if any(upos[c] == "CCONJ" for c in range(prev_fin + 1, i)):
+                # conj attaches to its FIRST CONJUNCT (the previous finite
+                # verb), which may itself be a parataxis clause (ikamet
+                # ediyorum ve ... çalışıyorum)
+                heads[i], rels[i] = (prev_fin if prev_fin >= 0 else root) + 1, "conj"
+            elif any(tokens[c] == "," for c in range(prev_fin + 1, i)):
                 heads[i], rels[i] = root + 1, "parataxis"
-            elif i > root:
-                heads[i], rels[i] = root + 1, "conj"
             else:
-                heads[i], rels[i] = root + 1, "advcl"
+                heads[i], rels[i] = root + 1, "conj"
 
     # --- copular root (verbless sentence) -------------------------------
     if copular and heads[root] == -1:
@@ -544,8 +631,11 @@ def py_parse_tokens(
             continue
         u = upos[i]
         if u == "PUNCT":
-            prev = [p for p in preds if p < i]
-            heads[i], rels[i] = (prev[-1] if prev else root) + 1, "punct"
+            # UD: a delimiting mark attaches to the head of the clause it
+            # introduces (comma before a parataxis clause -> that clause's
+            # predicate); terminal punctuation attaches to the root
+            nxt = [p for p in preds if p > i]
+            heads[i], rels[i] = (nxt[0] if nxt else root) + 1, "punct"
         elif u == "CCONJ":
             # cc attaches forward to the conjunct it introduces; a
             # conj-labeled verb wins over nearer nominals (clause
@@ -563,9 +653,26 @@ def py_parse_tokens(
         elif u == "DET":
             nom = next_nominal(i)
             heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "det"
+        elif u == "AUX":
+            # question particle / copular auxiliary modifies the nearest
+            # preceding predicate-ish token (yapılacak mı -> aux)
+            prev_v = next(
+                (j for j in range(i - 1, -1, -1)
+                 if upos[j] in ("VERB", "ADJ", "NOUN", "PROPN")),
+                None,
+            )
+            heads[i], rels[i] = ((prev_v if prev_v is not None else root) + 1), "aux"
         elif u == "NUM":
-            nom = next_nominal(i)
-            heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "nummod"
+            if (
+                i + 1 < n
+                and upos[i + 1] == "VERB"
+                and roots_of[i + 1] in ("ol", "gel")
+            ):
+                # light-verb frame: birinci oldu -> compound
+                heads[i], rels[i] = i + 2, "compound"
+            else:
+                nom = next_nominal(i)
+                heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "nummod"
         elif u == "ADP":
             # complement is the nearest preceding nominal OR subordinate
             # verb form (kazanmak için, yedikten sonra)
@@ -578,7 +685,21 @@ def py_parse_tokens(
             heads[i], rels[i] = ((prev_nom if prev_nom is not None else root) + 1), "case"
         elif u == "ADV":
             low = to_lower(tokens[i])
-            if low in _DEGREE_ADVS:
+            if i > 0 and tokens[i] == tokens[i - 1] and upos[i - 1] == "ADV":
+                # reduplicated adverb: second token compounds on the first
+                # (bol bol, yavaş yavaş)
+                heads[i], rels[i] = i, "compound"
+            elif (
+                low in _TEMPORAL_ADVS
+                and i + 1 < n
+                and upos[i + 1] == "NOUN"
+                and roots_of[i + 1] in _TEMPORAL_ROOTS
+                and _case_of(analyses[i + 1]) in ("Nom", "")
+            ):
+                # temporal adverb narrows the following time noun
+                # (dün akşam postaya verdim -> dün modifies akşam)
+                heads[i], rels[i] = i + 2, "advmod"
+            elif low in _DEGREE_ADVS:
                 tgt = next((j for j in range(i + 1, n) if upos[j] in ("ADJ", "ADV")), None)
                 if tgt is None:
                     tgt = next_pred(i)
@@ -608,6 +729,17 @@ def py_parse_tokens(
                 heads[i], rels[i] = i + 2, "compound"
                 continue
             nom = next_nominal(i, stop=next_pred(i) + 1)
+            # an adjective modifies the HEAD of a following possessive
+            # compound (yeni teknoloji ürünleri -> ürünleri)
+            while (
+                nom is not None
+                and nom + 1 < n
+                and upos[nom + 1] in _NOMINAL
+                and _case_of(analyses[nom]) in ("Nom", "")
+                and not possessed(nom)
+                and possessed(nom + 1)
+            ):
+                nom += 1
             tgt = nom if nom is not None else next_pred(i)
             rel = "acl" if tagsets[i] & {"PresPart"} else "amod"
             heads[i], rels[i] = tgt + 1, rel
@@ -651,11 +783,36 @@ def py_parse_tokens(
                 heads[i], rels[i] = i + 2, "nsubj"
             else:
                 nom = next_nominal(i)
+                # a genitive modifies the HEAD of the following compound,
+                # not its bare modifier (olayın görgü tanıklarıyla ->
+                # tanıklarıyla)
+                while (
+                    nom is not None
+                    and nom + 1 < n
+                    and upos[nom + 1] in _NOMINAL
+                    and eff_case[nom] in ("Nom", "")
+                    and not eff_poss[nom]
+                    and possessed(nom + 1)
+                ):
+                    nom += 1
                 heads[i], rels[i] = ((nom if nom is not None else p) + 1), "nmod"
         elif case == "Acc":
             heads[i], rels[i] = vt + 1, "obj"
         elif case in ("Dat", "Loc", "Abl", "Ins"):
-            heads[i], rels[i] = vt + 1, "obl"
+            if (
+                case == "Dat"
+                and i + 1 < n
+                and upos[i + 1] == "NOUN"
+                and eff_case[i + 1] in ("Nom", "")
+                and i + 1 != vt
+                and ("Ness" in tagsets[i + 1]
+                     or "ness" in _readings(tokens[i + 1]))
+            ):
+                # dative complement of a deverbal action noun (depreme
+                # hazırlık çağrısı) attaches to that noun
+                heads[i], rels[i] = i + 2, "obl"
+            else:
+                heads[i], rels[i] = vt + 1, "obl"
         else:  # Nom / unmarked
             preverbal = i + 1 == vt or (i + 1 < n and run_head.get(i + 1) == vt)
             # possessive compound: bare SINGULAR nominal before a possessed
@@ -693,7 +850,8 @@ def py_parse_tokens(
                     )
                     clause_start = i == min(
                         (k for k in range(n)
-                         if next_pred(k) == p and upos[k] != "PUNCT"),
+                         if next_pred(k) == p
+                         and upos[k] not in ("PUNCT", "CCONJ", "SCONJ")),
                         default=i,
                     )
                     subjish = (
@@ -714,6 +872,17 @@ def py_parse_tokens(
                         # support-verb construction: üye oldu, ikamet etti
                         # (yap/gör light verbs keep their obj per UD-BOUN)
                         heads[i], rels[i] = vt + 1, "compound"
+                    elif (
+                        vt == p
+                        and roots_of[vt] not in _TRANSITIVE_ROOTS
+                        and "Caus" not in tagsets[vt]
+                        and "Pass" not in tagsets[vt]
+                    ):
+                        # a bare nominal cannot be the object of an
+                        # intransitive finite verb: with the subject slot
+                        # open it is the subject (ama işsizlik azalmadı)
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
                     else:
                         heads[i], rels[i] = vt + 1, "obj"
                 else:

@@ -279,6 +279,7 @@ class HeuristicDisambiguator:
         has_finite_rival: bool = False,
         prev_case: str = "",
         has_plain_finite_rival: bool = False,
+        has_whole_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -342,6 +343,16 @@ class HeuristicDisambiguator:
         # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
         if not suffix and has_segmented_rival and first != "Adj":
             s -= 8.0
+        # ... but a possessive/genitive segmentation needs discourse
+        # context a single token can't supply: when an unsegmented
+        # dictionary reading exists, it wins (fırtına != fırt+P3sg+Dat,
+        # Takım != takı+P1sg, ürün != ür+Gen; plain-case splits like
+        # baş+tan are unaffected)
+        if suffix and has_whole_rival and (
+            tag_set & {"P1sg", "P1pl", "P2sg", "P2pl", "P3sg", "P3pl"}
+            or "Gen" in tag_set
+        ):
+            s -= 5.0
         # zero-copula readings (X+DB+Verb+Zero: "evdeydi") are real but
         # rare relative to their segmentation rivals; a 1st/2nd-person
         # possessive under one ("şi+m+di" = 'it was my şi') is absurd
@@ -416,6 +427,11 @@ class HeuristicDisambiguator:
             and {"Aor", "Past", "Prog1", "Fut", "Narr"} & set(tags)
             for _root, _sfx, tags in cands
         )
+        has_whole_rival = any(
+            not sfx and not isinstance(tags, str) and tags
+            and self._in_stems(root)
+            for root, sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -428,6 +444,7 @@ class HeuristicDisambiguator:
                 has_finite_rival,
                 prev_case,
                 has_plain_finite_rival,
+                has_whole_rival,
             )
             if sc > best_score:
                 best, best_score = ci, sc
@@ -437,6 +454,82 @@ class HeuristicDisambiguator:
 @lru_cache(maxsize=1)
 def _engine():
     return CandidateGenerator(), HeuristicDisambiguator()
+
+
+def _unknown_fallback_candidates(word: str) -> list:
+    """Productive nominal-inflection analyses for out-of-lexicon stems.
+
+    Web text is full of derived and loan words the stem list lacks
+    ('yağışı', 'incelemelerde', 'Google'): the reference emits
+    word+Unknown there (the generator keeps that contract — parity-tested
+    against the runnable reference).  This SELECTION-layer fallback
+    re-runs the suffix machinery over an assumed-nominal unknown stem so
+    downstream case/possession rules still work; the longest stem with a
+    legal suffix parse wins, and tags are restricted to plain nominal
+    inflection (an unknown stem gives no evidence for ^DB derivation).
+    Returns [] when no split parses; callers then keep word+Unknown."""
+    gen, _dis = _engine()
+    low = to_lower(word)
+    # foreign orthography or clitic apostrophes: not a Turkish inflection
+    if "'" in word or "’" in word or not _TR_ALPHA.match(low):
+        return []
+    out: list = []
+    for cut in range(len(low) - 1, 2, -1):
+        stem, sfx = low[:cut], low[cut:]
+        if (sfx not in gen.suffix_dic or not _harmony_ok(stem, sfx)
+                or not _final_cluster_ok(stem)):
+            continue
+        for tag_seq in gen._tags_for_suffix(sfx, ["Noun"]):
+            if "DB" in tag_seq:
+                continue
+            # 2nd-person possessive parses of UNKNOWN stems are noise in
+            # web prose (sakatlığına = P3sg+Dat, not 'to your sakatlığı')
+            if {"P2sg", "P2pl"} & set(tag_seq):
+                continue
+            out.append((stem, sfx, list(tag_seq)))
+    # all legal cuts compete; the disambiguator's possessive/person priors
+    # pick the split (işsizlik+ten Abl over işsizlikte+n P2sg)
+    return out
+
+
+_VOWELS = set("aeıioöuü")
+# word-final consonant clusters Turkish phonotactics allows (incl. common
+# loan finals lm/rm/zm/ns): an unknown stem ending in any other cluster is
+# an artifact of a bad split (incelemelerd+e), not a word
+_FINAL_CLUSTERS = {
+    "lt", "rt", "nt", "st", "şt", "kt", "ft", "ht", "pt", "çt",
+    "lk", "rk", "nk", "sk", "şk", "lp", "rp", "sp", "lç", "nç", "rç",
+    "ls", "ns", "rs", "ks", "ps", "ts", "lf", "rf", "lm", "rm", "zm", "sm",
+}
+
+
+def _final_cluster_ok(stem: str) -> bool:
+    if len(stem) < 2:
+        return True
+    a, b = stem[-2], stem[-1]
+    if a in _VOWELS or b in _VOWELS:
+        return True
+    return (a + b) in _FINAL_CLUSTERS
+
+
+_TR_ALPHA = re.compile(r"^[abcçdefgğhıijklmnoöprsştuüvyz]+$")
+_BACK_V, _FRONT_V = set("aıou"), set("eiöü")
+
+
+def _harmony_ok(stem: str, sfx: str) -> bool:
+    """Turkish vowel harmony gate for the unknown-stem fallback: the
+    suffix's first vowel must agree in backness with the stem's last vowel
+    (and in rounding when the suffix vowel is high) — rejects accidental
+    splits of foreign words (googl+e is not a dative)."""
+    sv = next((c for c in reversed(stem) if c in _BACK_V or c in _FRONT_V), "")
+    fv = next((c for c in sfx if c in _BACK_V or c in _FRONT_V), "")
+    if not sv or not fv:
+        return True
+    if (sv in _BACK_V) != (fv in _BACK_V):
+        return False
+    if fv in "ıiuü":
+        return (sv in "ouöü") == (fv in "uü")
+    return True
 
 
 # Process-wide bounded analysis cache.  Keyed on everything the selection
@@ -462,6 +555,10 @@ def _analyze_one(token: str, sent_final: bool, non_initial: bool,
             pick = 0
         else:
             candidates = gen.get_analysis_candidates(token)
+            if len(candidates) == 1 and candidates[0][-1] == "Unknown":
+                fb = _unknown_fallback_candidates(token)
+                if fb:
+                    candidates = fb
             ctx = ([""] if non_initial else []) + [token] + ([] if sent_final else ["x"])
             pick = dis.select(candidates, 1 if non_initial else 0, ctx,
                               prev_case)

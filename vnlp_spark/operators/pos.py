@@ -80,6 +80,8 @@ def _readings(token: str) -> frozenset:
                 out.add("p3nom")
             if "Nom" in tset and "Pnon" in tset and "A3sg" in tset:
                 out.add("bare_noun")
+        if "Ness" in tset:
+            out.add("ness")  # -lHk deverbal action noun (hazırlık)
     return frozenset(out)
 
 
@@ -89,6 +91,29 @@ _EXISTENTIALS = {"var", "yok", "vardır", "yoktur"}
 # past/evidential existentials (vardı, yokmuş) keep the finite-verb
 # reading: the reference's published PoS output tags "vardı" VERB
 # (part_of_speech_tagger.py:52-57)
+
+import re as _re
+
+_LARCA_RE = _re.compile(r"l[ae]rc[ae]$")
+_ORDINAL_RE = _re.compile(r"(inci|ıncı|uncu|üncü|nci|ncı|ncu|ncü)$")
+
+# quantifier/indefinite pronouns the morph table reads as plain nouns
+_LEX_PRONOUNS = {
+    "herkes", "herkese", "herkesi", "herkesin", "herkesten", "herkesle",
+    "kimse", "kimseye", "kimseyi", "kimsenin", "kimseden",
+    "hepsi", "hepsine", "hepsini", "birbirine", "birbirini", "birbiriyle",
+}
+
+
+@lru_cache(maxsize=50_000)
+def _common_noun_stem(low: str) -> bool:
+    """Is the (lowercased) surface a plain common-noun stem in the
+    lexicon?  Drives the sentence-initial Prop demotion."""
+    from .. import resources
+
+    tags = resources.stem_dict().get(low)
+    return bool(tags) and any(t == "Noun" for t in tags)
+
 
 # adjectives that also work adverbially directly before a verb
 _ADVERBIAL_ADJS = {
@@ -102,11 +127,25 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     clusters): temporal/degree adverbs read as nominals, case-marked
     participles as subordinate verbs, noun/adjective homographs resolved
     by the following token.  Shared by py_pos_tags and the parser."""
-    from .dep_parser import _DEGREE_ADVS, _TEMPORAL_ADVS, _case_of
+    from .dep_parser import (
+        _CAP_RE, _DEGREE_ADVS, _TEMPORAL_ADVS, _TITLES, _case_of,
+        _typed_gazetteer,
+    )
+    from .dep_parser import _TEMPORAL_ROOTS as _TEMPORAL_ROOTS_POS
     from .morphology import to_lower
 
     n = len(tokens)
     out = list(upos)
+    has_finite_verb = any(
+        u == "VERB" and not (
+            set(analyses[i].replace("^", "+").split("+"))
+            & {"Inf", "Inf2", "Inf3", "FutPart", "PastPart", "PresPart"}
+        )
+        for i, u in enumerate(upos)
+    )
+    last_content = next(
+        (i for i in range(n - 1, -1, -1) if upos[i] != "PUNCT"), -1
+    )
     for i in range(n):
         low = to_lower(tokens[i])
         tags = set(analyses[i].replace("^", "+").split("+"))
@@ -125,6 +164,17 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # (soğuktu, kaplıydı, önemlidir); var/yok stay VERB per the
             # reference's published PoS output
             out[i] = "ADJ"
+        elif (
+            out[i] == "VERB"
+            and "Zero" in tags
+            and (lambda gs: len(gs) >= 2 and gs[-2].split("+")[0]
+                 in ("Noun", "Num"))(
+                analyses[i].replace("^", "+").split("+DB+"))
+            and analyses[i].split("+", 1)[0] not in ("var", "yok")
+        ):
+            # zero-copula NOMINAL predicate is a noun in UD (29
+            # yaşındayım, evdeydi, öğretmenim)
+            out[i] = "NOUN"
         elif low == "hiç":
             out[i] = "ADV"
         elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
@@ -143,13 +193,31 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                 out[i] = "ADV"
         elif out[i] == "NOUN" and (
             "PastPart" in tags
-            or (tags & {"FutPart", "Inf2"}
+            or ("FutPart" in tags
                 and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl"))
+            or ("Inf2" in tags
+                and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
+                and i > 0
+                and _case_of(analyses[i - 1]) in ("Acc", "Dat", "Abl", "Ins", "Gen"))
         ):
             # case-marked participles are subordinate verbs, not nominals
             # (yapacağını söyledi, anlattığı konu); bare FutPart nominals
-            # stay nominal (gelecek hafta)
+            # stay nominal (gelecek hafta), and an -mA verbal noun with no
+            # left argument of its own is a lexicalized nominal (Konuşmayı
+            # ... dinleyeceğim) — same gate the parser applies
             out[i] = "VERB"
+        elif (
+            low in ("gelecek", "önümüzdeki", "geçtiğimiz")
+            and i + 1 < n
+            and analyses[i + 1].split("+", 1)[0] in _TEMPORAL_ROOTS_POS
+        ):
+            # lexicalized temporal modifiers (gelecek ay, önümüzdeki hafta)
+            out[i] = "ADJ"
+        elif low in _LEX_PRONOUNS:
+            out[i] = "PRON"
+        elif low in ("bütün", "tüm") and i + 1 < n and out[i + 1] in ("NOUN", "PROPN"):
+            # universal quantifiers are determiners in UD (bütün gün)
+            out[i] = "DET"
         elif (
             out[i] == "ADJ"
             and tags & {"With", "Without"}
@@ -176,12 +244,100 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and _case_of(analyses[i + 1]) in ("Nom", "")
             and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN"))
             and "bare_adj" in _readings(tokens[i])
+            and not (low in _TITLES and _CAP_RE.match(tokens[i]))
         ):
             # noun/adjective homograph directly before a BARE nominal is
             # the adjective (taze balık); before a case-marked nominal
             # (Bakan projenin ... söyledi) or a longer nominal chain
-            # (Karar kurul tarafından ...) the noun reading stands
+            # (Karar kurul tarafından ...) the noun reading stands;
+            # capitalized titles stay nominal (Bakan Ege ... inceledi)
             out[i] = "ADJ"
+        elif (
+            out[i] == "NOUN"
+            and "Pnon" in tags
+            and "Nom" in tags
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) not in ("Nom", "")
+            and "bare_adj" in _readings(tokens[i])
+            and not _CAP_RE.match(tokens[i])
+            and "Agt" not in tags
+        ):
+            # noun/adjective homograph before a CASE-MARKED nominal it
+            # cannot compound with is the adjective (yabancı liderlerle
+            # görüştü); capitalized mentions and agent nouns stand
+            out[i] = "ADJ"
+        elif out[i] == "ADJ" and "PresPart" in tags:
+            # -An participles heading a relative clause are VERBs in UD
+            # (kaybolan köpek, bekleyen adam); lexicalized whole-word
+            # adjectives (geçen ay) carry no PresPart tag and stay ADJ
+            out[i] = "VERB"
+        elif out[i] == "NUM" and _LARCA_RE.search(low):
+            # -lArcA distributives quantify like adjectives in UD
+            # (yüzlerce bina)
+            out[i] = "ADJ"
+        elif (
+            out[i] == "NUM"
+            and i + 1 < n
+            and upos[i + 1] == "VERB"
+            and analyses[i + 1].split("+", 1)[0] in ("ol", "gel")
+            and _ORDINAL_RE.search(low)
+        ):
+            # ordinal + light verb: birinci oldu -> nominal compound
+            out[i] = "NOUN"
+        elif (
+            out[i] == "NOUN"
+            and i == last_content
+            and not has_finite_verb
+            and (
+                "Agt" in tags
+                or (i > 0 and out[i - 1] == "ADV"
+                    and "bare_adj" in _readings(tokens[i]))
+            )
+        ):
+            # copular (verbless) predicate position prefers the adjectival
+            # reading: -CH agent predicates (kuraklıktan şikayetçi) and
+            # adverb-modified homographs (tamamen dolu)
+            out[i] = "ADJ"
+        elif (
+            out[i] == "PROPN"
+            and i == 0
+            and "'" not in tokens[i]
+            and "’" not in tokens[i]
+            and not (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
+                     and _CAP_RE.match(tokens[i + 1]))
+            and low not in _typed_gazetteer()[1]
+            and _common_noun_stem(low)
+        ):
+            # sentence-initial capitalization is not a Prop signal: a
+            # common-noun homograph outside the gazetteer reads as the
+            # noun (Sanatçı ... söyledi, Sabah ... yedik); capitalized
+            # RUNS (Ziraat Bankası) and gazetteer names stay proper
+            out[i] = "NOUN"
+    # mention runs: >=2 adjacent capitalized nominals are proper nouns
+    # (Ziraat Bankası, Boğaziçi Köprüsü'nden); titles keep their common
+    # reading (Profesör Orhan); apostrophe-cliticized capitals are proper
+    # everywhere (İstanbul'dan)
+    for i in range(n):
+        if out[i] not in ("NOUN", "PROPN") or not _CAP_RE.match(tokens[i]):
+            continue
+        low = to_lower(tokens[i])
+        if ("'" in tokens[i] or "’" in tokens[i]) and out[i] == "NOUN":
+            out[i] = "PROPN"
+            continue
+        neighbor_cap = (
+            (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
+             and _CAP_RE.match(tokens[i + 1]) and to_lower(tokens[i + 1]) not in _TITLES)
+            or (i > 0 and out[i - 1] in ("NOUN", "PROPN")
+                and _CAP_RE.match(tokens[i - 1]))
+        )
+        if neighbor_cap and low not in _TITLES:
+            out[i] = "PROPN"
+    # reduplicated adjectives quantify the verb phrase adverbially
+    # (bol bol kitap okudum)
+    for i in range(n - 1):
+        if out[i] == "ADJ" and out[i + 1] == "ADJ" and tokens[i] == tokens[i + 1]:
+            out[i] = out[i + 1] = "ADV"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]
