@@ -257,19 +257,28 @@ class SPUContextModel:
 
 def make_spu_context_tagger_udf(spark, n_labels: int = 5, units: int = 32,
                                 emb_dim: int = 32, seed: int = 17,
-                                sentence_max_len: int = SENTENCE_MAX_LEN):
+                                sentence_max_len: int = SENTENCE_MAX_LEN,
+                                weights=None):
     """array<string> tokens -> array<int> label ids through the FULL
     SPUContext architecture: real SentencePiece piece ids (S4/T4),
     4-branch GRU forward, autoregressive decode.  Weights broadcast once;
-    model + encoder rebuilt once per Python worker."""
+    model + encoder rebuilt once per Python worker.
+
+    ``weights``: an ``SPUContextModel.arrays()`` payload (e.g. from
+    ``spu_context_train.distill_ner_model_bptt``) — trained arrays drop
+    in here; omitted, a seeded surrogate is broadcast.  Pass the SAME
+    ``sentence_max_len`` the weights were trained with."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     from .subword import parse_spm_model
 
-    model = SPUContextModel.surrogate(
-        vocab=16000, emb_dim=emb_dim, units=units, n_labels=n_labels, seed=seed
-    )
-    bc_weights = spark.sparkContext.broadcast(model.arrays())
+    if weights is None:
+        model = SPUContextModel.surrogate(
+            vocab=16000, emb_dim=emb_dim, units=units, n_labels=n_labels,
+            seed=seed,
+        )
+        weights = model.arrays()
+    bc_weights = spark.sparkContext.broadcast(weights)
     bc_pieces = spark.sparkContext.broadcast(parse_spm_model())
 
     @F.pandas_udf(ArrayType(IntegerType()))

@@ -166,7 +166,8 @@ def _ner_label_names() -> list:
     return resources.label_list("ner_label", pad="O")
 
 
-def _make_gru_annotate(sentences: DataFrame, model: str = "gru"):
+def _make_gru_annotate(sentences: DataFrame, model: str = "gru",
+                       weights=None, sentence_max_len: int | None = None):
     """The model-harness annotators: NER labels come from a broadcast
     neural tagger instead of the heuristic rules.
 
@@ -188,7 +189,12 @@ def _make_gru_annotate(sentences: DataFrame, model: str = "gru"):
     if model == "spu_context":
         from ..operators.spu_context import make_spu_context_tagger_udf
 
-        label_udf = make_spu_context_tagger_udf(spark, n_labels=len(names))
+        kw = {"n_labels": len(names)}
+        if weights is not None:
+            kw["weights"] = weights
+        if sentence_max_len is not None:
+            kw["sentence_max_len"] = sentence_max_len
+        label_udf = make_spu_context_tagger_udf(spark, **kw)
     else:
         from ..operators.model_harness import (
             AutoregressiveTagger,
@@ -224,7 +230,8 @@ def _make_gru_annotate(sentences: DataFrame, model: str = "gru"):
 
 
 def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
-                   model: str = "heuristic") -> DataFrame:
+                   model: str = "heuristic", weights=None,
+                   sentence_max_len: int | None = None) -> DataFrame:
     """(url, sent_id, sentence) -> + tokens, analyses, mentions, arcs.
 
     One select chain — Spark fuses the Python evals into a minimal number
@@ -244,7 +251,8 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
     the fused deterministic annotator.
     """
     if model in ("gru", "spu_context"):
-        annotate = _make_gru_annotate(sentences, model=model)
+        annotate = _make_gru_annotate(sentences, model=model, weights=weights,
+                                      sentence_max_len=sentence_max_len)
     elif model == "heuristic":
         def annotate(df: DataFrame) -> DataFrame:
             return df.withColumn("_ann", _annotate_fused_udf("sentence")).select(
