@@ -463,6 +463,11 @@ def py_parse_tokens(
             # (Mektubu dun aksam postaya verdim)
             eff_case[i], eff_poss[i] = "Acc", False
             continue
+        if i == 0 and to_lower(tokens[i]).split("'")[0] in _TITLES:
+            # a sentence-initial title/role noun (cumhurbaşkanı, vali) is
+            # the agent, not a fronted object, regardless of adjacency
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
         prev_bare_mod = (
             i > 0
             and upos[i - 1] in ("NOUN", "PROPN")
@@ -488,7 +493,19 @@ def py_parse_tokens(
             and eff_case[v - 1] in ("Nom", "") and roots_of[v] in ("et", "yap")
         )
         transitive_v = roots_of[v] in _TRANSITIVE_ROOTS or obligate_v
-        strict_adj = all(upos[j] in _TRANSPARENT for j in range(i + 1, v))
+        # plain case-marked obliques may stand between object and verb
+        # (raporu meclise sundu -> obj); an ADP-governed adjunct phrase
+        # signals the clause-level frame of a compound subject instead
+        # (Takım kaptanı sakatlığına RAĞMEN oynadı -> compound)
+        strict_adj = not any(
+            not (
+                upos[j] in _TRANSPARENT
+                or (upos[j] in _NOMINAL
+                    and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
+                    and not (j + 1 < n and upos[j + 1] == "ADP"))
+            )
+            for j in range(i + 1, v)
+        )
         subject_elsewhere = any(
             upos[j] in ("PROPN", "PRON")
             or (upos[j] in _NOMINAL and eff_case[j] in ("Nom", "")
@@ -826,6 +843,9 @@ def py_parse_tokens(
                 and eff_poss[i + 1]
                 and i + 1 != p
                 and "A3pl" not in tagsets[i]
+                and not eff_poss[i]  # a possessed nominal heads its own
+                # phrase (Kitabın son bölümü okuyucuları şaşırttı ->
+                # bölümü is the subject, not a modifier of okuyucuları)
                 and not (i + 1 in run_member and i not in run_member)
             )
             if (compoundable and eff_case[i + 1] not in ("Nom", "")

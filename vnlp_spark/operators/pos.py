@@ -107,11 +107,13 @@ _LEX_PRONOUNS = {
 
 @lru_cache(maxsize=50_000)
 def _common_noun_stem(low: str) -> bool:
-    """Is the (lowercased) surface a plain common-noun stem in the
-    lexicon?  Drives the sentence-initial Prop demotion."""
+    """Is the surface a plain common-noun stem in the lexicon (either
+    case variant)?  Drives the sentence-initial Prop demotion."""
     from .. import resources
+    from .morphology import capitalize
 
-    tags = resources.stem_dict().get(low)
+    sd = resources.stem_dict()
+    tags = sd.get(low) or sd.get(capitalize(low))
     return bool(tags) and any(t == "Noun" for t in tags)
 
 
