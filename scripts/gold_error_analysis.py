@@ -114,6 +114,8 @@ def run(entries, verbose=True):
 if __name__ == "__main__":
     if "--heldout" in sys.argv:
         from vnlp_spark.plans.gold_ud_heldout import HELD_OUT as entries
+    elif "--blind" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind import BLIND as entries
     else:
         from vnlp_spark.plans.gold_ud import UD_GOLD as entries
     run(entries, verbose="--quiet" not in sys.argv)
