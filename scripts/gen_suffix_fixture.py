@@ -191,15 +191,40 @@ def _finite_bodies(high, low, ends_vowel):
             if tense == "Fut" and psurf[:1] and psurf[0] in _VOWELS:
                 base = tsurf[:-1] + "ğ"
             rows.add((base + psurf, f"Pos+{tense}+{ptag}"))
-        # tense + ydH/dH + person_k  (Tense+Past+Person, e.g. -ıyordu)
-        h3 = "ı" if l2 == "a" else "i"
+        # tense + (y)DH + person_k  (Tense+Past+Person: -ıyordu, -ecekti,
+        # -mişti).  Harmony comes from the tense suffix's own last vowel
+        # (yor -> du, not *dı), and D devoices to t after a voiceless
+        # final (ecek+ti, miş+ti) — both were wrong in the round-2 table
+        # (generated *ıyordı / *ecekdi), which sent every -iyordu /
+        # -ecekti / -mişti form to Unknown (blind-split miss category).
+        last_tv = next((c for c in reversed(tsurf) if c in _VOWELS), h2)
+        h3 = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+              "o": "u", "u": "u", "ö": "ü", "ü": "ü"}[last_tv]
+        l3 = "a" if h3 in "ıu" else "e"
         glue = "y" if tsurf[-1] in _VOWELS else ""
-        for ptag, psurf in person_k.items():
-            psurf = psurf.replace(high, h3) if False else psurf
-            rows.add((tsurf + glue + "d" + h3 + psurf,
+        dpast = ("t" if tsurf[-1] in "fstkçşhp" else "d") + h3
+        person_k3 = {"A1sg": "m", "A2sg": "n", "A3sg": "", "A1pl": "k",
+                     "A2pl": "n" + h3 + "z", "A3pl": "l" + l3 + "r"}
+        for ptag, psurf in person_k3.items():
+            rows.add((tsurf + glue + dpast + psurf,
                       f"Pos+{tense}+Past+{ptag}"))
-        # compound past: tense + lAr + dH (A3pl+Past, e.g. -ıyorlardı)
-        rows.add((tsurf + "l" + l2 + "rd" + h3, f"Pos+{tense}+A3pl+Past"))
+        # compound evidential -(y)mHş (geliyormuş) and conditional -(y)sA
+        # (gelecekse, geldiyse); evidential only on non-Narr non-Past
+        # bases (the converse orders are -mişti / -diyse, covered above)
+        if tense in ("Prog1", "Fut", "Aor"):
+            for ptag, psurf in {"A1sg": h3 + "m", "A2sg": "s" + h3 + "n",
+                                "A3sg": "", "A1pl": h3 + "z",
+                                "A2pl": "s" + h3 + "n" + h3 + "z",
+                                "A3pl": "l" + l3 + "r"}.items():
+                rows.add((tsurf + glue + "m" + h3 + "ş" + psurf,
+                          f"Pos+{tense}+Narr+{ptag}"))
+        for ptag, psurf in person_k3.items():
+            rows.add((tsurf + glue + "s" + l3 + psurf,
+                      f"Pos+{tense}+Cond+{ptag}"))
+        # compound past: tense + lAr + dH (A3pl+Past, e.g. -ıyorlardı);
+        # the final vowel harmonizes with lAr, not with the tense vowel
+        rows.add((tsurf + "l" + l3 + "rd" + ("ı" if l3 == "a" else "i"),
+                  f"Pos+{tense}+A3pl+Past"))
 
     # negative: -mA + tense
     neg = "m" + low

@@ -100,13 +100,9 @@ _CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While",
 
 # titles/professions: before a capitalized name they head the mention and
 # the name attaches flat (Profesör Orhan konuştu -> Profesör nsubj,
-# Orhan -> flat); they are never themselves proper nouns
-_TITLES = {
-    "profesör", "doçent", "doktor", "bakan", "başbakan", "cumhurbaşkanı",
-    "vali", "kaymakam", "müdür", "başkan", "general", "albay", "komutan",
-    "öğretmen", "avukat", "mühendis", "kaptan", "şef", "hoca", "uzman",
-    "başhekim", "savcı", "hakim", "rektör", "dekan",
-}
+# Orhan -> flat); they are never themselves proper nouns.  Shared with the
+# disambiguator's whole-word title prior (morphology.TITLE_ROLES).
+from .morphology import TITLE_ROLES as _TITLES
 
 # transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
 # homography next to the verb (Takım maçı kazandı = obj; Takım kaptanı
@@ -122,7 +118,7 @@ _TRANSITIVE_ROOTS = {
     "yen", "taşı", "kullan", "paylaş", "yayınla", "keşfet", "genişlet",
     "işlet", "tamamla", "kovala", "şaşırt", "zorla", "yaptır", "geniş",
     "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
-    "et", "çal",
+    "et", "çal", "sor", "ekle", "onar", "düzelt", "temizle", "yıka", "dile",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -558,6 +554,11 @@ def py_parse_tokens(
             and not _CAP_RE.match(tokens[nxt])
             and _is_possessed(tokens[nxt], analyses[nxt])
             and not possessed(last)
+            # a possessed nominal in a verb-argument case is a clause
+            # argument, not a compound head: the name stays in its
+            # mention (Doktor Çelik hastalarına ... -> Çelik flat,
+            # vs Google Türkiye ofisini ... -> Türkiye nmod ofisini)
+            and _case_of(analyses[nxt]) not in ("Dat", "Abl", "Ins", "Loc")
         ):
             heads[last], rels[last] = nxt + 1, "nmod"
             run_head[last] = nxt
@@ -832,6 +833,38 @@ def py_parse_tokens(
                 heads[i], rels[i] = vt + 1, "obl"
         else:  # Nom / unmarked
             preverbal = i + 1 == vt or (i + 1 < n and run_head.get(i + 1) == vt)
+            # a bare light-verb nominal is transparent for preverbality
+            # (sabır TAVSİYE etti -> sabır is preverbal to the tavsiye-et
+            # complex and is its object, not a compound of it)
+            lv_nominal = (
+                i + 2 == vt
+                and upos[i + 1] == "NOUN"
+                and eff_case[i + 1] in ("Nom", "")
+                and not eff_poss[i + 1]
+                and upos[vt] == "VERB"
+                and roots_of[vt] in ("et", "yap", "ol")
+            )
+            preverbal = preverbal or lv_nominal
+            # bare nominal before a possessed -ki relative adjective is
+            # that adjective's compound dependent (Sanayi BÖLGESİNDEKİ
+            # fabrikalar -> Sanayi nmod-> bölgesindeki), the adjectival
+            # twin of the possessive-compound rule below
+            if (
+                i + 1 < n
+                and upos[i + 1] == "ADJ"
+                and "Rel" in tagsets[i + 1]
+                and tagsets[i + 1] & {"P3sg", "P3pl"}
+                and not eff_poss[i]
+                and "A3pl" not in tagsets[i]
+            ):
+                heads[i], rels[i] = i + 2, "nmod"
+                continue
+            # complement of a bare-governing postposition (yağmur
+            # YÜZÜNDEN, yol BOYUNCA): oblique of the clause, never the
+            # subject
+            if i + 1 < n and upos[i + 1] == "ADP":
+                heads[i], rels[i] = vt + 1, "obl"
+                continue
             # possessive compound: bare SINGULAR nominal before a possessed
             # nominal in the same mention scope.  With a non-Nom head the
             # compound reading only stands when this token is not a viable
@@ -888,7 +921,7 @@ def py_parse_tokens(
                     if subjish and vt == p:
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
-                    elif roots_of[vt] in ("ol", "et"):
+                    elif roots_of[vt] in ("ol", "et") and not lv_nominal:
                         # support-verb construction: üye oldu, ikamet etti
                         # (yap/gör light verbs keep their obj per UD-BOUN)
                         heads[i], rels[i] = vt + 1, "compound"
@@ -908,16 +941,18 @@ def py_parse_tokens(
                 else:
                     heads[i], rels[i] = p + 1, "nsubj"
                     subj_of[p] = i
-            elif preverbal and roots_of[vt] in ("ol", "et"):
+            elif preverbal and roots_of[vt] in ("ol", "et") and not lv_nominal:
                 heads[i], rels[i] = vt + 1, "compound"
             elif preverbal:
                 # bare preverbal nominal with the subject slot filled:
                 # object of a transitive verb (uçurtma uçurdu — causatives
                 # are inherently transitive), oblique of an intransitive
-                # (parka gidemedi)
+                # (parka gidemedi); a light-verb complex (tavsiye et) is
+                # transitive for the nominal standing before it
                 transitive = (
                     roots_of[vt] in _TRANSITIVE_ROOTS
                     or "Caus" in tagsets[vt]
+                    or lv_nominal
                 )
                 heads[i], rels[i] = vt + 1, "obj" if transitive else "obl"
             else:

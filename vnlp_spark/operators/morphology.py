@@ -57,6 +57,17 @@ _ROOT_TRANSFORM = {
 _SOFTEN = {"b": "p", "B": "P", "c": "ç", "C": "Ç", "d": "t", "D": "T",
            "ğ": "k", "Ğ": "K", "g": "k", "G": "K"}
 
+# titles / role nouns (shared with the dependency parser's mention logic).
+# Several are segmentation-homographs of inflected shorter stems (kaptan =
+# kap+Abl, bakan = bak+PresPart, başkan = baş+kan): when capitalized they
+# are near-always the role noun in web/news register.
+TITLE_ROLES = {
+    "profesör", "doçent", "doktor", "bakan", "başbakan", "cumhurbaşkanı",
+    "vali", "kaymakam", "müdür", "başkan", "general", "albay", "komutan",
+    "öğretmen", "avukat", "mühendis", "kaptan", "şef", "hoca", "uzman",
+    "başhekim", "savcı", "hakim", "rektör", "dekan",
+}
+
 
 def to_lower(text: str) -> str:
     for k, v in zip("İIĞÜÖŞÇ", "iığüöşç"):
@@ -296,6 +307,24 @@ class HeuristicDisambiguator:
             _NON_WORD.match(t) for t in tokens[idx + 1:]
         )
         if first == "Verb":
+            # final-obstruent voicing is a NOMINAL alternation (kitap ->
+            # kitabı); verb stems keep their voiceless final before
+            # vowel-initial suffixes (sap+Ar = sapar, never *sabar) except
+            # the closed t->d class (git+Iyor = gidiyor).  A verb reading
+            # whose stem surfaces voiced (sabır != sap+Aor) is bogus.
+            low_tok = to_lower(token)
+            pre = low_tok[: len(root)]
+            if (
+                suffix
+                and len(root) >= 2
+                and pre != root
+                and pre[:-1] == root[:-1]
+                and root[-1] in "pçtk"
+                and pre[-1:] in ("b", "c", "d", "ğ", "g")
+                and not (root[-1] == "t"
+                         and root in ("git", "et", "tat", "güt", "dit"))
+            ):
+                s -= 20.0
             # participle / verbal-noun derivations are not sentence-final
             # predicates; finite readings are (yapacak. = Fut, not FutPart)
             deriv = tag_set & {
@@ -323,6 +352,13 @@ class HeuristicDisambiguator:
                 s -= 6.0
         if first == "Punc":
             s += 100.0
+        if first == "Num" and prev_case != "Gen" and not has_finite_rival:
+            # number-word whole readings beat nominal segmentation
+            # homographs (iki != ik+Acc, altı != alt+P3sg) — except after
+            # a genitive possessor, where the possessed reading is live
+            # (masanın altı), and except against finite-verb rivals
+            # (dondurma yedi = ye+Past, not 'seven')
+            s += 6.0
         if first == "Conj":
             s += 6.0  # tiny closed class (ve, ama, fakat): near-certain
         if first == "Pron":
@@ -387,12 +423,28 @@ class HeuristicDisambiguator:
             s -= 3.0
         if "Nom" in tag_set:
             s += 1.0
+        # a capitalized title/role noun takes its whole-word reading over
+        # a case/participle segmentation of a shorter stem (Kaptan ... =
+        # kaptan+Nom, not kap+Abl; Bakan != bak+PresPart)
+        if (
+            not suffix
+            and self._in_stems(root)
+            and _STARTS_UPPER.match(token)
+            and to_lower(token) in TITLE_ROLES
+        ):
+            s += 8.0
         if "Prop" in tag_set and (
             "'" in token
             or (_STARTS_UPPER.match(token) and idx > 0)
             or (_STARTS_UPPER.match(token) and to_lower(token) in self.gazetteer)
         ):
             s += 12.0  # apostrophe, mid-sentence capital, or gazetteer name
+        elif "Prop" in tag_set and idx == 0 and "'" not in token:
+            # sentence-initial capitalization alone is NOT a Prop signal:
+            # prefer any real analysis rival (Yaşlı adam = yaş+lı, Sabah
+            # kahvaltıda = sabah+Noun); novel true names keep winning
+            # because their rivals are Unknown
+            s -= 8.0
         return s
 
     def select(self, candidates, idx: int, tokens: Sequence[str],

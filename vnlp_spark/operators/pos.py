@@ -104,6 +104,14 @@ _LEX_PRONOUNS = {
     "hepsi", "hepsine", "hepsini", "birbirine", "birbirini", "birbiriyle",
 }
 
+# grammaticalized postpositions: frozen possessed-case nominals that
+# function as ADP after a bare/genitive complement (yağmur YÜZÜNDEN iptal
+# edildi, çalışmaları SAYESİNDE kazandı) — UD Turkish treebanks tag the
+# postpositional use ADP + case
+_GRAMMAT_ADPS = {
+    "yüzünden", "sayesinde", "uğruna", "hakkında", "boyunca",
+}
+
 
 @lru_cache(maxsize=50_000)
 def _common_noun_stem(low: str) -> bool:
@@ -131,7 +139,7 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     by the following token.  Shared by py_pos_tags and the parser."""
     from .dep_parser import (
         _CAP_RE, _DEGREE_ADVS, _TEMPORAL_ADVS, _TITLES, _case_of,
-        _typed_gazetteer,
+        _is_possessed, _typed_gazetteer,
     )
     from .dep_parser import _TEMPORAL_ROOTS as _TEMPORAL_ROOTS_POS
     from .morphology import to_lower
@@ -177,6 +185,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # zero-copula NOMINAL predicate is a noun in UD (29
             # yaşındayım, evdeydi, öğretmenim)
             out[i] = "NOUN"
+        elif (
+            low in _GRAMMAT_ADPS
+            and i > 0
+            and out[i - 1] in ("NOUN", "PROPN", "PRON", "NUM")
+        ):
+            # grammaticalized postposition after its complement (yağmur
+            # yüzünden, yol boyunca); sentence-initial or verb-adjacent
+            # occurrences keep the literal nominal reading
+            out[i] = "ADP"
         elif low == "hiç":
             out[i] = "ADV"
         elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
@@ -244,7 +261,9 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
             and _case_of(analyses[i + 1]) in ("Nom", "")
-            and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN"))
+            and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN")
+                     and (_case_of(analyses[i + 2]) in ("Nom", "")
+                          or _is_possessed(tokens[i + 2], analyses[i + 2])))
             and "bare_adj" in _readings(tokens[i])
             and not (low in _TITLES and _CAP_RE.match(tokens[i]))
         ):
@@ -316,6 +335,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # noun (Sanatçı ... söyledi, Sabah ... yedik); capitalized
             # RUNS (Ziraat Bankası) and gazetteer names stay proper
             out[i] = "NOUN"
+    # a capitalized token right after a capitalized title is the person's
+    # name, even when its lowercase surface is an adjective/common-noun
+    # homograph (Profesör Aydın, Doktor Çelik) -> PROPN
+    for i in range(1, n):
+        if (
+            out[i] in ("ADJ", "NOUN")
+            and _CAP_RE.match(tokens[i])
+            and to_lower(tokens[i - 1]) in _TITLES
+            and out[i - 1] in ("NOUN", "PROPN")
+            and _CAP_RE.match(tokens[i - 1])
+        ):
+            out[i] = "PROPN"
     # mention runs: >=2 adjacent capitalized nominals are proper nouns
     # (Ziraat Bankası, Boğaziçi Köprüsü'nden); titles keep their common
     # reading (Profesör Orhan); apostrophe-cliticized capitals are proper

@@ -950,6 +950,132 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 5, 3, 0, 5],
         deprels=["nsubj", "punct", "obl", "case", "root", "punct"],
     ),
+    # ---- round-3 blind-split miss categories, pinned with fresh lexemes
+    # (annotated from the UD guidelines, not from parser output) --------
+    # compound past -iyordu / -ecekti / -mişti (fixture rows were broken)
+    dict(
+        text="Çocuklar bahçede sessizce oynuyordu.",
+        tokens=["Çocuklar", "bahçede", "sessizce", "oynuyordu", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Ekip projeyi dün bitirecekti.",
+        tokens=["Ekip", "projeyi", "dün", "bitirecekti", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Yazar romanı iki yılda tamamlamıştı.",
+        tokens=["Yazar", "romanı", "iki", "yılda", "tamamlamıştı", "."],
+        upos=["NOUN", "NOUN", "NUM", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "nummod", "obl", "root", "punct"],
+    ),
+    # grammaticalized postpositions over bare complements
+    dict(
+        text="Uçuş sis yüzünden gecikti.",
+        tokens=["Uçuş", "sis", "yüzünden", "gecikti", "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Sel yüzünden köprü kapandı.",
+        tokens=["Sel", "yüzünden", "köprü", "kapandı", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Takım çalışması sayesinde proje erken bitti.",
+        tokens=["Takım", "çalışması", "sayesinde", "proje", "erken", "bitti", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 6, 2, 6, 6, 0, 6],
+        deprels=["nmod", "obl", "case", "nsubj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Yol boyunca şarkılar söyledik.",
+        tokens=["Yol", "boyunca", "şarkılar", "söyledik", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Gazeteci olay hakkında soru sordu.",
+        tokens=["Gazeteci", "olay", "hakkında", "soru", "sordu", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "obj", "root", "punct"],
+    ),
+    # -ki adjectival with a nominal compound dependent
+    dict(
+        text="Liman kentindeki depolar boşaltıldı.",
+        tokens=["Liman", "kentindeki", "depolar", "boşaltıldı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 4, 0, 4],
+        deprels=["nmod", "amod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Üniversite kampüsündeki öğrenciler sınava hazırlanıyordu.",
+        tokens=["Üniversite", "kampüsündeki", "öğrenciler", "sınava",
+                "hazırlanıyordu", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["nmod", "amod", "nsubj", "obl", "root", "punct"],
+    ),
+    # title + name kept flat across a dative clause argument; title
+    # whole-word readings beating segmentation rivals (kaptan, bakan)
+    dict(
+        text="Doktor Çelik hastalarına ilaç yazdı.",
+        tokens=["Doktor", "Çelik", "hastalarına", "ilaç", "yazdı", "."],
+        upos=["NOUN", "PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obl", "obj", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Kaptan gemiyi limana yanaştırdı.",
+        tokens=["Kaptan", "gemiyi", "limana", "yanaştırdı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Bakan gazetecilere açıklama yaptı.",
+        tokens=["Bakan", "gazetecilere", "açıklama", "yaptı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obj", "root", "punct"],
+    ),
+    # sentence-initial adjective/noun homograph before a bare subject
+    # noun; bare indefinite objects of newly-listed transitives
+    dict(
+        text="Yaşlı adam bankta dinleniyordu.",
+        tokens=["Yaşlı", "adam", "bankta", "dinleniyordu", "."],
+        upos=["ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        # (an earlier draft used "İhtiyar balıkçı ağları topladı", which
+        # is structurally ambiguous — 'balıkçı ağları' is itself a valid
+        # possessive compound — so it cannot gold-pin the ADJ reading)
+        text="İhtiyar bekçi kapıya koştu.",
+        tokens=["İhtiyar", "bekçi", "kapıya", "koştu", "."],
+        upos=["ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Hemşire hastaya sabır diledi.",
+        tokens=["Hemşire", "hastaya", "sabır", "diledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
