@@ -347,13 +347,22 @@ def _finite_bodies(high, low, ends_vowel):
         }
         for ctag, cs in cases.items():
             rows.add((base + cs, f"Pos+DB+Noun+FutPart+A3sg+{ptag}+{ctag}"))
-    # verbal noun -mA + poss (+case): okuma, okuması, okumasını
+    # verbal noun -mA + poss + case (okuma, okuması, okumasını, okumaya,
+    # okumada, okumayla).  Harmony after the -mA vowel is ı/i — the
+    # round-2 table used the class high vowel and emitted *durmasu.
+    # No Abl row: -mAdAn is the WithoutHavingDoneSo converb.
     ma = "m" + low
+    h2 = "ı" if low == "a" else "i"
     rows.add((ma, "Pos+DB+Noun+Inf2+A3sg+Pnon+Nom"))
-    rows.add((ma + "s" + high, "Pos+DB+Noun+Inf2+A3sg+P3sg+Nom"))
-    rows.add((ma + "s" + high + "n" + high, "Pos+DB+Noun+Inf2+A3sg+P3sg+Acc"))
-    rows.add((ma + "y" + high, "Pos+DB+Noun+Inf2+A3sg+Pnon+Acc"))
-    rows.add((ma + "k" if False else ma + "k", "Pos+Inf"))
+    for ctag, cs in {"Acc": "y" + h2, "Dat": "y" + low, "Loc": "d" + low,
+                     "Ins": "yl" + low, "Gen": "n" + h2 + "n"}.items():
+        rows.add((ma + cs, f"Pos+DB+Noun+Inf2+A3sg+Pnon+{ctag}"))
+    rows.add((ma + "s" + h2, "Pos+DB+Noun+Inf2+A3sg+P3sg+Nom"))
+    for ctag, cs in {"Acc": "n" + h2, "Dat": "n" + low, "Loc": "nd" + low,
+                     "Abl": "nd" + low + "n",
+                     "Gen": "n" + h2 + "n"}.items():
+        rows.add((ma + "s" + h2 + cs, f"Pos+DB+Noun+Inf2+A3sg+P3sg+{ctag}"))
+    rows.add((ma + "k", "Pos+Inf"))
     # -Hş verbal noun (dönüş, gidiş)
     vn = ("ş" if ends_vowel else high + "ş")
     rows.add((vn, "Pos+DB+Noun+Inf3+A3sg+Pnon+Nom"))

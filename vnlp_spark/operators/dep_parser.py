@@ -102,6 +102,7 @@ _CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While",
 # the name attaches flat (Profesör Orhan konuştu -> Profesör nsubj,
 # Orhan -> flat); they are never themselves proper nouns.  Shared with the
 # disambiguator's whole-word title prior (morphology.TITLE_ROLES).
+from .morphology import SPATIAL_ROOTS as _SPATIAL_ROOTS
 from .morphology import TITLE_ROLES as _TITLES
 
 # transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
@@ -123,6 +124,18 @@ _TRANSITIVE_ROOTS = {
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
     "oyna", "çalış", "söyle", "yüz", "kazan",
+}
+
+# motion / stative intransitives: a bare preverbal nominal before these
+# is an oblique, not an indefinite object.  Blind-2 flipped the default
+# the other way (kararlar AÇIKLADI must be obj even though açıkla is not
+# enumerated above): unlisted verbs now take the object reading, which is
+# the overwhelmingly more frequent frame for a bare preverbal nominal
+# with the subject slot already filled.
+_INTRANSITIVE_ROOTS = {
+    "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç",
+    "düş", "çık", "gir", "in", "bat", "ak", "yat", "uyu", "dur", "kaç",
+    "var", "öl", "doğ", "büyü", "yaşa", "gez",
 }
 
 
@@ -270,7 +283,8 @@ def py_parse_tokens(
             prev_arg = (
                 i > 0
                 and upos[i - 1] in _NOMINAL
-                and _case_of(analyses[i - 1]) in ("Acc", "Dat", "Abl", "Ins", "Gen")
+                and _case_of(analyses[i - 1])
+                in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
             )
             if not prev_arg:
                 upos[i] = "NOUN"
@@ -403,6 +417,18 @@ def py_parse_tokens(
     eff_poss = [possessed(i) for i in range(n)]
     _TRANSPARENT = {"ADV", "ADJ", "DET", "PUNCT", "ADP", "NUM"}
 
+    def _spatial_frame_mod(j: int) -> bool:
+        # bare nominal feeding a possessed spatial-relational oblique
+        # (gözetim ALTINDA tutuyordu, kontrol ALTINA alındı): part of the
+        # oblique frame, transparent for object adjacency
+        return (
+            upos[j] in _NOMINAL
+            and eff_case[j] in ("Nom", "")
+            and j + 1 < n
+            and roots_of[j + 1] in _SPATIAL_ROOTS
+            and eff_case[j + 1] in ("Dat", "Loc", "Abl")
+        )
+
     def _adjacent_to_verb(i: int, v: int) -> bool:
         for j in range(i + 1, v):
             if upos[j] in _TRANSPARENT:
@@ -411,6 +437,8 @@ def py_parse_tokens(
                 continue  # obliques may intervene before the object
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
+            if _spatial_frame_mod(j):
+                continue
             if (upos[j] == "NOUN" and j + 1 == v
                     and roots_of[v] in ("ol", "et", "yap")):
                 continue  # light-verb nominal (davet etti, kutlama yaptı)
@@ -499,6 +527,7 @@ def py_parse_tokens(
                 or (upos[j] in _NOMINAL
                     and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
                     and not (j + 1 < n and upos[j + 1] == "ADP"))
+                or _spatial_frame_mod(j)
             )
             for j in range(i + 1, v)
         )
@@ -722,6 +751,14 @@ def py_parse_tokens(
                 if tgt is None:
                     tgt = next_pred(i)
                 heads[i], rels[i] = tgt + 1, "advmod"
+            elif (
+                i + 1 < n
+                and upos[i + 1] == "VERB"
+                and (subord[i + 1] or converb[i + 1])
+            ):
+                # adverb scoped inside a participial/converb clause stays
+                # there (YENİ açılan restoran -> yeni modifies açılan)
+                heads[i], rels[i] = i + 2, "advmod"
             else:
                 heads[i], rels[i] = next_pred(i) + 1, "advmod"
         elif u == "ADJ":
@@ -818,6 +855,22 @@ def py_parse_tokens(
             heads[i], rels[i] = vt + 1, "obj"
         elif case in ("Dat", "Loc", "Abl", "Ins"):
             if (
+                i + 1 < n
+                and upos[i + 1] == "ADJ"
+                and rels[i + 1] == "amod"
+                and heads[i + 1] > i + 2
+                and (case == "Ins"
+                     or (case == "Dat"
+                         and _base(tokens[i + 1]) in ("yakın", "uzak")))
+            ):
+                # case-selected complement of an adnominal adjective
+                # (konuyla İLGİLİ açıklama, eve YAKIN okul): the oblique
+                # attaches to the adjective, not the clause predicate.
+                # Only Ins (ilgili/dolu/kaplı) and Dat-selecting
+                # yakın/uzak — locative scene-setters stay clausal
+                # (Sokakta eski bir arkadaşımı gördüm)
+                heads[i], rels[i] = i + 2, "obl"
+            elif (
                 case == "Dat"
                 and i + 1 < n
                 and upos[i + 1] == "NOUN"
@@ -949,12 +1002,16 @@ def py_parse_tokens(
                 # are inherently transitive), oblique of an intransitive
                 # (parka gidemedi); a light-verb complex (tavsiye et) is
                 # transitive for the nominal standing before it
-                transitive = (
-                    roots_of[vt] in _TRANSITIVE_ROOTS
-                    or "Caus" in tagsets[vt]
-                    or lv_nominal
+                intransitive = (
+                    roots_of[vt] in _INTRANSITIVE_ROOTS
+                    and "Caus" not in tagsets[vt]
+                    and not lv_nominal
                 )
-                heads[i], rels[i] = vt + 1, "obj" if transitive else "obl"
+                # only a true VERB takes a bare object; copular/adjectival
+                # predicates take obliques (hafta sonu AÇIK -> obl)
+                if upos[vt] != "VERB":
+                    intransitive = True
+                heads[i], rels[i] = vt + 1, "obl" if intransitive else "obj"
             else:
                 heads[i], rels[i] = vt + 1, "obl"
 

@@ -68,6 +68,14 @@ TITLE_ROLES = {
     "başhekim", "savcı", "hakim", "rektör", "dekan",
 }
 
+# spatial relational nouns: possessed-case forms (altına, üstünde,
+# arasında) head postposition-like oblique frames (shared with the
+# dependency parser's adjacency/transparency logic)
+SPATIAL_ROOTS = {
+    "alt", "üst", "ön", "arka", "yan", "iç", "dış", "orta", "ara",
+    "üzeri", "karşı", "çevre",
+}
+
 
 def to_lower(text: str) -> str:
     for k, v in zip("İIĞÜÖŞÇ", "iığüöşç"):
@@ -291,6 +299,7 @@ class HeuristicDisambiguator:
         prev_case: str = "",
         has_plain_finite_rival: bool = False,
         has_whole_rival: bool = False,
+        has_pass_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -350,6 +359,16 @@ class HeuristicDisambiguator:
             # rival (oynuyor = oyna+Prog1, not oy+Pass+Prog1)
             if "Pass" in tag_set and "DB" in tags and has_plain_finite_rival:
                 s -= 6.0
+            # ... except when the "underived" rival is itself a rare -Hn
+            # lexicalization of the passive's base verb: karar alındı is
+            # al+Pass 'was taken', almost never alın 'take offense'
+            if root in ("alın",) and has_pass_rival:
+                s -= 15.0
+        if first == "Noun" and root == "alındı" and has_pass_rival:
+            # 'receipt' is live only as a modifier (alındı belgesi);
+            # against a passive-finite rival the predicate reading wins
+            # (karar alındı)
+            s -= 15.0
         if first == "Punc":
             s += 100.0
         if first == "Num" and prev_case != "Gen" and not has_finite_rival:
@@ -417,6 +436,18 @@ class HeuristicDisambiguator:
             s += 4.0
         elif "P3sg" in tag_set:
             s += 3.0
+            # spatial relational nouns in possessed form (altına, üstünde,
+            # arasında, içine) are overwhelmingly the relational reading,
+            # not a homograph (altına != altın+Adj 'gold', önünde !=
+            # ön+Gen): frozen postposition-like frames of Turkish
+            if (
+                root in SPATIAL_ROOTS
+                # the surface must actually contain the root (altına,
+                # üstünde) — a voiced-final segmentation (aldı != alt+ı)
+                # is not the relational frame
+                and to_lower(token).startswith(root)
+            ):
+                s += 6.0
         # 2nd-person possessive readings are vanishingly rare in web prose
         # relative to their segmentation homographs (hastane != hasta+P2sg+Dat)
         if tag_set & {"P2sg", "P2pl"}:
@@ -461,6 +492,13 @@ class HeuristicDisambiguator:
             sfx and len(sfx) >= 2 and not isinstance(tags, str)
             and tags and tags[0].startswith("Noun") and "DB" not in tags
             and self._in_stems(root)
+            # genitive and 2nd-person-possessive splits don't demote the
+            # whole word — a genitive needs a following possessed head
+            # the whole-word reading doesn't, and P2sg is vanishingly
+            # rare in web prose (yangın stays yangın, not yang+Gen /
+            # yang+P2sg); P3sg splits still demote (günü = gün+P3sg)
+            and "Gen" not in tags
+            and not {"P2sg", "P2pl"} & set(tags)
             for root, sfx, tags in cands
         )
         # a whole-word imperative loses to a finite segmentation rival
@@ -484,6 +522,11 @@ class HeuristicDisambiguator:
             and self._in_stems(root)
             for root, sfx, tags in cands
         )
+        has_pass_rival = any(
+            not isinstance(tags, str) and tags
+            and "Pass" in tags and "DB" in tags
+            for _root, _sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -497,6 +540,7 @@ class HeuristicDisambiguator:
                 prev_case,
                 has_plain_finite_rival,
                 has_whole_rival,
+                has_pass_rival,
             )
             if sc > best_score:
                 best, best_score = ci, sc

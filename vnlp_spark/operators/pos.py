@@ -63,11 +63,18 @@ def _readings(token: str) -> frozenset:
     generator (cached; used for context disambiguation in the adjusted-POS
     layer and the parser — 'can this word be a bare adjective / a plain
     noun / both Acc and P3sg+Nom?')."""
-    from .morphology import _engine
+    from .morphology import _engine, _unknown_fallback_candidates
 
     gen, _dis = _engine()
+    cands = gen.get_analysis_candidates(token)
+    if all(isinstance(t, str) or t == ["Unknown"] for _r, _s, t in cands):
+        # out-of-lexicon stems (kaçakçıları): the selection layer analyzes
+        # these through the nominal-inflection fallback, so the reading
+        # classes must come from the same candidate set or the Acc /
+        # P3sg+Nom homography would silently never be re-resolved
+        cands = list(cands) + _unknown_fallback_candidates(token)
     out = set()
-    for _root, _suffix, tags in gen.get_analysis_candidates(token):
+    for _root, _suffix, tags in cands:
         if isinstance(tags, str):
             continue
         tset = set(tags)
@@ -110,6 +117,10 @@ _LEX_PRONOUNS = {
 # postpositional use ADP + case
 _GRAMMAT_ADPS = {
     "yüzünden", "sayesinde", "uğruna", "hakkında", "boyunca",
+    # possessed-instrumental members of the same class (blind-2 showed
+    # the class was under-enumerated: nedeniyle)
+    "nedeniyle", "sebebiyle", "dolayısıyla", "aracılığıyla", "sonucunda",
+    "kapsamında", "çerçevesinde", "doğrultusunda",
 }
 
 
@@ -194,12 +205,22 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # yüzünden, yol boyunca); sentence-initial or verb-adjacent
             # occurrences keep the literal nominal reading
             out[i] = "ADP"
+        elif (
+            low == "ilgili"
+            and i > 0
+            and _case_of(analyses[i - 1]) == "Ins"
+        ):
+            # frozen frame "X-ylA ilgili" ('concerning X') is adjectival
+            out[i] = "ADJ"
         elif low == "hiç":
             out[i] = "ADV"
         elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
             # önce/sonra after an ablative or time NP stay postpositions
             if low in ("önce", "sonra") and i > 0 and (
-                _case_of(analyses[i - 1]) == "Abl" or upos[i - 1] in ("NOUN", "NUM")
+                _case_of(analyses[i - 1]) == "Abl"
+                or upos[i - 1] in ("NOUN", "NUM")
+                # converb clause complement: ulaşmadan önce, yemeden önce
+                or "WithoutHavingDoneSo" in analyses[i - 1]
             ):
                 out[i] = "ADP"
             else:
@@ -217,7 +238,8 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             or ("Inf2" in tags
                 and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
                 and i > 0
-                and _case_of(analyses[i - 1]) in ("Acc", "Dat", "Abl", "Ins", "Gen"))
+                and _case_of(analyses[i - 1])
+                in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen"))
         ):
             # case-marked participles are subordinate verbs, not nominals
             # (yapacağını söyledi, anlattığı konu); bare FutPart nominals

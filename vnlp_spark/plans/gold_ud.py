@@ -1076,6 +1076,88 @@ UD_GOLD: List[dict] = [
         heads=[4, 4, 4, 0, 4],
         deprels=["nsubj", "obl", "obj", "root", "punct"],
     ),
+    # ---- blind-2 miss categories, pinned with fresh lexemes -----------
+    # possessed-instrumental postpositions (nedeniyle class)
+    dict(
+        text="Grev nedeniyle seferler durduruldu.",
+        tokens=["Grev", "nedeniyle", "seferler", "durduruldu", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Yoğun çalışmalar sonucunda anlaşma sağlandı.",
+        tokens=["Yoğun", "çalışmalar", "sonucunda", "anlaşma", "sağlandı", "."],
+        upos=["ADJ", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["amod", "obl", "case", "nsubj", "root", "punct"],
+    ),
+    # bare plural indefinite object of an unlisted transitive
+    dict(
+        text="Şirket büyük yatırımlar planladı.",
+        tokens=["Şirket", "büyük", "yatırımlar", "planladı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
+    # spatial-relational idiom frames (X altında/altına + verb)
+    dict(
+        text="Jandarma kaçakçıları gözetim altında tutuyordu.",
+        tokens=["Jandarma", "kaçakçıları", "gözetim", "altında",
+                "tutuyordu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "nmod", "obl", "root", "punct"],
+    ),
+    # adverb scoped inside a participial relative
+    dict(
+        text="Hızla büyüyen şirket yeni ofis açtı.",
+        tokens=["Hızla", "büyüyen", "şirket", "yeni", "ofis", "açtı", "."],
+        upos=["ADV", "VERB", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 6, 5, 6, 0, 6],
+        deprels=["advmod", "acl", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+    # önce as case on a -mAdAn converb clause
+    dict(
+        text="Karar vermeden önce uzmanlara danıştı.",
+        tokens=["Karar", "vermeden", "önce", "uzmanlara", "danıştı", "."],
+        upos=["NOUN", "VERB", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["obj", "advcl", "case", "obl", "root", "punct"],
+    ),
+    # instrumental complement of adnominal "ilgili"
+    dict(
+        text="Müdür sorunla ilgili rapor istedi.",
+        tokens=["Müdür", "sorunla", "ilgili", "rapor", "istedi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
+    ),
+    # -mA+Dat nominalized complement with a Loc left argument
+    dict(
+        text="Komisyon dosyaları ofiste incelemeye başladı.",
+        tokens=["Komisyon", "dosyaları", "ofiste", "incelemeye",
+                "başladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "obl", "ccomp", "root", "punct"],
+    ),
+    # whole-word stems against genitive/P2sg splits; passive vs the -Hn
+    # lexicalization (alındı)
+    dict(
+        text="Salgın bütün bölgeye yayıldı.",
+        tokens=["Salgın", "bütün", "bölgeye", "yayıldı", "."],
+        upos=["NOUN", "DET", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "det", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Gerekli önlemler hızla alındı.",
+        tokens=["Gerekli", "önlemler", "hızla", "alındı", "."],
+        upos=["ADJ", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "advmod", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
