@@ -61,9 +61,14 @@ def main():
             steal = 100.0 * (st1 - st0) / max(t1 - t0, 1)
             return sec, ntr, round(steal, 1)
 
-        warm = docs.limit(max(500, n_docs // 10))
-        job(warm)
-        job(warm)
+        # warm on the FULL input: a limit() slice runs too few partitions
+        # to spin up all N python UDF workers, so the first measured pass
+        # at 32-wide was still paying 32x worker startup (package import +
+        # lexicon load per worker) and page-caching the 4x corpus — a
+        # fixed cost a 100 TB deployment amortizes away, not steady-state
+        # throughput (observed 71s -> 32s -> 18s pass trends at 32-wide)
+        job(docs)
+        job(docs)
         passes = [job(docs) for _ in range(n_passes)]
         best_sec, ntr, steal = min(passes, key=lambda p: p[0])
         print(json.dumps({
