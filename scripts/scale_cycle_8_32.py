@@ -20,8 +20,8 @@ import bench
 
 
 def main() -> int:
-    r8 = bench._probe(8, 20000)
-    r32 = bench._probe(32, 80000)
+    r8 = bench._probe(8, 20000, n_passes=4)
+    r32 = bench._probe(32, 80000, n_passes=5)
     eff = round((r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0, 3)
     ceil = bench._burn_control()
     out = {
