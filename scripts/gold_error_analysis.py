@@ -114,6 +114,8 @@ def run(entries, verbose=True):
 if __name__ == "__main__":
     if "--heldout" in sys.argv:
         from vnlp_spark.plans.gold_ud_heldout import HELD_OUT as entries
+    elif "--blind3" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind3 import BLIND3 as entries
     elif "--blind2" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind2 import BLIND2 as entries
     elif "--blind" in sys.argv:
