@@ -138,6 +138,17 @@ _INTRANSITIVE_ROOTS = {
     "var", "öl", "doğ", "büyü", "yaşa", "gez",
 }
 
+# light-verb nominals whose et-complex is INTRANSITIVE (istifa etti,
+# şikayet etti take no Acc object; their complements are Dat/Abl
+# obliques).  Used to stop the bare-nominal-before-et "obligately
+# transitive" signal from forcing the Acc reading on a preceding
+# Acc/P3sg homograph (yönetim kurulu ÜYELERİ istifa etti -> subject).
+_INTRANS_LIGHT_NOMINALS = {
+    "istifa", "itiraz", "isyan", "iflas", "intihar", "devam", "dikkat",
+    "hitap", "ısrar", "müdahale", "şikayet", "teşekkür", "yardım",
+    "itaat", "riayet", "sohbet", "dans", "seyahat", "göç", "acele",
+}
+
 
 @lru_cache(maxsize=1)
 def _typed_gazetteer():
@@ -292,10 +303,22 @@ def py_parse_tokens(
     # --- predicates and root -------------------------------------------
     subord = [bool(tagsets[i] & _SUBORD_TAGS) for i in range(n)]
     converb = [bool(tagsets[i] & _CONVERB_TAGS) for i in range(n)]
+    # -sA conditionals are protasis clauses, never the matrix predicate
+    # when a finite apodosis follows (Yağmur yağarsa maç ERTELENECEK);
+    # a sentence whose only verb is conditional keeps it as root
+    cond = [
+        upos[i] == "VERB" and "Cond" in tagsets[i]
+        and not subord[i] and not converb[i]
+        for i in range(n)
+    ]
     finite = [
         i for i in range(n)
         if upos[i] == "VERB" and not subord[i] and not converb[i]
+        and not cond[i]
     ]
+    if not finite and any(cond):
+        finite = [i for i in range(n) if cond[i]]
+        cond = [False] * n
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
 
@@ -314,6 +337,9 @@ def py_parse_tokens(
         # ertelendi -> Yağmur is yağınca's nsubj); other converbs share
         # the matrix subject and stay out of preds
         when_preds = [i for i in range(n) if converb[i] and "When" in tagsets[i]]
+        # conditional protasis clauses likewise host their own subject
+        # (Yağmur yağarsa -> Yağmur is yağarsa's nsubj)
+        when_preds += [i for i in range(n) if cond[i]]
         if when_preds:
             preds = sorted(set(preds) | set(when_preds))
     else:
@@ -417,6 +443,28 @@ def py_parse_tokens(
     eff_poss = [possessed(i) for i in range(n)]
     _TRANSPARENT = {"ADV", "ADJ", "DET", "PUNCT", "ADP", "NUM"}
 
+    # zincirleme izafet: a whole-word-Adj homograph with a live P3sg+Nom
+    # segmentation, standing between a bare compound modifier and another
+    # possessed-readable nominal, is the possessed-Noun link of the chain
+    # (yönetim KURULU üyeleri = kurul+P3sg, not kurulu 'assembled')
+    for i in range(1, n - 1):
+        if (
+            # adjust_upos may have already rewritten the surface tag to
+            # NOUN (its mirror of this rule); the chosen ANALYSIS is the
+            # signal either way
+            upos[i] in ("ADJ", "NOUN")
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and "p3nom" in _readings(tokens[i])
+            and upos[i - 1] == "NOUN"
+            and eff_case[i - 1] in ("Nom", "")
+            and not eff_poss[i - 1]
+            and upos[i + 1] in _NOMINAL
+            and "p3nom" in _readings(tokens[i + 1])
+        ):
+            upos[i] = "NOUN"
+            eff_case[i], eff_poss[i] = "Nom", True
+
     def _spatial_frame_mod(j: int) -> bool:
         # bare nominal feeding a possessed spatial-relational oblique
         # (gözetim ALTINDA tutuyordu, kontrol ALTINA alındı): part of the
@@ -492,6 +540,25 @@ def py_parse_tokens(
             # the agent, not a fronted object, regardless of adjacency
             eff_case[i], eff_poss[i] = "Nom", True
             continue
+        light_nom_v = (
+            v > 0 and upos[v - 1] == "NOUN" and v - 1 != i
+            and eff_case[v - 1] in ("Nom", "") and not eff_poss[v - 1]
+            and roots_of[v] in ("et", "yap")
+        )
+        if (
+            (light_nom_v and roots_of[v - 1] in _INTRANS_LIGHT_NOMINALS)
+            or (not light_nom_v
+                and roots_of[v] in _INTRANSITIVE_ROOTS
+                and "Caus" not in tagsets[v]
+                # path-capable motion verbs still take Acc routes
+                # (bütün yolu yürüdü); stative intransitives cannot
+                and roots_of[v] not in ("yürü", "yüz", "koş", "uç", "gez"))
+        ):
+            # the predicate cannot take an Acc object at all: the
+            # possessed-Nom reading stands (üyeleri istifa etti,
+            # fiyatları düştü)
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
         prev_bare_mod = (
             i > 0
             and upos[i - 1] in ("NOUN", "PROPN")
@@ -515,6 +582,7 @@ def py_parse_tokens(
         obligate_v = "Caus" in tagsets[v] or (
             v > 0 and upos[v - 1] == "NOUN" and v - 1 != i
             and eff_case[v - 1] in ("Nom", "") and roots_of[v] in ("et", "yap")
+            and roots_of[v - 1] not in _INTRANS_LIGHT_NOMINALS
         )
         transitive_v = roots_of[v] in _TRANSITIVE_ROOTS or obligate_v
         # plain case-marked obliques may stand between object and verb
@@ -577,17 +645,29 @@ def py_parse_tokens(
         # Üniversitesi öğrencileri stays one mention chain)
         last = group[-1]
         nxt = last + 1
+        # a LOC-gazetteer name before a possessed lowercase locative is a
+        # venue compound, not part of the mention (Şirket İzmir FUARINDA
+        # ... -> İzmir nmod fuarında, Şirket the subject); titles never
+        # release their name this way (Doktor Çelik hastalarına ...)
+        loc_venue = (
+            _typed_gazetteer()[1].get(to_lower(_base(tokens[last]))) == "LOC"
+            and _base(tokens[group[0]]) not in _TITLES
+        )
         if (
             nxt < n
             and upos[nxt] in ("NOUN", "PROPN")
             and not _CAP_RE.match(tokens[nxt])
-            and _is_possessed(tokens[nxt], analyses[nxt])
+            # post-homography possession: an Acc-resolved homograph
+            # (Doktor Yılmaz HASTALARI ... muayene etti) is a clause
+            # argument, not a compound head the name should join
+            and eff_poss[nxt]
             and not possessed(last)
             # a possessed nominal in a verb-argument case is a clause
             # argument, not a compound head: the name stays in its
             # mention (Doktor Çelik hastalarına ... -> Çelik flat,
             # vs Google Türkiye ofisini ... -> Türkiye nmod ofisini)
-            and _case_of(analyses[nxt]) not in ("Dat", "Abl", "Ins", "Loc")
+            and (_case_of(analyses[nxt]) not in ("Dat", "Abl", "Ins", "Loc")
+                 or (loc_venue and _case_of(analyses[nxt]) == "Loc"))
         ):
             heads[last], rels[last] = nxt + 1, "nmod"
             run_head[last] = nxt
@@ -622,7 +702,7 @@ def py_parse_tokens(
             continue
         if i == root:
             heads[i], rels[i] = 0, "root"
-        elif converb[i]:
+        elif converb[i] or cond[i]:
             # adverbial clause on the next finite predicate
             fin = next((p for p in finite if p > i), root)
             heads[i], rels[i] = fin + 1, "advcl"
@@ -840,14 +920,15 @@ def py_parse_tokens(
                 nom = next_nominal(i)
                 # a genitive modifies the HEAD of the following compound,
                 # not its bare modifier (olayın görgü tanıklarıyla ->
-                # tanıklarıyla)
+                # tanıklarıyla); possession is read post-homography so a
+                # re-read chain link (yönetim KURULU üyeleri) walks too
                 while (
                     nom is not None
                     and nom + 1 < n
                     and upos[nom + 1] in _NOMINAL
                     and eff_case[nom] in ("Nom", "")
                     and not eff_poss[nom]
-                    and possessed(nom + 1)
+                    and eff_poss[nom + 1]
                 ):
                     nom += 1
                 heads[i], rels[i] = ((nom if nom is not None else p) + 1), "nmod"
@@ -929,9 +1010,13 @@ def py_parse_tokens(
                 and eff_poss[i + 1]
                 and i + 1 != p
                 and "A3pl" not in tagsets[i]
-                and not eff_poss[i]  # a possessed nominal heads its own
-                # phrase (Kitabın son bölümü okuyucuları şaşırttı ->
-                # bölümü is the subject, not a modifier of okuyucuları)
+                # a possessed nominal heads its own phrase (Kitabın son
+                # bölümü okuyucuları şaşırttı -> bölümü is the subject,
+                # not a modifier of okuyucuları) — UNLESS the next nominal
+                # is itself possessed-Nom: then this is the middle link of
+                # a zincirleme chain (yönetim kurulu ÜYELERİ)
+                and (not eff_poss[i]
+                     or (eff_poss[i + 1] and eff_case[i + 1] in ("Nom", "")))
                 and not (i + 1 in run_member and i not in run_member)
             )
             if (compoundable and eff_case[i + 1] not in ("Nom", "")
@@ -972,6 +1057,23 @@ def py_parse_tokens(
                         or clause_start
                     )
                     if subjish and vt == p:
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
+                    elif (
+                        subjish
+                        and vt != p
+                        and p not in subj_of
+                        and upos[vt] == "VERB"
+                        and tagsets[vt] & {"PresPart"}
+                        and heads[vt] > 0
+                        and eff_case[heads[vt] - 1] not in ("Nom", "")
+                    ):
+                        # a clause-initial bare nominal before a subject-gap
+                        # -An participle whose OWN head noun is case-marked
+                        # is the matrix subject, not the participle's object
+                        # (POLİS kaçan şüpheliyi yakalamaya çalıştı); with a
+                        # Nom participle head the bare nominal stays the
+                        # participle's object (SU içen kedi uyudu)
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
                     elif roots_of[vt] in ("ol", "et") and not lv_nominal:

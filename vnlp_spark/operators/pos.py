@@ -121,7 +121,17 @@ _GRAMMAT_ADPS = {
     # the class was under-enumerated: nedeniyle)
     "nedeniyle", "sebebiyle", "dolayısıyla", "aracılığıyla", "sonucunda",
     "kapsamında", "çerçevesinde", "doğrultusunda",
+    # blind-3 confirmed the class was still under-enumerated (ardından
+    # after a genitive complement); remaining productive members
+    "ardından", "uyarınca", "gereğince", "itibarıyla", "itibariyle",
+    "adına", "açısından", "bakımından",
 }
+
+# frequent loan adjectives the reference stem list tags Noun-only (net,
+# komple, direkt): the vendored lexicon cannot be edited (candidate-
+# generator parity), so the ADJUSTED-POS layer supplies the adjectival
+# reading for the bare uninflected surface
+_LOAN_ADJS = {"net", "komple", "direkt", "süper", "ekstra"}
 
 
 @lru_cache(maxsize=50_000)
@@ -171,6 +181,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         low = to_lower(tokens[i])
         tags = set(analyses[i].replace("^", "+").split("+"))
         if low in _EXISTENTIALS:
+            out[i] = "ADJ"
+        elif (
+            out[i] == "NOUN"
+            and low in _LOAN_ADJS
+            and "Pnon" in tags
+            and "Nom" in tags
+            and low == to_lower(analyses[i].split("+", 1)[0])
+        ):
+            # bare loan adjective the lexicon tags Noun-only (net cevap,
+            # net hatırlayamadı); inflected forms keep the noun reading
             out[i] = "ADJ"
         elif (
             out[i] == "VERB"
@@ -380,14 +400,46 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         if ("'" in tokens[i] or "’" in tokens[i]) and out[i] == "NOUN":
             out[i] = "PROPN"
             continue
+        # a sentence-initial common-noun homograph stays NOUN when the
+        # capitalized neighbor is itself the izafet modifier of a following
+        # lowercase possessed nominal (Şirket İzmir FUARINDA ... tanıttı ->
+        # Şirket is the subject, "İzmir fuarında" its own constituent);
+        # capitalized-possessed continuations (Ziraat Bankası) still run
+        fwd_izafet = (
+            i == 0
+            and i + 2 < n
+            and _common_noun_stem(low)
+            and not _CAP_RE.match(tokens[i + 2])
+            and out[i + 2] in ("NOUN", "PROPN")
+            and _is_possessed(tokens[i + 2], analyses[i + 2])
+        )
         neighbor_cap = (
             (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
-             and _CAP_RE.match(tokens[i + 1]) and to_lower(tokens[i + 1]) not in _TITLES)
+             and _CAP_RE.match(tokens[i + 1]) and to_lower(tokens[i + 1]) not in _TITLES
+             and not fwd_izafet)
             or (i > 0 and out[i - 1] in ("NOUN", "PROPN")
                 and _CAP_RE.match(tokens[i - 1]))
         )
         if neighbor_cap and low not in _TITLES:
             out[i] = "PROPN"
+    # zincirleme izafet: a whole-word-Adj homograph with a live P3sg+Nom
+    # segmentation between a bare compound modifier and another possessed-
+    # readable nominal is the possessed-Noun chain link (yönetim KURULU
+    # üyeleri = kurul+P3sg, not kurulu 'assembled') — mirror of the
+    # parser's eff_case/eff_poss re-read
+    for i in range(1, n - 1):
+        if (
+            out[i] == "ADJ"
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and "p3nom" in _readings(tokens[i])
+            and out[i - 1] == "NOUN"
+            and _case_of(analyses[i - 1]) in ("Nom", "")
+            and not _is_possessed(tokens[i - 1], analyses[i - 1])
+            and out[i + 1] in ("NOUN", "PROPN", "PRON")
+            and "p3nom" in _readings(tokens[i + 1])
+        ):
+            out[i] = "NOUN"
     # reduplicated adjectives quantify the verb phrase adverbially
     # (bol bol kitap okudum)
     for i in range(n - 1):
@@ -403,7 +455,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             ):
                 continue  # psych-verb frame: bana mantıklı geldi
             low = to_lower(tokens[i])
-            if "bare_noun" in _readings(tokens[i]) and low not in _ADVERBIAL_ADJS:
+            if ("bare_noun" in _readings(tokens[i])
+                    and low not in _ADVERBIAL_ADJS
+                    # loan adjectives' bare_noun reading is an artifact of
+                    # the Noun-only lexicon entry, not evidence of argumenthood
+                    and low not in _LOAN_ADJS):
                 # homograph directly before the verb is an argument
                 # (taze balık getirdi -> balık NOUN)
                 out[i] = "NOUN"

@@ -1158,6 +1158,75 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=["amod", "nsubj", "advmod", "root", "punct"],
     ),
+    # ---- blind-3 miss categories, pinned with fresh lexemes -----------
+    dict(
+        text="Şirketin çalışanları greve devam etti.",
+        tokens=["Şirketin", "çalışanları", "greve", "devam", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Vakfın yönetim kurulu üyeleri görevden ayrıldı.",
+        tokens=["Vakfın", "yönetim", "kurulu", "üyeleri", "görevden",
+                "ayrıldı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nmod", "nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Fiyatlar artarsa talep azalacak.",
+        tokens=["Fiyatlar", "artarsa", "talep", "azalacak", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Bekçi havlayan köpeği susturdu.",
+        tokens=["Bekçi", "havlayan", "köpeği", "susturdu", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "acl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Banka Ankara şubesinde yeni hizmet başlattı.",
+        tokens=["Banka", "Ankara", "şubesinde", "yeni", "hizmet",
+                "başlattı", "."],
+        upos=["NOUN", "PROPN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obl", "amod", "obj", "root", "punct"],
+        ner=["O", "LOC", "O", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Öğretmen Aydın velileri okula davet etti.",
+        tokens=["Öğretmen", "Aydın", "velileri", "okula", "davet",
+                "etti", "."],
+        upos=["NOUN", "PROPN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 1, 6, 6, 6, 0, 6],
+        deprels=["nsubj", "flat", "obj", "obl", "compound", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Yasa gereğince başvurular incelendi.",
+        tokens=["Yasa", "gereğince", "başvurular", "incelendi", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Komisyon raporu direkt inceledi.",
+        tokens=["Komisyon", "raporu", "direkt", "inceledi", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Güvenlik açısından önlemler yeterliydi.",
+        tokens=["Güvenlik", "açısından", "önlemler", "yeterliydi", "."],
+        upos=["NOUN", "ADP", "NOUN", "ADJ", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
