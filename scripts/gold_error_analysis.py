@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--heldout" in sys.argv:
+    if "--blind4" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind4 import BLIND4 as entries
+    elif "--heldout" in sys.argv:
         from vnlp_spark.plans.gold_ud_heldout import HELD_OUT as entries
     elif "--blind3" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind3 import BLIND3 as entries
