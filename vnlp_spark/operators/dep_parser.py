@@ -149,6 +149,15 @@ _INTRANS_LIGHT_NOMINALS = {
     "itaat", "riayet", "sohbet", "dans", "seyahat", "göç", "acele",
 }
 
+# volitional/phasal matrix verbs whose bare-infinitive dependent is a
+# clausal COMPLEMENT (çalışmak istiyor -> ccomp); under any other
+# predicate a bare infinitive is an impersonal subject (çalışmak
+# gerekiyor -> csubj)
+_INF_CCOMP_ROOTS = {
+    "iste", "dene", "planla", "amaçla", "hedefle", "düşün", "sev",
+    "um", "öner", "reddet", "başar", "bil", "tercih",
+}
+
 
 @lru_cache(maxsize=1)
 def _typed_gazetteer():
@@ -717,7 +726,13 @@ def py_parse_tokens(
                 # purpose clause: kazanmak için çalıştı
                 heads[i], rels[i] = p + 1, "advcl"
             elif "Inf" in tags and case in ("", "Nom"):
-                heads[i], rels[i] = p + 1, "csubj"
+                # bare infinitive: complement of a volitional/phasal
+                # matrix verb (çalışmak İSTİYOR -> ccomp); subject of an
+                # impersonal predicate otherwise (çalışmak gerekiyor)
+                rel_inf = (
+                    "ccomp" if roots_of[p] in _INF_CCOMP_ROOTS else "csubj"
+                )
+                heads[i], rels[i] = p + 1, rel_inf
             elif tags & {"FutPart", "PastPart", "Inf2"} and case in ("Acc", "Dat"):
                 heads[i], rels[i] = p + 1, "ccomp"
             elif (
@@ -865,7 +880,10 @@ def py_parse_tokens(
                 continue
             nom = next_nominal(i, stop=next_pred(i) + 1)
             # an adjective modifies the HEAD of a following possessive
-            # compound (yeni teknoloji ürünleri -> ürünleri)
+            # compound (yeni teknoloji ürünleri -> ürünleri) — but not a
+            # possessed nominal governed by a following ADP or degree
+            # adverb (gelecek hafta SONUNA KADAR, model ESKİSİNDEN DAHA):
+            # that constituent is the postposition's/comparative's own
             while (
                 nom is not None
                 and nom + 1 < n
@@ -873,6 +891,9 @@ def py_parse_tokens(
                 and _case_of(analyses[nom]) in ("Nom", "")
                 and not possessed(nom)
                 and possessed(nom + 1)
+                and not (nom + 2 < n
+                         and (upos[nom + 2] == "ADP"
+                              or to_lower(tokens[nom + 2]) in _DEGREE_ADVS))
             ):
                 nom += 1
             tgt = nom if nom is not None else next_pred(i)
@@ -957,6 +978,11 @@ def py_parse_tokens(
                 and upos[i + 1] == "NOUN"
                 and eff_case[i + 1] in ("Nom", "")
                 and i + 1 != vt
+                # a directly-preverbal action noun is the verb's own
+                # argument and the dative is the verb's oblique (esnafa
+                # KOLAYLIK sağladı); the action-noun frame needs a
+                # continuing nominal (depreme hazırlık ÇAĞRISI)
+                and i + 2 != vt
                 and ("Ness" in tagsets[i + 1]
                      or "ness" in _readings(tokens[i + 1]))
             ):

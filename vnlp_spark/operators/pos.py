@@ -89,6 +89,9 @@ def _readings(token: str) -> frozenset:
                 out.add("bare_noun")
         if "Ness" in tset:
             out.add("ness")  # -lHk deverbal action noun (hazırlık)
+        if (tags[0] == "Verb" and "Zero" not in tset
+                and tset & {"Aor", "Past", "Prog1", "Fut", "Narr"}):
+            out.add("finite")  # a real finite-verb reading exists (alındı)
     return frozenset(out)
 
 
@@ -127,11 +130,41 @@ _GRAMMAT_ADPS = {
     "adına", "açısından", "bakımından",
 }
 
-# frequent loan adjectives the reference stem list tags Noun-only (net,
-# komple, direkt): the vendored lexicon cannot be edited (candidate-
+# frequent adjectives the reference stem list tags Noun-only (net,
+# direkt, kalabalık): the vendored lexicon cannot be edited (candidate-
 # generator parity), so the ADJUSTED-POS layer supplies the adjectival
-# reading for the bare uninflected surface
-_LOAN_ADJS = {"net", "komple", "direkt", "süper", "ekstra"}
+# reading for the bare uninflected surface / zero-copula predicate
+_LOAN_ADJS = {"net", "komple", "direkt", "süper", "ekstra", "kalabalık"}
+
+
+def _zero_cop_class(analysis: str) -> str:
+    """Lexical class of a zero-copula predicate: "Adj" when the ROOT
+    segment is adjectival (soğuk+Adj^DB+Noun...^DB+Verb+Zero — UD keeps
+    the adjectival predicate reading) or the root is a curated
+    Noun-only-lexicon adjective; "Noun" when the pre-copula segment is
+    nominal (evdeydi, öğretmenim); "" otherwise.  Root segments carry
+    their POS at index 1, later ^DB segments at index 0."""
+    gs = analysis.replace("^", "+").split("+DB+")
+    if len(gs) < 2:
+        return ""
+    from .morphology import to_lower as _tl
+
+    pre = gs[-2]
+    parts = pre.split("+")
+    pre_set = set(parts)
+    # the adjectival root only shines through an intermediate BARE
+    # nominal (soğuktu: Adj -> Noun+Pnon+Nom -> Zero); a case/possessive-
+    # marked nominal is a real nominal predicate (yaşındayım: P3sg+Loc)
+    pre_bare = pre is gs[0] or {"Pnon", "Nom"} <= pre_set
+    if pre_bare and (
+        gs[0].split("+")[1:2] == ["Adj"]
+        or _tl(gs[0].split("+")[0]) in _LOAN_ADJS
+    ):
+        return "Adj"
+    pos = parts[1] if len(gs) == 2 and len(parts) > 1 else parts[0]
+    if pos == "Adj":
+        return "Adj"
+    return "Noun" if pos in ("Noun", "Num") else ""
 
 
 @lru_cache(maxsize=50_000)
@@ -195,23 +228,23 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         elif (
             out[i] == "VERB"
             and "Zero" in tags
-            and (lambda gs: gs[0].split("+")[1:2] == ["Adj"]
-                 or (len(gs) >= 2 and gs[-2].split("+")[0] == "Adj"))(
-                analyses[i].replace("^", "+").split("+DB+"))
+            and _zero_cop_class(analyses[i]) == "Adj"
             and analyses[i].split("+", 1)[0] not in ("var", "yok")
             and not tags & {"A1sg", "A2sg", "A1pl", "A2pl"}
         ):
             # zero-copula 3rd-person adjectival predicate keeps ADJ in UD
-            # (soğuktu, kaplıydı, önemlidir); var/yok stay VERB per the
-            # reference's published PoS output
+            # (soğuktu, kaplıydı, önemlidir, kalabalıktı); var/yok stay
+            # VERB per the reference's published PoS output
             out[i] = "ADJ"
         elif (
             out[i] == "VERB"
             and "Zero" in tags
-            and (lambda gs: len(gs) >= 2 and gs[-2].split("+")[0]
-                 in ("Noun", "Num"))(
-                analyses[i].replace("^", "+").split("+DB+"))
+            and _zero_cop_class(analyses[i]) == "Noun"
             and analyses[i].split("+", 1)[0] not in ("var", "yok")
+            # a live finite-verb reading means the zero-copula nominal
+            # is a misanalysis (alındı = al+Pass+Past, not 'was a
+            # receipt'): keep VERB
+            and "finite" not in _readings(tokens[i])
         ):
             # zero-copula NOMINAL predicate is a noun in UD (29
             # yaşındayım, evdeydi, öğretmenim)
@@ -233,6 +266,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # frozen frame "X-ylA ilgili" ('concerning X') is adjectival
             out[i] = "ADJ"
         elif low == "hiç":
+            out[i] = "ADV"
+        elif (
+            low in ("neden", "niçin", "niye", "nasıl")
+            and out[i] in ("NOUN", "ADJ")
+            and any(t == "?" for t in tokens[i + 1:])
+        ):
+            # interrogative adverb in a question sentence (Toplantı NEDEN
+            # ertelendi?); 'neden' the noun ('reason') keeps its reading
+            # in declaratives
             out[i] = "ADV"
         elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
             # önce/sonra after an ablative or time NP stay postpositions
@@ -286,15 +328,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
                          and _case_of(analyses[i + 1]) in ("Nom", "")))
             and not all(out[j] == "PUNCT" for j in range(i + 1, n))
-            and not (i + 1 < n and out[i + 1] == "VERB"
-                     and analyses[i + 1].split("+", 1)[0]
-                     in ("ol", "et", "gel", "görün", "dur"))
+            and not (i + 1 < n and out[i + 1] == "VERB")
         ):
             # -lH/-sHz adjective not modifying anything nominal is a
             # zero-derived noun (Mahalleli ... rahatsız oldu); but keep
             # the adjective reading in predicative position (yol ...
-            # daha güvenli.) and before copular/psych verbs (mantıklı
-            # geldi)
+            # daha güvenli.), before copular/psych verbs (mantıklı
+            # geldi) and directly before ANY verb — there the later
+            # ADJ-before-VERB pass decides between argument (readings-
+            # backed nouns: Yaşlı düştü) and manner adverb (derived-only
+            # adjectives: ayrıntılı ANLATTI)
             out[i] = "NOUN"
         elif (
             out[i] == "NOUN"
@@ -348,6 +391,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         ):
             # ordinal + light verb: birinci oldu -> nominal compound
             out[i] = "NOUN"
+        elif (
+            out[i] == "NUM"
+            and _ORDINAL_RE.search(low)
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+        ):
+            # adnominal ordinals are adjectives in UD (sezonun ÜÇÜNCÜ
+            # galibiyetini aldı)
+            out[i] = "ADJ"
         elif (
             out[i] == "NOUN"
             and i == last_content
@@ -458,8 +510,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             if ("bare_noun" in _readings(tokens[i])
                     and low not in _ADVERBIAL_ADJS
                     # loan adjectives' bare_noun reading is an artifact of
-                    # the Noun-only lexicon entry, not evidence of argumenthood
-                    and low not in _LOAN_ADJS):
+                    # the Noun-only lexicon entry, not evidence of
+                    # argumenthood (net, direkt — NOT kalabalık, whose
+                    # noun reading 'crowd' is live)
+                    and low not in ("net", "komple", "direkt", "süper",
+                                    "ekstra")):
                 # homograph directly before the verb is an argument
                 # (taze balık getirdi -> balık NOUN)
                 out[i] = "NOUN"

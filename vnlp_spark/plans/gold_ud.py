@@ -1227,6 +1227,64 @@ UD_GOLD: List[dict] = [
         heads=[4, 1, 4, 0, 4],
         deprels=["obl", "case", "nsubj", "root", "punct"],
     ),
+    # ---- blind-4 miss categories, pinned with fresh lexemes -----------
+    dict(
+        text="Cevap gayet netti.",
+        tokens=["Cevap", "gayet", "netti", "."],
+        upos=["NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Kurul öneriyi kapsamlı tartıştı.",
+        tokens=["Kurul", "öneriyi", "kapsamlı", "tartıştı", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Maç niçin iptal edildi?",
+        tokens=["Maç", "niçin", "iptal", "edildi", "?"],
+        upos=["NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "advmod", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Valilik bölgeye güvenlik sağladı.",
+        tokens=["Valilik", "bölgeye", "güvenlik", "sağladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Önümüzdeki hafta başına kadar yol kapalı.",
+        tokens=["Önümüzdeki", "hafta", "başına", "kadar", "yol",
+                "kapalı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADP", "NOUN", "ADJ", "PUNCT"],
+        heads=[2, 3, 6, 3, 6, 0, 6],
+        deprels=["amod", "nmod", "obl", "case", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Eski sürüm yenisinden daha yavaştı.",
+        tokens=["Eski", "sürüm", "yenisinden", "daha", "yavaştı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["amod", "nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Gençler şehirde kalmak istemiyor.",
+        tokens=["Gençler", "şehirde", "kalmak", "istemiyor", "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "obl", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Koşucu yarışta ikinci turu tamamladı.",
+        tokens=["Koşucu", "yarışta", "ikinci", "turu", "tamamladı", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
