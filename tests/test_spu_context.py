@@ -251,7 +251,10 @@ def test_distilled_weights_match_heuristic_on_heldout_gold():
 
     extra = ([g["text"] for g in UD_GOLD if "ner" in g]
              + [g["text"] for g in HELD_OUT if "ner" in g])
-    model = distill_ner_model_bptt(epochs=60, extra_sentences=extra)
+    # 90 epochs: the round-3 annotator fixes sharpened the teacher's
+    # held-out labels and 60 epochs left the student one token short of
+    # full agreement (371/372); convergence completes by 90
+    model = distill_ner_model_bptt(epochs=90, extra_sentences=extra)
 
     # the payload round-trips through the broadcast contract
     clone = SPUContextModel.from_arrays(model.arrays())

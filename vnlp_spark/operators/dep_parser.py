@@ -120,6 +120,8 @@ _TRANSITIVE_ROOTS = {
     "işlet", "tamamla", "kovala", "şaşırt", "zorla", "yaptır", "geniş",
     "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
     "et", "çal", "sor", "ekle", "onar", "düzelt", "temizle", "yıka", "dile",
+    "bırak", "değiştir", "kaydet", "üret", "uygula", "düzenle", "yönet",
+    "çöz", "tasarla", "denetle",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -963,7 +965,9 @@ def py_parse_tokens(
                 and heads[i + 1] > i + 2
                 and (case == "Ins"
                      or (case == "Dat"
-                         and _base(tokens[i + 1]) in ("yakın", "uzak")))
+                         and _base(tokens[i + 1])
+                         in ("yakın", "uzak", "özel", "uygun", "yönelik",
+                             "açık", "bağlı", "karşıt")))
             ):
                 # case-selected complement of an adnominal adjective
                 # (konuyla İLGİLİ açıklama, eve YAKIN okul): the oblique
@@ -1035,7 +1039,12 @@ def py_parse_tokens(
                 and upos[i + 1] in _NOMINAL
                 and eff_poss[i + 1]
                 and i + 1 != p
-                and "A3pl" not in tagsets[i]
+                # plural modifiers are fine inside a spatial-relational
+                # frame (gençler ARASINDA, ülkeler arasında); elsewhere a
+                # bare plural is a clause argument, not a compound modifier
+                and ("A3pl" not in tagsets[i]
+                     or (roots_of[i + 1] in _SPATIAL_ROOTS
+                         and eff_case[i + 1] in ("Dat", "Loc", "Abl")))
                 # a possessed nominal heads its own phrase (Kitabın son
                 # bölümü okuyucuları şaşırttı -> bölümü is the subject,
                 # not a modifier of okuyucuları) — UNLESS the next nominal
@@ -1052,10 +1061,26 @@ def py_parse_tokens(
                     and not verb_person_12(p)
                     and low_root not in _TEMPORAL_ROOTS
                     and not ("A3pl" in tagsets[p] and "A3pl" not in tagsets[i])
+                    # a spatial-relational frame binds its complement even
+                    # with the subject slot open (ÜLKELER arasında ticaret
+                    # gelişti -> nmod, the subject comes later)
+                    and not (roots_of[i + 1] in _SPATIAL_ROOTS
+                             and eff_case[i + 1] in ("Dat", "Loc", "Abl"))
                 )
                 compoundable = not viable_subject
             if compoundable:
                 heads[i], rels[i] = i + 2, "nmod"
+            elif (
+                low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN"
+                and i + 2 < n and upos[i + 1] == "ADJ"
+                and rels[i + 1] == "amod" and heads[i + 1] == i + 3
+                and upos[i + 2] == "NOUN"
+                and roots_of[i + 2] in _TEMPORAL_ROOTS
+            ):
+                # a bare time noun heading into an adjective-modified time
+                # NP modifies that NP (SABAH erken saatlerde), it is not a
+                # second clause-level adjunct
+                heads[i], rels[i] = i + 3, "nmod"
             elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
                 heads[i], rels[i] = p + 1, "obl"
             elif p not in subj_of and not verb_person_12(p):
@@ -1102,7 +1127,24 @@ def py_parse_tokens(
                         # participle's object (SU içen kedi uyudu)
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
-                    elif roots_of[vt] in ("ol", "et") and not lv_nominal:
+                    elif (
+                        subjish
+                        and vt != p
+                        and p not in subj_of
+                        and upos[vt] == "VERB"
+                        and converb[vt]
+                        and ("A3pl" in tagsets[i] or eff_poss[i]
+                             or upos[i] in ("PROPN", "PRON"))
+                    ):
+                        # a plural/possessed/proper bare nominal before a
+                        # subject-sharing converb is the matrix subject
+                        # (İŞÇİLER dinlenmeden çalışmaya devam etti); a
+                        # bare singular stays the converb's object (SU
+                        # içmeden yola çıktı)
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
+                    elif (roots_of[vt] in ("ol", "et") and not lv_nominal
+                          and not eff_poss[i]):
                         # support-verb construction: üye oldu, ikamet etti
                         # (yap/gör light verbs keep their obj per UD-BOUN)
                         heads[i], rels[i] = vt + 1, "compound"
@@ -1122,7 +1164,8 @@ def py_parse_tokens(
                 else:
                     heads[i], rels[i] = p + 1, "nsubj"
                     subj_of[p] = i
-            elif preverbal and roots_of[vt] in ("ol", "et") and not lv_nominal:
+            elif (preverbal and roots_of[vt] in ("ol", "et")
+                  and not lv_nominal and not eff_poss[i]):
                 heads[i], rels[i] = vt + 1, "compound"
             elif preverbal:
                 # bare preverbal nominal with the subject slot filled:
@@ -1135,6 +1178,10 @@ def py_parse_tokens(
                     and "Caus" not in tagsets[vt]
                     and not lv_nominal
                 )
+                # a possessed temporal before "ol" is an adjunct, not a
+                # support-verb complement (gece YARISI olmuş -> obl)
+                if roots_of[vt] == "ol" and eff_poss[i]:
+                    intransitive = True
                 # only a true VERB takes a bare object; copular/adjectival
                 # predicates take obliques (hafta sonu AÇIK -> obl)
                 if upos[vt] != "VERB":

@@ -285,6 +285,14 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                 or "WithoutHavingDoneSo" in analyses[i - 1]
             ):
                 out[i] = "ADP"
+            elif (
+                low in ("erken", "geç")
+                and out[i] == "ADJ"
+                and i + 1 < n
+                and out[i + 1] in ("NOUN", "PROPN")
+            ):
+                # adnominal use keeps the adjective (erken SAATLERDE)
+                pass
             else:
                 out[i] = "ADV"
         elif low in _DEGREE_ADVS:
@@ -421,7 +429,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "’" not in tokens[i]
             and not (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
                      and _CAP_RE.match(tokens[i + 1]))
-            and low not in _typed_gazetteer()[1]
+            and (low not in _typed_gazetteer()[1]
+                 # gazetteer names that are also TEMPORAL nouns (Sabah
+                 # the paper vs sabah 'morning') read as the time noun
+                 # sentence-initially before lowercase text
+                 or low in _TEMPORAL_ROOTS_POS)
             and _common_noun_stem(low)
         ):
             # sentence-initial capitalization is not a Prop signal: a

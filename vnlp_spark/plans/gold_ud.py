@@ -1285,6 +1285,63 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 4, 5, 0, 5],
         deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
     ),
+    # ---- blind-5 miss categories, pinned with fresh lexemes -----------
+    dict(
+        text="Kurallar değişmezse sorun büyüyecek.",
+        tokens=["Kurallar", "değişmezse", "sorun", "büyüyecek", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Şirket borçlarını ödemiyordu.",
+        tokens=["Şirket", "borçlarını", "ödemiyordu", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Ülkeler arasında ticaret gelişti.",
+        tokens=["Ülkeler", "arasında", "ticaret", "gelişti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "obl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Yöneticiler beklemeden karar aldı.",
+        tokens=["Yöneticiler", "beklemeden", "karar", "aldı", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Görüşme hafta sonu oldu.",
+        tokens=["Görüşme", "hafta", "sonu", "oldu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kulüp gençlere uygun program sundu.",
+        tokens=["Kulüp", "gençlere", "uygun", "program", "sundu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sekreter belgeleri kaydetti.",
+        tokens=["Sekreter", "belgeleri", "kaydetti", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Akşam geç saatlerde elektrik kesildi.",
+        tokens=["Akşam", "geç", "saatlerde", "elektrik", "kesildi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["nmod", "amod", "obl", "nsubj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
