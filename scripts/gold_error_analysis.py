@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind5" in sys.argv:
+    if "--blind6" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind6 import BLIND6 as entries
+    elif "--blind5" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind5 import BLIND5 as entries
     elif "--blind4" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind4 import BLIND4 as entries
