@@ -476,6 +476,25 @@ def py_parse_tokens(
             upos[i] = "NOUN"
             eff_case[i], eff_poss[i] = "Nom", True
 
+    # whole-word-Adj / possessed-locative homographs directly before the
+    # verb with an object to their left are the locative adverbial
+    # (olayları YERİNDE inceledi = yer+P3sg+Loc, not yerinde 'apt')
+    for i in range(1, n - 1):
+        if (
+            upos[i] in ("ADJ", "NOUN")
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and "p3loc" in _readings(tokens[i])
+            and (upos[i + 1] == "VERB"
+                 # ... or a light-verb complex (yerinde TESPİT ETTİ)
+                 or (i + 2 < n and upos[i + 1] == "NOUN"
+                     and upos[i + 2] == "VERB"
+                     and roots_of[i + 2] in ("et", "yap", "ol")))
+            and upos[i - 1] in _NOMINAL
+        ):
+            upos[i] = "NOUN"
+            eff_case[i], eff_poss[i] = "Loc", True
+
     def _spatial_frame_mod(j: int) -> bool:
         # bare nominal feeding a possessed spatial-relational oblique
         # (gözetim ALTINDA tutuyordu, kontrol ALTINA alındı): part of the
@@ -640,6 +659,27 @@ def py_parse_tokens(
                 for j in range(i + 1, v)
             )
             if later_subject:
+                eff_case[i], eff_poss[i] = "Acc", False
+            elif (
+                obligate_v and not obj_later and prev_bare_mod
+                # ... and no bare-Nom object candidate stands between
+                # either (ADP complements and the light-verb nominal
+                # itself do not count): Hastane yönetimi EK PERSONEL
+                # talep etti keeps its compound subject
+                and not any(
+                    upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and not eff_poss[j]
+                    and j != v - 1
+                    and not (j + 1 < n and upos[j + 1] == "ADP")
+                    for j in range(i + 1, v)
+                )
+            ):
+                # an obligately transitive predicate with no other object
+                # in the clause: the compound-subject reading would leave
+                # it objectless, so the fronted-object reading wins even
+                # across an adjunct phrase (Takım ANTRENMANI yağmur
+                # nedeniyle iptal etti)
                 eff_case[i], eff_poss[i] = "Acc", False
             else:
                 eff_case[i], eff_poss[i] = "Nom", True
@@ -1066,6 +1106,12 @@ def py_parse_tokens(
                     # gelişti -> nmod, the subject comes later)
                     and not (roots_of[i + 1] in _SPATIAL_ROOTS
                              and eff_case[i + 1] in ("Dat", "Loc", "Abl"))
+                    # a LOC-gazetteer name before a possessed nominal is
+                    # its venue/place modifier, not the clause subject
+                    # (İZMİR limanına yeni vinçler kuruldu)
+                    and not (upos[i] == "PROPN"
+                             and _typed_gazetteer()[1].get(
+                                 to_lower(_base(tokens[i]))) == "LOC")
                 )
                 compoundable = not viable_subject
             if compoundable:

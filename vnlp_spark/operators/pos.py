@@ -89,6 +89,9 @@ def _readings(token: str) -> frozenset:
                 out.add("bare_noun")
         if "Ness" in tset:
             out.add("ness")  # -lHk deverbal action noun (hazırlık)
+        if (tags[0] == "Noun" and "Prop" not in tset
+                and tset & {"P3sg", "P3pl"} and "Loc" in tset):
+            out.add("p3loc")  # possessed locative reading (yer+i+nde)
         if (tags[0] == "Verb" and "Zero" not in tset
                 and tset & {"Aor", "Past", "Prog1", "Fut", "Narr"}):
             out.add("finite")  # a real finite-verb reading exists (alındı)
@@ -356,7 +359,13 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and _case_of(analyses[i + 1]) in ("Nom", "")
             and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN")
                      and (_case_of(analyses[i + 2]) in ("Nom", "")
-                          or _is_possessed(tokens[i + 2], analyses[i + 2])))
+                          or _is_possessed(tokens[i + 2], analyses[i + 2]))
+                     # ... unless that third nominal is a light-verb
+                     # nominal (EK personel talep etti): the chain ends
+                     # at the light-verb complex, the homograph modifies
+                     and not (i + 3 < n and out[i + 3] == "VERB"
+                              and analyses[i + 3].split("+", 1)[0]
+                              in ("et", "yap", "ol")))
             and "bare_adj" in _readings(tokens[i])
             and not (low in _TITLES and _CAP_RE.match(tokens[i]))
         ):
@@ -486,6 +495,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         )
         if neighbor_cap and low not in _TITLES:
             out[i] = "PROPN"
+    # a capitalized typed-gazetteer name is a proper noun even standalone
+    # (İZMİR limanına ... — the morph table has no entry for it, so the
+    # chosen analysis falls to Unknown/NOUN); titles and sentence-initial
+    # temporal homographs (Sabah) keep their common reading
+    for i in range(n):
+        if (
+            out[i] == "NOUN"
+            and _CAP_RE.match(tokens[i])
+            and to_lower(tokens[i]).split("'")[0] in _typed_gazetteer()[1]
+            and to_lower(tokens[i]) not in _TITLES
+            and not (i == 0 and to_lower(tokens[i]) in _TEMPORAL_ROOTS_POS)
+        ):
+            out[i] = "PROPN"
     # zincirleme izafet: a whole-word-Adj homograph with a live P3sg+Nom
     # segmentation between a bare compound modifier and another possessed-
     # readable nominal is the possessed-Noun chain link (yönetim KURULU
@@ -502,6 +524,23 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and not _is_possessed(tokens[i - 1], analyses[i - 1])
             and out[i + 1] in ("NOUN", "PROPN", "PRON")
             and "p3nom" in _readings(tokens[i + 1])
+        ):
+            out[i] = "NOUN"
+    # whole-word-Adj / possessed-locative homographs directly before the
+    # verb with a nominal to their left are the locative adverbial
+    # (olayları YERİNDE inceledi) — mirror of the parser's re-read
+    for i in range(1, n - 1):
+        if (
+            out[i] == "ADJ"
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and "p3loc" in _readings(tokens[i])
+            and (out[i + 1] == "VERB"
+                 or (i + 2 < n and out[i + 1] == "NOUN"
+                     and out[i + 2] == "VERB"
+                     and analyses[i + 2].split("+", 1)[0]
+                     in ("et", "yap", "ol")))
+            and out[i - 1] in ("NOUN", "PROPN", "PRON", "NUM")
         ):
             out[i] = "NOUN"
     # reduplicated adjectives quantify the verb phrase adverbially

@@ -1342,6 +1342,41 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 5, 5, 0, 5],
         deprels=["nmod", "amod", "obl", "nsubj", "root", "punct"],
     ),
+    # ---- blind-6 miss categories, pinned with fresh lexemes -----------
+    dict(
+        text="Denetçiler sorunları yerinde tespit etti.",
+        tokens=["Denetçiler", "sorunları", "yerinde", "tespit", "etti",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Otel açılışı fırtına nedeniyle iptal etti.",
+        tokens=["Otel", "açılışı", "fırtına", "nedeniyle", "iptal",
+                "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 6, 3, 6, 0, 6],
+        deprels=["nsubj", "obj", "obl", "case", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ankara garında yoğunluk yaşandı.",
+        tokens=["Ankara", "garında", "yoğunluk", "yaşandı", "."],
+        upos=["PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "obl", "nsubj", "root", "punct"],
+        ner=["LOC", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Kulüp taraftarlara ek bilet tahsis etti.",
+        tokens=["Kulüp", "taraftarlara", "ek", "bilet", "tahsis",
+                "etti", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "obl", "amod", "obj", "compound", "root",
+                 "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
