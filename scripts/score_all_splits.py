@@ -1,0 +1,44 @@
+"""Score every gold split quietly — regression harness for rule changes.
+
+Prints one line per split: triples P/R, UPOS, UAS/LAS.  Used while fixing
+blind-split miss categories to prove tuning stays exact and burned splits
+do not regress.
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import importlib
+
+SPLITS = [
+    ("tuning", "vnlp_spark.plans.gold_ud", "UD_GOLD"),
+    ("heldout", "vnlp_spark.plans.gold_ud_heldout", "HELD_OUT"),
+    ("blind1", "vnlp_spark.plans.gold_ud_blind", "BLIND"),
+    ("blind2", "vnlp_spark.plans.gold_ud_blind2", "BLIND2"),
+    ("blind3", "vnlp_spark.plans.gold_ud_blind3", "BLIND3"),
+    ("blind4", "vnlp_spark.plans.gold_ud_blind4", "BLIND4"),
+    ("blind5", "vnlp_spark.plans.gold_ud_blind5", "BLIND5"),
+    ("blind6", "vnlp_spark.plans.gold_ud_blind6", "BLIND6"),
+    ("blind7", "vnlp_spark.plans.gold_ud_blind7", "BLIND7"),
+]
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gold_error_analysis import run
+
+    for name, mod, attr in SPLITS:
+        entries = getattr(importlib.import_module(mod), attr)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            run(entries, verbose=False)
+        print(f"{name:8s} {buf.getvalue().strip().lstrip()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -284,7 +284,7 @@ def py_parse_tokens(
         analyses = py_analyze_tokens(tokens)
     if upos is None:
         upos = [upos_from_analysis(a) for a in analyses]
-    from .pos import _readings, adjust_upos
+    from .pos import _CORE_ADJS, _readings, adjust_upos
 
     upos = adjust_upos(tokens, upos, analyses)
 
@@ -305,8 +305,15 @@ def py_parse_tokens(
             prev_arg = (
                 i > 0
                 and upos[i - 1] in _NOMINAL
-                and _case_of(analyses[i - 1])
-                in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
+                and (
+                    _case_of(analyses[i - 1])
+                    in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
+                    # an Acc / P3sg+Nom homograph to the left counts: its
+                    # surface case is resolved only AFTER this gate, and
+                    # the Inf2 clause is exactly what licenses its Acc
+                    # reading (parktaki ağaçları BUDAMAYA başladı)
+                    or "acc" in _readings(tokens[i - 1])
+                )
             )
             if not prev_arg:
                 upos[i] = "NOUN"
@@ -467,6 +474,7 @@ def py_parse_tokens(
             and analyses[i].count("+") == 1
             and analyses[i].endswith("+Adj")
             and "p3nom" in _readings(tokens[i])
+            and to_lower(tokens[i]) not in _CORE_ADJS
             and upos[i - 1] == "NOUN"
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
@@ -494,6 +502,51 @@ def py_parse_tokens(
         ):
             upos[i] = "NOUN"
             eff_case[i], eff_poss[i] = "Loc", True
+
+    # a case-segmentation homograph whose WHOLE surface is itself a noun
+    # (mahalle = mahal+Ins), standing directly before a possessed nominal
+    # in the SAME case, is the bare compound modifier of that nominal
+    # (MAHALLE sakinleriyle aradı -> mahalle nmod, one oblique, not two
+    # stacked same-case obliques)
+    for i in range(n - 1):
+        if (
+            upos[i] == "NOUN"
+            and eff_case[i] in ("Dat", "Loc", "Abl", "Ins")
+            and not eff_poss[i]
+            and "bare_noun" in _readings(tokens[i])
+            and roots_of[i] != to_lower(tokens[i])
+            and upos[i + 1] in _NOMINAL
+            and eff_poss[i + 1]
+            and eff_case[i + 1] == eff_case[i]
+        ):
+            eff_case[i] = "Nom"
+
+    # loan -î adjectives are systematically homographic with Acc/P3sg
+    # segmentations (resmi = resmî 'official' / resim+Acc, mali = malî /
+    # mal+Acc, tarihi, askeri): a chosen Acc/P3sg SEGMENTATION with a
+    # whole-word bare-Adj reading, standing directly before a case-marked
+    # nominal it would modify, is the attributive adjective when the
+    # clause's object slot is already claimed by another Acc-capable
+    # nominal to its left (yeni yönetmeliği RESMİ gazetede yayımladı)
+    for i in range(1, n - 1):
+        if (
+            upos[i] in ("NOUN",)
+            and roots_of[i] != to_lower(tokens[i])
+            and ("Acc" in tagsets[i]
+                 or ("Nom" in tagsets[i]
+                     and tagsets[i] & {"P3sg", "P3pl"}))
+            and "bare_adj" in _readings(tokens[i])
+            and upos[i + 1] in ("NOUN", "PROPN")
+            and eff_case[i + 1] in ("Dat", "Loc", "Abl", "Ins", "Gen")
+            and any(
+                upos[j] in _NOMINAL
+                and ("acc" in _readings(tokens[j])
+                     or eff_case[j] == "Acc")
+                for j in range(0, i)
+            )
+        ):
+            upos[i] = "ADJ"
+            eff_case[i], eff_poss[i] = "", False
 
     def _spatial_frame_mod(j: int) -> bool:
         # bare nominal feeding a possessed spatial-relational oblique
@@ -614,7 +667,15 @@ def py_parse_tokens(
             and eff_case[v - 1] in ("Nom", "") and roots_of[v] in ("et", "yap")
             and roots_of[v - 1] not in _INTRANS_LIGHT_NOMINALS
         )
-        transitive_v = roots_of[v] in _TRANSITIVE_ROOTS or obligate_v
+        transitive_v = (
+            roots_of[v] in _TRANSITIVE_ROOTS
+            or obligate_v
+            # an Inf2 verbal-noun clause licenses its own object: the
+            # X+Acc V+mAyA başla frame takes the object reading even
+            # when the embedded verb is not in the curated transitive
+            # list (Ekip DUVARLARI boyamaya başladı)
+            or (upos[v] == "VERB" and bool(tagsets[v] & {"Inf2"}))
+        )
         # plain case-marked obliques may stand between object and verb
         # (raporu meclise sundu -> obj); an ADP-governed adjunct phrase
         # signals the clause-level frame of a compound subject instead
@@ -994,7 +1055,30 @@ def py_parse_tokens(
                     and eff_poss[nom + 1]
                 ):
                     nom += 1
-                heads[i], rels[i] = ((nom if nom is not None else p) + 1), "nmod"
+                # izafet requires possessive agreement on the possessed:
+                # a genitive whose landing nominal is UNPOSSESSED cannot
+                # be its possessor — when a possessed nominalized verb
+                # follows instead, the genitive is that clause's subject
+                # (enflasyonun gelecek yıl DÜŞECEĞİNİ öngörüyor — 'yıl'
+                # is bare, the -AcAk+P3sg nominalization agrees)
+                sub_v = next(
+                    (j for j in range(i + 1, n)
+                     if upos[j] == "VERB" and subord[j]
+                     and tagsets[j] & {"P3sg", "P3pl"}),
+                    None,
+                )
+                if (
+                    sub_v is not None
+                    and (nom is None
+                         or (nom < sub_v and not eff_poss[nom]
+                             and not tagsets[nom]
+                             & {"P1sg", "P2sg", "P1pl", "P2pl"}))
+                ):
+                    heads[i], rels[i] = sub_v + 1, "nsubj"
+                else:
+                    heads[i], rels[i] = (
+                        (nom if nom is not None else p) + 1
+                    ), "nmod"
         elif case == "Acc":
             heads[i], rels[i] = vt + 1, "obj"
         elif case in ("Dat", "Loc", "Abl", "Ins"):
@@ -1112,6 +1196,23 @@ def py_parse_tokens(
                     and not (upos[i] == "PROPN"
                              and _typed_gazetteer()[1].get(
                                  to_lower(_base(tokens[i]))) == "LOC")
+                    # an EARLIER bare-Nom / proper nominal in the same
+                    # clause is the better subject candidate: this token
+                    # stays the compound modifier (Yaşlı KADIN kaybolan
+                    # kedisini MAHALLE sakinleriyle aradı -> mahalle nmod)
+                    and not any(
+                        next_pred(j) == p
+                        and heads[j] in (-1, p + 1)
+                        and (upos[j] in ("PROPN", "PRON")
+                             or (upos[j] in _NOMINAL
+                                 and eff_case[j] in ("Nom", "")
+                                 and not eff_poss[j]
+                                 and roots_of[j] not in _TEMPORAL_ROOTS
+                                 and not (j + 1 < n
+                                          and upos[j + 1] in _NOMINAL
+                                          and eff_poss[j + 1])))
+                        for j in range(0, i - 1)
+                    )
                 )
                 compoundable = not viable_subject
             if compoundable:
@@ -1128,7 +1229,13 @@ def py_parse_tokens(
                 # second clause-level adjunct
                 heads[i], rels[i] = i + 3, "nmod"
             elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
-                heads[i], rels[i] = p + 1, "obl"
+                # a bare time noun inside a subordinate clause modifies
+                # THAT clause, not the matrix predicate (enflasyonun
+                # gelecek YIL düşeceğini öngörüyor)
+                if v is not None and v != p and subord[v]:
+                    heads[i], rels[i] = v + 1, "obl"
+                else:
+                    heads[i], rels[i] = p + 1, "obl"
             elif p not in subj_of and not verb_person_12(p):
                 if preverbal:
                     # directly preverbal: indefinite subject vs bare object

@@ -355,6 +355,19 @@ class HeuristicDisambiguator:
                 # whole-word noun homograph (yola çıktı != 'the printout')
                 if prev_case in ("Dat", "Abl"):
                     s += 6.0
+            # an oblique-case nominal directly to the left is an argument
+            # looking for a licensor: the -An participle reading beats a
+            # lexicalized whole-word noun homograph (Fabrikada ÇALIŞAN
+            # işçiler = çalış+PresPart, not çalışan 'employee') — except
+            # for title/role nouns, whose whole word stays the agent
+            # (Toplantıda BAKAN konuştu)
+            if (
+                "PresPart" in tag_set
+                and prev_case in ("Loc", "Dat", "Abl")
+                and not sent_final
+                and to_lower(token) not in TITLE_ROLES
+            ):
+                s += 10.0
             # prefer the underived finite reading over a voice-derived
             # rival (oynuyor = oyna+Prog1, not oy+Pass+Prog1)
             if "Pass" in tag_set and "DB" in tags and has_plain_finite_rival:

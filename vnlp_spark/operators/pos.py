@@ -131,6 +131,11 @@ _GRAMMAT_ADPS = {
     # after a genitive complement); remaining productive members
     "ardından", "uyarınca", "gereğince", "itibarıyla", "itibariyle",
     "adına", "açısından", "bakımından",
+    # blind-7 confirmed the temporal sub-class was still missing its
+    # possessed-locative members (Kaza SONRASINDA yol kapatıldı — the
+    # instrumental twins nedeniyle/sonucunda were listed, the locatives
+    # were not)
+    "sonrasında", "öncesinde", "sırasında", "esnasında",
 }
 
 # frequent adjectives the reference stem list tags Noun-only (net,
@@ -138,6 +143,18 @@ _GRAMMAT_ADPS = {
 # generator parity), so the ADJUSTED-POS layer supplies the adjectival
 # reading for the bare uninflected surface / zero-copula predicate
 _LOAN_ADJS = {"net", "komple", "direkt", "süper", "ekstra", "kalabalık"}
+
+# core qualitative adjectives (Turkish grammar's primary nitelik
+# sıfatları): citation-form adjectives so frequent that their accidental
+# P3sg segmentation homographs (yeni = yen+P3sg 'its sleeve') are
+# essentially nonexistent in prose — exempt from possessed-noun re-reads,
+# unlike genuinely live participial homographs (kurulu = kurul+P3sg)
+_CORE_ADJS = {
+    "yeni", "eski", "iyi", "kötü", "güzel", "büyük", "küçük", "uzun",
+    "kısa", "yüksek", "düşük", "genç", "yaşlı", "hızlı", "yavaş",
+    "kolay", "zor", "önemli", "ciddi", "boş", "temiz", "sıcak", "soğuk",
+    "taze", "geniş", "dar", "ağır", "hafif", "ucuz", "pahalı",
+}
 
 
 def _zero_cop_class(analysis: str) -> str:
@@ -311,8 +328,13 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             or ("Inf2" in tags
                 and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
                 and i > 0
-                and _case_of(analyses[i - 1])
-                in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen"))
+                and (_case_of(analyses[i - 1])
+                     in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
+                     # Acc / P3sg+Nom homographs to the left count — the
+                     # parser resolves them to Acc under this very clause
+                     # (ağaçları BUDAMAYA başladı); same gate as the parser
+                     or ("acc" in _readings(tokens[i - 1])
+                         and out[i - 1] in ("NOUN", "PRON"))))
         ):
             # case-marked participles are subordinate verbs, not nominals
             # (yapacağını söyledi, anlattığı konu); bare FutPart nominals
@@ -519,6 +541,7 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and analyses[i].count("+") == 1
             and analyses[i].endswith("+Adj")
             and "p3nom" in _readings(tokens[i])
+            and to_lower(tokens[i]) not in _CORE_ADJS
             and out[i - 1] == "NOUN"
             and _case_of(analyses[i - 1]) in ("Nom", "")
             and not _is_possessed(tokens[i - 1], analyses[i - 1])
@@ -543,6 +566,92 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i - 1] in ("NOUN", "PROPN", "PRON", "NUM")
         ):
             out[i] = "NOUN"
+    # loan -î adjective homographs of Acc/P3sg segmentations (resmi =
+    # resmî / resim+Acc) directly before a case-marked nominal, with the
+    # object slot claimed by an earlier Acc-capable nominal, are the
+    # attributive adjective — mirror of the parser's re-read
+    for i in range(1, n - 1):
+        if (
+            out[i] == "NOUN"
+            and analyses[i].split("+", 1)[0] != to_lower(tokens[i])
+            and (set(analyses[i].replace("^", "+").split("+")) & {"Acc"}
+                 or ("Nom" in analyses[i]
+                     and set(analyses[i].replace("^", "+").split("+"))
+                     & {"P3sg", "P3pl"}))
+            and "bare_adj" in _readings(tokens[i])
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) in ("Dat", "Loc", "Abl", "Ins",
+                                              "Gen")
+            and any(
+                out[j] in ("NOUN", "PROPN", "PRON")
+                and "acc" in _readings(tokens[j])
+                for j in range(0, i)
+            )
+        ):
+            out[i] = "ADJ"
+    # agentive -IcI derivations (yüzücü, satıcı) are profession NOUNS
+    # unless they stand directly before the nominal they would modify
+    # (temizleyici madde keeps ADJ; yüzücü MİLLİ takıma -> NOUN subject)
+    for i in range(n):
+        if (
+            out[i] == "ADJ"
+            and analyses[i].endswith("+Adj+Agt")
+            and (i + 1 >= n or out[i + 1] not in ("NOUN", "PROPN"))
+        ):
+            # ... but a sentence-final zero-copula predicate keeps the
+            # adjectival reading (çok ETKİLEYİCİ.) unless a determiner
+            # marks the nominal use (iyi bir YÜZÜCÜ.)
+            pred_final = all(out[j] == "PUNCT" for j in range(i + 1, n))
+            if pred_final and not (i > 0 and out[i - 1] in ("DET", "NUM")):
+                continue
+            out[i] = "NOUN"
+    # a bare whole-word noun with a citation-Adj twin directly before an
+    # UNPOSSESSED bare nominal is the attributive adjective — bare-noun
+    # modifiers need possessed heads (izafet), adjectives do not
+    # (GENÇ yüzücü seçildi -> amod; maaş ARTIŞI istedi keeps the compound)
+    for i in range(n - 1):
+        if (
+            out[i] == "NOUN"
+            and analyses[i].split("+", 1)[0] == to_lower(tokens[i])
+            and "Pnon" in analyses[i] and "Nom" in analyses[i]
+            and "bare_adj" in _readings(tokens[i])
+            and out[i + 1] == "NOUN"
+            and _case_of(analyses[i + 1]) in ("Nom", "")
+            and not _is_possessed(tokens[i + 1], analyses[i + 1])
+            # the bare nominal must be a claimable head, not the
+            # complement of a following postposition or the tarafından
+            # agent frame (Karar KURUL tarafından alındı keeps Karar
+            # the subject)
+            and not (i + 2 < n
+                     and (out[i + 2] == "ADP"
+                          or to_lower(tokens[i + 2]) == "tarafından"))
+        ):
+            out[i] = "ADJ"
+    # out-of-lexicon stems ending in a harmony-consistent With suffix
+    # (-lI) are derived adjectives in attributive or zero-copula
+    # predicate position (oldukça KULLANIŞLI. / kullanışlı cihaz) — the
+    # nominal-inflection fallback cannot produce derivations, so the
+    # adjectival reading is supplied here
+    for i in range(n):
+        if out[i] != "NOUN" or "Unknown" not in analyses[i]:
+            continue
+        low = to_lower(tokens[i])
+        if len(low) < 5 or low[-2:] not in ("lı", "li", "lu", "lü"):
+            continue
+        stem_vowels = [c for c in low[:-2] if c in "aeıioöuü"]
+        if not stem_vowels:
+            continue
+        harmony = {"a": "lı", "ı": "lı", "e": "li", "i": "li",
+                   "o": "lu", "u": "lu", "ö": "lü", "ü": "lü"}
+        if low[-2:] != harmony[stem_vowels[-1]]:
+            continue
+        attributive = i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
+        pred_final = (
+            all(out[j] == "PUNCT" for j in range(i + 1, n))
+            and not any(out[j] == "VERB" for j in range(n))
+        )
+        if attributive or pred_final:
+            out[i] = "ADJ"
     # reduplicated adjectives quantify the verb phrase adverbially
     # (bol bol kitap okudum)
     for i in range(n - 1):

@@ -1377,6 +1377,101 @@ UD_GOLD: List[dict] = [
         deprels=["nsubj", "obl", "amod", "obj", "compound", "root",
                  "punct"],
     ),
+    # ---- blind-7 category pins (fresh sentences; rules are general) ----
+    # possessed-locative grammaticalized ADP, sentence-initial frame
+    dict(
+        text="Deprem sırasında elektrikler kesildi.",
+        tokens=["Deprem", "sırasında", "elektrikler", "kesildi", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
+    # Inf2 clause licenses the Acc reading of a preceding homograph
+    dict(
+        text="Ekip duvarları boyamaya başladı.",
+        tokens=["Ekip", "duvarları", "boyamaya", "başladı", "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "obj", "ccomp", "root", "punct"],
+    ),
+    # genitive subject over an intervening BARE nominal (izafet needs
+    # possessive agreement); temporal adjunct stays in the embedded clause
+    dict(
+        text="Sekreter müdürün gelecek hafta döneceğini duyurdu.",
+        tokens=["Sekreter", "müdürün", "gelecek", "hafta", "döneceğini",
+                "duyurdu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[6, 5, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "nsubj", "amod", "obl", "ccomp", "root",
+                 "punct"],
+    ),
+    # whole-surface noun homograph of a case segmentation before a
+    # possessed same-case nominal is the compound modifier
+    dict(
+        text="Çocuk okul arkadaşlarıyla oynadı.",
+        tokens=["Çocuk", "okul", "arkadaşlarıyla", "oynadı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nmod", "obl", "root", "punct"],
+    ),
+    # loan -î adjective homograph (askeri) attributive before an oblique
+    dict(
+        text="Kurum yeni raporu askeri birliğe gönderdi.",
+        tokens=["Kurum", "yeni", "raporu", "askeri", "birliğe",
+                "gönderdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "amod", "obj", "amod", "obl", "root", "punct"],
+    ),
+    # core citation adjective exempt from the zincirleme re-read
+    dict(
+        text="Şirket eski binayı yeniledi.",
+        tokens=["Şirket", "eski", "binayı", "yeniledi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
+    # bare Adj/Noun dual-entry word attributive before unpossessed noun
+    dict(
+        text="Hasta yolcu uçaktan indi.",
+        tokens=["Hasta", "yolcu", "uçaktan", "indi", "."],
+        upos=["ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "obl", "root", "punct"],
+    ),
+    # agentive -IcI noun as subject (not ADJ) when not adjacent to a head
+    dict(
+        text="Satıcı yerli ürünleri tanıttı.",
+        tokens=["Satıcı", "yerli", "ürünleri", "tanıttı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
+    # agentive -IcI zero-copula predicate keeps the adjectival reading
+    dict(
+        text="Bu roman oldukça sürükleyici.",
+        tokens=["Bu", "roman", "oldukça", "sürükleyici", "."],
+        upos=["DET", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["det", "nsubj", "advmod", "root", "punct"],
+    ),
+    # out-of-lexicon -lI With-adjective as zero-copula predicate
+    dict(
+        text="Yönetmen oldukça vizyonlu.",
+        tokens=["Yönetmen", "oldukça", "vizyonlu", "."],
+        upos=["NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "advmod", "root", "punct"],
+    ),
+    # lexicalized -An noun homograph re-read as participle after an
+    # oblique argument (çalışan 'employee' vs 'working')
+    dict(
+        text="Ofiste çalışan memurlar zam bekliyor.",
+        tokens=["Ofiste", "çalışan", "memurlar", "zam", "bekliyor", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["obl", "acl", "nsubj", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
