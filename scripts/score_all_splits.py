@@ -25,6 +25,7 @@ SPLITS = [
     ("blind5", "vnlp_spark.plans.gold_ud_blind5", "BLIND5"),
     ("blind6", "vnlp_spark.plans.gold_ud_blind6", "BLIND6"),
     ("blind7", "vnlp_spark.plans.gold_ud_blind7", "BLIND7"),
+    ("blind8", "vnlp_spark.plans.gold_ud_blind8", "BLIND8"),
 ]
 
 
