@@ -964,12 +964,18 @@ def py_parse_tokens(
             while j >= 0 and upos[j] == "PUNCT":
                 j -= 1
             if j >= 0 and upos[j] == "CCONJ":
-                # coordinated predicate adjective: güzel ve güneşli
+                # coordinated predicate adjective: güzel ve güneşli — but
+                # only when no verb intervenes: across a verb the CCONJ
+                # coordinates CLAUSES and the adjective modifies its own
+                # conjunct's nominal (üretimi artırdı ve YENİ personel aldı)
                 prev_c = next(
                     (k for k in range(j - 1, -1, -1) if upos[k] in ("ADJ", "NOUN", "PROPN")),
                     None,
                 )
-                if prev_c is not None:
+                verb_between = prev_c is not None and any(
+                    upos[k] == "VERB" for k in range(prev_c + 1, i)
+                )
+                if prev_c is not None and not verb_between:
                     heads[i], rels[i] = prev_c + 1, "conj"
                     continue
             if (
@@ -1046,6 +1052,7 @@ def py_parse_tokens(
                 # not its bare modifier (olayın görgü tanıklarıyla ->
                 # tanıklarıyla); possession is read post-homography so a
                 # re-read chain link (yönetim KURULU üyeleri) walks too
+                walked = False
                 while (
                     nom is not None
                     and nom + 1 < n
@@ -1055,6 +1062,7 @@ def py_parse_tokens(
                     and eff_poss[nom + 1]
                 ):
                     nom += 1
+                    walked = True
                 # izafet requires possessive agreement on the possessed:
                 # a genitive whose landing nominal is UNPOSSESSED cannot
                 # be its possessor — when a possessed nominalized verb
@@ -1072,7 +1080,18 @@ def py_parse_tokens(
                     and (nom is None
                          or (nom < sub_v and not eff_poss[nom]
                              and not tagsets[nom]
-                             & {"P1sg", "P2sg", "P1pl", "P2pl"}))
+                             & {"P1sg", "P2sg", "P1pl", "P2pl"})
+                         # a possessed landing nominal whose P3sg agreement
+                         # is already saturated by its own bare compound
+                         # modifier (the walk advanced over it) cannot also
+                         # take the genitive as possessor — the LEFTMOST
+                         # such genitive is the nominalized clause's
+                         # subject (kuraklığın TARIM ÜRÜNLERİNİ
+                         # etkileyeceğini); later genitives keep the
+                         # possessor read (tüccarın ÜLKENİN ürünlerini ...)
+                         or (nom < sub_v and walked
+                             and not any(eff_case[k] == "Gen"
+                                         for k in range(i))))
                 ):
                     heads[i], rels[i] = sub_v + 1, "nsubj"
                 else:
@@ -1260,7 +1279,26 @@ def py_parse_tokens(
                         or "Pass" in tagsets[vt if upos[vt] == "VERB" else i]
                         or clause_start
                     )
-                    if subjish and vt == p:
+                    # a modified bare NP before a TRANSITIVE non-first
+                    # conjunct verb whose earlier conjunct already has an
+                    # overt subject is the object, not a new subject —
+                    # the subject carries over (Şirket üretimi artırdı ve
+                    # YENİ PERSONEL aldı); intransitive conjuncts still
+                    # take their own subject (Fiyatlar arttı ve TALEP
+                    # azaldı), as do passives
+                    shared_subj_conj = (
+                        rels[p] == "conj"
+                        and heads[p] > 0
+                        and (heads[p] - 1) in subj_of
+                        and (roots_of[p] in _TRANSITIVE_ROOTS
+                             or "Caus" in tagsets[p])
+                        and "Pass" not in tagsets[p]
+                        and not eff_poss[i]
+                        and upos[i] not in ("PROPN", "PRON")
+                    )
+                    if subjish and vt == p and shared_subj_conj:
+                        heads[i], rels[i] = vt + 1, "obj"
+                    elif subjish and vt == p:
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
                     elif (

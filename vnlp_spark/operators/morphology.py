@@ -68,6 +68,11 @@ TITLE_ROLES = {
     "başhekim", "savcı", "hakim", "rektör", "dekan",
 }
 
+# converb (adverbial-clause) tags — mirror of dep_parser._CONVERB_TAGS
+# (defined locally to keep this module import-independent)
+_CONVERB_TAG_SET = {"When", "AfterDoingSo", "ByDoingSo", "While",
+                    "WithoutHavingDoneSo"}
+
 # spatial relational nouns: possessed-case forms (altına, üstünde,
 # arasında) head postposition-like oblique frames (shared with the
 # dependency parser's adjacency/transparency logic)
@@ -300,6 +305,7 @@ class HeuristicDisambiguator:
         has_plain_finite_rival: bool = False,
         has_whole_rival: bool = False,
         has_pass_rival: bool = False,
+        has_converb_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -382,6 +388,13 @@ class HeuristicDisambiguator:
             # against a passive-finite rival the predicate reading wins
             # (karar alındı)
             s -= 15.0
+        if first == "Noun" and "Ly" in tag_set and has_converb_rival:
+            # a -CA adverb segmentation of a noun homograph (çıkın+ca
+            # 'bundle-like', gelin+ce 'bride-like') loses to a converb
+            # rival of the verb stem (çık+ınca, gel+ince): -HncA/-Hp
+            # adverbial clauses are orders of magnitude more frequent
+            # than noun+CA manner adverbs in web prose
+            s -= 8.0
         if first == "Punc":
             s += 100.0
         if first == "Num" and prev_case != "Gen" and not has_finite_rival:
@@ -540,6 +553,13 @@ class HeuristicDisambiguator:
             and "Pass" in tags and "DB" in tags
             for _root, _sfx, tags in cands
         )
+        has_converb_rival = any(
+            not isinstance(tags, str) and tags
+            and tags[0].startswith("Verb")
+            and set(tags) & _CONVERB_TAG_SET
+            and self._in_stems(root)
+            for root, _sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -554,6 +574,7 @@ class HeuristicDisambiguator:
                 has_plain_finite_rival,
                 has_whole_rival,
                 has_pass_rival,
+                has_converb_rival,
             )
             if sc > best_score:
                 best, best_score = ci, sc

@@ -199,6 +199,21 @@ def _common_noun_stem(low: str) -> bool:
     return bool(tags) and any(t == "Noun" for t in tags)
 
 
+_AGENTIVE_SUFFIXES = ("cı", "ci", "cu", "cü", "çı", "çi", "çu", "çü")
+
+
+@lru_cache(maxsize=50_000)
+def _agentive_common(low: str) -> bool:
+    """Is the surface an agentive -CI occupation noun (sözcü, oyuncu,
+    satıcı) — a common stem whose -CI base is itself a known stem?
+    Gazetteer homographs of this class (Sözcü the paper vs sözcü
+    'spokesperson') read as the occupation sentence-initially, the
+    same way temporal homographs (Sabah) read as the time noun."""
+    if len(low) < 4 or not low.endswith(_AGENTIVE_SUFFIXES):
+        return False
+    return _common_noun_stem(low) and _common_noun_stem(low[:-2])
+
+
 # adjectives that also work adverbially directly before a verb
 _ADVERBIAL_ADJS = {
     "yorgun", "olumsuz", "olumlu", "hızlı", "yavaş", "iyi", "kötü",
@@ -462,9 +477,12 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      and _CAP_RE.match(tokens[i + 1]))
             and (low not in _typed_gazetteer()[1]
                  # gazetteer names that are also TEMPORAL nouns (Sabah
-                 # the paper vs sabah 'morning') read as the time noun
-                 # sentence-initially before lowercase text
-                 or low in _TEMPORAL_ROOTS_POS)
+                 # the paper vs sabah 'morning') or agentive occupation
+                 # nouns (Sözcü the paper vs sözcü 'spokesperson') read
+                 # as the common noun sentence-initially before
+                 # lowercase text
+                 or low in _TEMPORAL_ROOTS_POS
+                 or _agentive_common(low))
             and _common_noun_stem(low)
         ):
             # sentence-initial capitalization is not a Prop signal: a
@@ -527,7 +545,8 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and _CAP_RE.match(tokens[i])
             and to_lower(tokens[i]).split("'")[0] in _typed_gazetteer()[1]
             and to_lower(tokens[i]) not in _TITLES
-            and not (i == 0 and to_lower(tokens[i]) in _TEMPORAL_ROOTS_POS)
+            and not (i == 0 and (to_lower(tokens[i]) in _TEMPORAL_ROOTS_POS
+                                 or _agentive_common(to_lower(tokens[i]))))
         ):
             out[i] = "PROPN"
     # zincirleme izafet: a whole-word-Adj homograph with a live P3sg+Nom

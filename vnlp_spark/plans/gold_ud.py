@@ -1472,6 +1472,53 @@ UD_GOLD: List[dict] = [
         heads=[2, 3, 5, 5, 0, 5],
         deprels=["obl", "acl", "nsubj", "obj", "root", "punct"],
     ),
+    # --- blind-8 category pins (general rules, fresh lexemes) -----------
+    # -IncA converb beats the noun+CA adverb segmentation rival
+    # (gel+ince, not gelin+ce 'bride-like'); the When-clause hosts its
+    # own subject
+    dict(
+        text="Konuklar gelince tören başladı.",
+        tokens=["Konuklar", "gelince", "tören", "başladı", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    # a genitive whose landing possessed nominal is saturated by its own
+    # bare compound modifier is the nominalized clause's subject
+    # (bakanlığın EĞİTİM POLİTİKALARINI değiştireceğini)
+    dict(
+        text="Yetkililer bakanlığın eğitim politikalarını"
+             " değiştireceğini açıkladı.",
+        tokens=["Yetkililer", "bakanlığın", "eğitim", "politikalarını",
+                "değiştireceğini", "açıkladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[6, 5, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "nsubj", "nmod", "obj", "ccomp", "root",
+                 "punct"],
+    ),
+    # a post-coordinator adjective modifies its own conjunct's nominal
+    # across a clause boundary, and the modified bare NP before the
+    # transitive second conjunct is its object (shared subject)
+    dict(
+        text="Belediye yolları onardı ve geniş parklar açtı.",
+        tokens=["Belediye", "yolları", "onardı", "ve", "geniş",
+                "parklar", "açtı", "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "ADJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[3, 3, 0, 7, 6, 7, 3, 3],
+        deprels=["nsubj", "obj", "root", "cc", "amod", "obj", "conj",
+                 "punct"],
+    ),
+    # an agentive -CI occupation noun that is also a gazetteer ORG name
+    # (Sözcü the paper vs sözcü 'spokesperson') reads as the occupation
+    # sentence-initially before lowercase text
+    dict(
+        text="Sözcü yeni düzenlemeyi savundu.",
+        tokens=["Sözcü", "yeni", "düzenlemeyi", "savundu", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
