@@ -26,6 +26,7 @@ SPLITS = [
     ("blind6", "vnlp_spark.plans.gold_ud_blind6", "BLIND6"),
     ("blind7", "vnlp_spark.plans.gold_ud_blind7", "BLIND7"),
     ("blind8", "vnlp_spark.plans.gold_ud_blind8", "BLIND8"),
+    ("blind9", "vnlp_spark.plans.gold_ud_blind9", "BLIND9"),
 ]
 
 
