@@ -1,0 +1,102 @@
+"""Extend the suffix fixture with PASSIVE x NEGATIVE and -lAn+DIr families.
+
+Blind-9 exposed two systematic paradigm gaps, the same shape as the
+blind-5 negative-compound-tense gap `extend_suffix_fixture.py` closed:
+
+1. Passive x negative.  Every plain negative family is present
+   (mazsa/mezse, madı/medi, mamış/memiş...) and every passive POSITIVE
+   family is present (nmez, ndi, ilecek...), but their product is not:
+   `yenilenmezse` (yenile+n+mezse, "if it is not renewed") fell to
+   word+Unknown.  Derived here: for every fixture row whose tag chain
+   starts `Verb+Neg+`, emit five passive twins (allomorphs n / In / Il
+   in both harmonies matching the negative marker's harmony) with the
+   chain rewritten to `Verb+DB+Verb+Pass+Neg+...` — exactly the tag
+   shape the fixture already uses for passive positives (`nmez` ->
+   Verb+DB+Verb+Pass+Neg+Aor+A3sg is the one pre-existing member).
+
+2. Acquire-causative (-lAn+DIr).  `lAn` denominal verbs are present
+   (landı/lendi -> Noun+DB+Verb+Acquire+...) and `DIr` causatives of
+   verbs are present (dırdı/dirdi -> Verb+DB+Verb+Caus+...), but the
+   productive composition is not: `bilgilendirdi` (bilgi+lendir+di,
+   "informed") fell to Unknown.  Derived here: for every row whose
+   surface starts dır/dir and whose chain starts `Verb+DB+Verb+Caus+`,
+   emit lan/len-prefixed twins with the chain rewritten to
+   `Noun+DB+Verb+Acquire+DB+Verb+Caus+...` (plus the Adj+DB variant,
+   mirroring how every existing Acquire row carries both).  Because the
+   dır/dir family already contains its own passives and participles,
+   bilgilendirildi / bilgilendiren etc. come out of the same product.
+
+Run from the repo root; idempotent.  Reference semantics matched:
+vnlp's Yildiz-tagset analyses (e.g. README examples
+`/root/reference/vnlp/stemmer_morph_analyzer/ReadMe.md`) spell these
+chains the same way; the fixture stands in for the snapshot's missing
+Suffixes&Tags.txt (.MISSING_LARGE_BLOBS).
+"""
+import gzip
+import os
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(HERE, "vnlp_spark", "resources", "suffix_tags_fixture.txt.gz")
+
+_BACK_V = set("aıou")
+_FRONT_V = set("eiöü")
+_PASS_BACK = ["n", "ın", "un", "ıl", "ul"]
+_PASS_FRONT = ["n", "in", "ün", "il", "ül"]
+
+
+def _first_vowel(s):
+    for ch in s:
+        if ch in _BACK_V:
+            return "back"
+        if ch in _FRONT_V:
+            return "front"
+    return None
+
+
+def derive(rows):
+    out = []
+    for surface, tags in rows:
+        # 1. passive x negative
+        if tags.startswith("Verb+Neg+") and surface.startswith("m"):
+            harmony = _first_vowel(surface)
+            if harmony:
+                allo = _PASS_BACK if harmony == "back" else _PASS_FRONT
+                new_tags = "Verb+DB+Verb+Pass+Neg+" + tags[len("Verb+Neg+"):]
+                for p in allo:
+                    out.append((p + surface, new_tags))
+        # 2. -lAn+DIr acquire-causative product
+        if tags.startswith("Verb+DB+Verb+Caus+"):
+            rest = tags[len("Verb+DB+Verb+Caus+"):]
+            if surface.startswith("dır"):
+                pre = "lan"
+            elif surface.startswith("dir"):
+                pre = "len"
+            else:
+                continue
+            for base in ("Noun", "Adj"):
+                out.append((pre + surface,
+                            base + "+DB+Verb+Acquire+DB+Verb+Caus+" + rest))
+    return out
+
+
+def main():
+    with gzip.open(PATH, "rt", encoding="utf-8") as f:
+        existing_lines = f.read().splitlines()
+    existing = set(existing_lines)
+    rows = [tuple(l.split("\t")) for l in existing_lines]
+    added = 0
+    new_lines = list(existing_lines)
+    for surface, tags in derive(rows):
+        line = f"{surface}\t{tags}"
+        if line not in existing:
+            existing.add(line)
+            new_lines.append(line)
+            added += 1
+    if added:
+        with gzip.open(PATH, "wt", encoding="utf-8", newline="\n") as f:
+            f.write("\n".join(new_lines) + "\n")
+    print(f"added {added} rows (total {len(new_lines)})")
+
+
+if __name__ == "__main__":
+    main()

@@ -990,9 +990,12 @@ def py_parse_tokens(
             nom = next_nominal(i, stop=next_pred(i) + 1)
             # an adjective modifies the HEAD of a following possessive
             # compound (yeni teknoloji ürünleri -> ürünleri) — but not a
-            # possessed nominal governed by a following ADP or degree
-            # adverb (gelecek hafta SONUNA KADAR, model ESKİSİNDEN DAHA):
-            # that constituent is the postposition's/comparative's own
+            # possessed nominal governed by a following ADP or a degree
+            # adverb in the ablative comparative frame (gelecek hafta
+            # SONUNA KADAR, model ESKİSİNDEN DAHA): that constituent is
+            # the postposition's/comparative's own.  A degree adverb over
+            # a NON-ablative head modifies the predicate instead, so the
+            # walk proceeds (Yeni ders PROGRAMI oldukça yoğun)
             while (
                 nom is not None
                 and nom + 1 < n
@@ -1002,7 +1005,8 @@ def py_parse_tokens(
                 and possessed(nom + 1)
                 and not (nom + 2 < n
                          and (upos[nom + 2] == "ADP"
-                              or to_lower(tokens[nom + 2]) in _DEGREE_ADVS))
+                              or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
+                                  and _case_of(analyses[nom + 1]) == "Abl")))
             ):
                 nom += 1
             tgt = nom if nom is not None else next_pred(i)
@@ -1094,6 +1098,11 @@ def py_parse_tokens(
                                          for k in range(i))))
                 ):
                     heads[i], rels[i] = sub_v + 1, "nsubj"
+                    # the nominalization's subject slot is now filled:
+                    # later bare nominals in its clause are compound
+                    # modifiers / objects, not subject candidates
+                    # (krizin KONUT satışlarını yavaşlatacağını)
+                    subj_of[sub_v] = i
                 else:
                     heads[i], rels[i] = (
                         (nom if nom is not None else p) + 1
@@ -1180,7 +1189,14 @@ def py_parse_tokens(
             compoundable = (
                 i + 1 < n
                 and upos[i + 1] in _NOMINAL
-                and eff_poss[i + 1]
+                and (eff_poss[i + 1]
+                     # an OVERTLY possessed accusative (-(s)InI: krizin
+                     # konut SATIŞLARINI yavaşlatacağını) keeps its
+                     # compound head even after the Acc re-resolution
+                     # cleared eff_poss; only ambiguous-surface
+                     # homographs (hastaları) lose it there
+                     or (bool(tagsets[i + 1] & {"P3sg", "P3pl"})
+                         and "Acc" in tagsets[i + 1]))
                 and i + 1 != p
                 # plural modifiers are fine inside a spatial-relational
                 # frame (gençler ARASINDA, ülkeler arasında); elsewhere a

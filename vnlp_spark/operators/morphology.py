@@ -66,7 +66,26 @@ TITLE_ROLES = {
     "vali", "kaymakam", "müdür", "başkan", "general", "albay", "komutan",
     "öğretmen", "avukat", "mühendis", "kaptan", "şef", "hoca", "uzman",
     "başhekim", "savcı", "hakim", "rektör", "dekan",
+    # the rest of the standard occupation inventory: news register uses
+    # "Occupation + Surname" reference (Mimar Sinan, Ressam Güran) for
+    # ANY occupation noun, not only the institutional titles above — the
+    # class rule is lexical, so the class is enumerated
+    "mimar", "ressam", "yazar", "şair", "gazeteci", "sanatçı", "oyuncu",
+    "yönetmen", "müzisyen", "pilot", "hemşire", "eczacı", "veteriner",
+    "hakem", "antrenör", "aşçı", "terzi", "berber", "kasap", "manav",
+    "çiftçi", "balıkçı", "madenci", "marangoz", "tesisatçı", "elektrikçi",
+    "şoför", "polis", "itfaiyeci", "postacı", "garson", "kuaför",
+    "diyetisyen", "psikolog", "mütercim", "tercüman", "muhasebeci",
+    "bankacı", "emlakçı", "sigortacı", "hostes", "kameraman", "spiker",
+    "sunucu", "editör", "müfettiş", "denetçi", "danışman", "araştırmacı",
+    "akademisyen", "astsubay", "teğmen", "yüzbaşı", "binbaşı", "yarbay",
+    "korgeneral", "tuğgeneral", "amiral", "büyükelçi", "konsolos",
+    "milletvekili", "muhtar", "imam", "müezzin", "vaiz", "papaz",
 }
+
+# coordinating conjunctions that can conjoin finite clauses (shared with
+# the parser's conjunct segmentation)
+_COORD_CONJS = {"ve", "veya", "ama", "fakat", "ancak", "ya da"}
 
 # converb (adverbial-clause) tags — mirror of dep_parser._CONVERB_TAGS
 # (defined locally to keep this module import-independent)
@@ -306,6 +325,7 @@ class HeuristicDisambiguator:
         has_whole_rival: bool = False,
         has_pass_rival: bool = False,
         has_converb_rival: bool = False,
+        has_adj_whole_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -360,6 +380,17 @@ class HeuristicDisambiguator:
                 # a dative complement to the left selects the verb over a
                 # whole-word noun homograph (yola çıktı != 'the printout')
                 if prev_case in ("Dat", "Abl"):
+                    s += 6.0
+                # clause coordination: a finite verb directly before a
+                # coordinating conjunction is the first conjunct's
+                # predicate (çadır KURDU ve ... dağıttı = kur+Past, not
+                # kurt+P3sg); possessed-noun homographs before "ve" are
+                # conjoined NPs and keep winning only when no finite
+                # rival exists (okul müdürü ve öğretmenler)
+                if (
+                    idx + 1 < len(tokens)
+                    and to_lower(tokens[idx + 1]) in _COORD_CONJS
+                ):
                     s += 6.0
             # an oblique-case nominal directly to the left is an argument
             # looking for a licensor: the -An participle reading beats a
@@ -424,6 +455,19 @@ class HeuristicDisambiguator:
         # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
         if not suffix and has_segmented_rival and first != "Adj":
             s -= 8.0
+            # ... unless the token is capitalized MID-sentence: Turkish
+            # orthography capitalizes only names there, so the whole-word
+            # citation reading is a name in apposition/flat position
+            # (Mimar KAYA = kaya+Nom, not kay+Dat).  Sentence-initial
+            # capitals carry no such signal.
+            if (
+                idx > 0
+                and first in ("Noun", "Adj")
+                and "Nom" in tag_set
+                and _STARTS_UPPER.match(token)
+                and not _NON_WORD.match(tokens[idx - 1])
+            ):
+                s += 16.0
         # ... but a possessive/genitive segmentation needs discourse
         # context a single token can't supply: when an unsegmented
         # dictionary reading exists, it wins (fırtına != fırt+P3sg+Dat,
@@ -457,6 +501,24 @@ class HeuristicDisambiguator:
             and root not in ("his", "hak", "zan", "af", "ret", "şık", "sır")
         ):
             s -= 6.0
+        # a possessed segmentation directly after a bare-Nom noun is the
+        # izafet compound head; against a whole-word citation-adjective
+        # homograph the compound reading wins (şehir MERKEZİ oldukça
+        # kalabalık = merkez+P3sg, not merkezî+Adj)
+        if (
+            first == "Noun"
+            and suffix
+            and "P3sg" in tag_set
+            and prev_case == "Nom"
+            and has_adj_whole_rival
+            # the loan-î homograph class (merkez+i/merkezî, tarih+i/
+            # tarihî, asker+i/askerî) has substantial noun stems; short
+            # accidental splits of true adjectives (yen+i) stay out
+            and len(root) >= 4
+        ):
+            # strong enough to override both the whole-word-rival demotion
+            # (-5) and the citation-adjective bonus (+4)
+            s += 8.0
         # nominal priors: unmarked possessive > P3sg > other
         if "Pnon" in tag_set:
             s += 4.0
@@ -488,6 +550,10 @@ class HeuristicDisambiguator:
             and self._in_stems(root)
             and _STARTS_UPPER.match(token)
             and to_lower(token) in TITLE_ROLES
+            # the title is the COMMON-noun reading; a Prop-flagged
+            # homograph of a title word (Sanatçı the place name) is not
+            # what this prior is about
+            and "Prop" not in tag_set
         ):
             s += 8.0
         if "Prop" in tag_set and (
@@ -560,6 +626,11 @@ class HeuristicDisambiguator:
             and self._in_stems(root)
             for root, _sfx, tags in cands
         )
+        has_adj_whole_rival = any(
+            not sfx and not isinstance(tags, str) and tags
+            and tags[0] == "Adj" and self._in_stems(root)
+            for root, sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -575,8 +646,23 @@ class HeuristicDisambiguator:
                 has_whole_rival,
                 has_pass_rival,
                 has_converb_rival,
+                has_adj_whole_rival,
             )
-            if sc > best_score:
+            # tie-break WITHIN nominal readings: prefer the longer root
+            # (inflection over derivation — ağaç+P3sg over ağa+Agt), the
+            # reference stemmer's own longest-match bias.  Scoped to
+            # nominal-vs-nominal ties so a finite-verb reading tied with
+            # a noun homograph keeps its list priority (koş+Past over
+            # koşut+P3sg for 'koştu')
+            tags0 = tags[0] if not isinstance(tags, str) else tags
+            best_tags = cands[best][2]
+            best0 = best_tags[0] if not isinstance(best_tags, str) else best_tags
+            if sc > best_score or (
+                sc == best_score
+                and len(root) > len(cands[best][0])
+                and tags0 in ("Noun", "Adj")
+                and best0 in ("Noun", "Adj")
+            ):
                 best, best_score = ci, sc
         return best
 
@@ -671,8 +757,8 @@ _ANALYSIS_CACHE_MAX = 500_000
 
 
 def _analyze_one(token: str, sent_final: bool, non_initial: bool,
-                 prev_case: str = "") -> str:
-    key = (token, sent_final, non_initial, prev_case)
+                 prev_case: str = "", next_coord: bool = False) -> str:
+    key = (token, sent_final, non_initial, prev_case, next_coord)
     hit = _ANALYSIS_CACHE.get(key)
     if hit is None:
         gen, dis = _engine()
@@ -689,7 +775,12 @@ def _analyze_one(token: str, sent_final: bool, non_initial: bool,
                 fb = _unknown_fallback_candidates(token)
                 if fb:
                     candidates = fb
-            ctx = ([""] if non_initial else []) + [token] + ([] if sent_final else ["x"])
+            # synthetic context: the one right-context fact the scorer
+            # uses beyond sentence-finality is whether a coordinating
+            # conjunction follows (clause-coordination prior), surfaced
+            # here as a literal "ve"
+            right = [] if sent_final else (["ve"] if next_coord else ["x"])
+            ctx = ([""] if non_initial else []) + [token] + right
             pick = dis.select(candidates, 1 if non_initial else 0, ctx,
                               prev_case)
         root, _suffix, tags = candidates[pick]
@@ -721,10 +812,19 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
     prev_case = ""
     for idx, token in enumerate(tokens):
         sent_final = idx >= tail - 1
-        analysis = _analyze_one(token, sent_final, idx > 0, prev_case)
+        next_coord = (
+            idx + 1 < n and to_lower(tokens[idx + 1]) in _COORD_CONJS
+        )
+        analysis = _analyze_one(token, sent_final, idx > 0, prev_case,
+                                next_coord)
         out.append(analysis)
         tags = set(analysis.split("+"))
         prev_case = next((c for c in _CASE_TAGS if c in tags), "")
+        if prev_case == "Nom" and tags & {"P3sg", "P3pl", "P1sg", "P1pl",
+                                          "P2sg", "P2pl"}:
+            # possessed-Nom is its own context class: it heads izafet
+            # chains rather than feeding them (ekibi TARİHİ konağı ...)
+            prev_case = "NomP"
     return out
 
 

@@ -1519,6 +1519,84 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=["nsubj", "amod", "obj", "root", "punct"],
     ),
+    # --- blind-9 category pins (fresh lexemes, general rules) ----------
+    # passive x negative compound tense (suffix-fixture paradigm product:
+    # uygula+n+mazsa), conditional clause with its own subject
+    dict(
+        text="Kurallar uygulanmazsa ceza kesilecek.",
+        tokens=["Kurallar", "uygulanmazsa", "ceza", "kesilecek", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    # -lAn+DIr acquire-causative paradigm product (ödül+lendir+di)
+    dict(
+        text="Şirket genç çalışanlarını ödüllendirdi.",
+        tokens=["Şirket", "genç", "çalışanlarını", "ödüllendirdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
+    # finite past before a coordinating conjunction beats the possessed-
+    # noun homograph (taşı+dı over taşıt+P3sg: the kur/kurt class)
+    dict(
+        text="İşçi malzemeyi taşıdı ve depoya koydu.",
+        tokens=["İşçi", "malzemeyi", "taşıdı", "ve", "depoya", "koydu",
+                "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 6, 6, 3, 3],
+        deprels=["nsubj", "obj", "root", "cc", "obl", "conj", "punct"],
+    ),
+    # occupation-noun title (class member beyond the institutional list)
+    # heading a flat name, the name a mid-sentence-capital homograph
+    dict(
+        text="Ressam Demir yeni sergisini açtı.",
+        tokens=["Ressam", "Demir", "yeni", "sergisini", "açtı", "."],
+        upos=["NOUN", "PROPN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 4, 5, 0, 5],
+        deprels=["nsubj", "flat", "amod", "obj", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O"],
+    ),
+    # military title + surname whose lowercase is a case-split homograph
+    # (kara vs kar+Dat): mid-sentence capital takes the citation reading
+    dict(
+        text="Albay Kara törene katıldı.",
+        tokens=["Albay", "Kara", "törene", "katıldı", "."],
+        upos=["NOUN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["nsubj", "flat", "obl", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O"],
+    ),
+    # adjective lifts over the bare compound to the possessed head even
+    # with a degree adverb later in the clause (the adverb modifies the
+    # predicate, not an ablative comparative)
+    dict(
+        text="Eski şehir merkezi oldukça kalabalık.",
+        tokens=["Eski", "şehir", "merkezi", "oldukça", "kalabalık", "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["amod", "nmod", "nsubj", "advmod", "root", "punct"],
+    ),
+    # bare compound modifier before an OVERTLY possessed accusative
+    # object inside a nominalized complement (gıda FİYATLARINI)
+    dict(
+        text="Uzmanlar salgının gıda fiyatlarını artıracağını söyledi.",
+        tokens=["Uzmanlar", "salgının", "gıda", "fiyatlarını",
+                "artıracağını", "söyledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[6, 5, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "nsubj", "nmod", "obj", "ccomp", "root",
+                 "punct"],
+    ),
+    # nominal-reading tie broken toward the longer inflected stem
+    # (amaç+P3sg over ama+Agt), genitive possessor, infinitive predicate
+    dict(
+        text="Projenin amacı gençlere ulaşmak.",
+        tokens=["Projenin", "amacı", "gençlere", "ulaşmak", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obl", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
