@@ -27,6 +27,7 @@ SPLITS = [
     ("blind7", "vnlp_spark.plans.gold_ud_blind7", "BLIND7"),
     ("blind8", "vnlp_spark.plans.gold_ud_blind8", "BLIND8"),
     ("blind9", "vnlp_spark.plans.gold_ud_blind9", "BLIND9"),
+    ("blind10", "vnlp_spark.plans.gold_ud_blind10", "BLIND10"),
 ]
 
 
