@@ -72,9 +72,11 @@ _TEMPORAL_ADVS = {
     "hâlâ", "hala", "bazen", "asla", "belki", "yine", "gene", "ayrıca",
     "ardından", "sonunda", "birlikte", "beraber", "erkenden", "yeniden",
     "tekrar", "önce", "sonra", "erken", "geç", "gerçekten",
-    # lexicalized manner adverbs (Ins-case in the morph table)
+    # lexicalized manner adverbs (Ins-case in the morph table).
+    # "zamanında" is NOT here: UD keeps it a Loc-possessed NOUN oblique
+    # (Borç ZAMANINDA ödenmezse -> zaman+P3sg+Loc, obl)
     "başarıyla", "hızla", "dikkatle", "özenle", "içeri", "dışarı",
-    "zamanında", "sırayla",
+    "sırayla",
 }
 # degree adverbs: advmod to a following ADJ/ADV
 _DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
@@ -122,6 +124,10 @@ _TRANSITIVE_ROOTS = {
     "et", "çal", "sor", "ekle", "onar", "düzelt", "temizle", "yıka", "dile",
     "bırak", "değiştir", "kaydet", "üret", "uygula", "düzenle", "yönet",
     "çöz", "tasarla", "denetle",
+    # everyday physical-action transitives (the kitchen/craft class)
+    "doğra", "kavur", "haşla", "dilimle", "soy", "ez", "süz", "kıy",
+    "öv", "kirala", "onayla", "imzala", "yükle", "indir", "sakla",
+    "boya", "dik", "yık", "sök", "tak", "as", "ser", "katla", "ütüle",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -566,6 +572,13 @@ def py_parse_tokens(
                 continue
             if upos[j] in _NOMINAL and eff_case[j] in ("Dat", "Loc", "Abl", "Ins"):
                 continue  # obliques may intervene before the object
+            if (
+                upos[j] == "ADJ" and j + 1 < v
+                and upos[j + 1] in _NOMINAL
+                and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins")
+            ):
+                continue  # adjective inside an intervening oblique
+                # phrase (soruları SAKİN BİÇİMDE yanıtladı)
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
             if _spatial_frame_mod(j):
@@ -650,6 +663,11 @@ def py_parse_tokens(
             and "A3pl" not in tagsets[i - 1]
             and not (roots_of[i - 1] in _TEMPORAL_ROOTS
                      and i > 1 and upos[i - 2] == "DET")
+            # the name of a title run is not a compound modifier
+            # (Gazeteci YILDIZ soruları ... yanıtladı: Yıldız stays in
+            # the mention, the possessed nominal is the clause object)
+            and not (i > 1 and _CAP_RE.match(tokens[i - 1])
+                     and to_lower(tokens[i - 2]).split("'")[0] in _TITLES)
         )
         obj_later = any(
             upos[j] in _NOMINAL and eff_case[j] == "Acc" for j in range(i + 1, v)
@@ -687,6 +705,11 @@ def py_parse_tokens(
                     and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
                     and not (j + 1 < n and upos[j + 1] == "ADP"))
                 or _spatial_frame_mod(j)
+                # adjective inside an intervening oblique phrase
+                # (soruları SAKİN biçimde yanıtladı)
+                or (upos[j] == "ADJ" and j + 1 < v
+                    and upos[j + 1] in _NOMINAL
+                    and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins"))
             )
             for j in range(i + 1, v)
         )
@@ -981,7 +1004,8 @@ def py_parse_tokens(
             if (
                 i + 1 < n
                 and upos[i + 1] == "VERB"
-                and roots_of[i + 1] in ("ol", "et", "gel", "görün", "dur")
+                and roots_of[i + 1] in ("ol", "et", "gel", "görün", "dur",
+                                        "kal")
             ):
                 # predicative complement of a copular/psych verb
                 # (rahatsız oldu, mantıklı geldi)

@@ -679,8 +679,9 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]
-            if nxt_root in ("ol", "et"):
-                continue  # predicative complement: rahatsız oldu
+            if nxt_root in ("ol", "et", "kal"):
+                continue  # predicative complement: rahatsız oldu,
+                # açık kaldı
             if nxt_root in ("gel", "görün", "dur") and i > 0 and (
                 _case_of(analyses[i - 1]) == "Dat"
             ):

