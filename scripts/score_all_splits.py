@@ -28,6 +28,7 @@ SPLITS = [
     ("blind8", "vnlp_spark.plans.gold_ud_blind8", "BLIND8"),
     ("blind9", "vnlp_spark.plans.gold_ud_blind9", "BLIND9"),
     ("blind10", "vnlp_spark.plans.gold_ud_blind10", "BLIND10"),
+    ("blind11", "vnlp_spark.plans.gold_ud_blind11", "BLIND11"),
 ]
 
 
