@@ -43,6 +43,30 @@ _FRONT_V = set("eiöü")
 _PASS_BACK = ["n", "ın", "un", "ıl", "ul"]
 _PASS_FRONT = ["n", "in", "ün", "il", "ül"]
 
+# negative-insertion maps for participle morphemes: matched portion ->
+# (replacement, tail-vowel re-harmonization).  FutPart is twofold, no
+# re-harmonization; round PastPart variants re-harmonize their tail.
+_FUT_MAP = {
+    "acağ": ("mayacağ", None), "acak": ("mayacak", None),
+    "eceğ": ("meyeceğ", None), "ecek": ("meyecek", None),
+    # y-buffer variants after vowel-final stems (bekle+YECEĞini ->
+    # bekle+MEYECEĞini: the buffer is absorbed by the -mA vowel)
+    "yacağ": ("mayacağ", None), "yacak": ("mayacak", None),
+    "yeceğ": ("meyeceğ", None), "yecek": ("meyecek", None),
+}
+_PAST_MAP = {
+    "dığ": ("madığ", None), "dık": ("madık", None),
+    "duğ": ("madığ", ("u", "ı")), "duk": ("madık", ("u", "ı")),
+    "diğ": ("mediğ", None), "dik": ("medik", None),
+    "düğ": ("mediğ", ("ü", "i")), "dük": ("medik", ("ü", "i")),
+    # voiceless-initial variants (yapTIĞI): the negative always yields
+    # the d-form after the -mA vowel (yap+maDIĞI)
+    "tığ": ("madığ", None), "tık": ("madık", None),
+    "tuğ": ("madığ", ("u", "ı")), "tuk": ("madık", ("u", "ı")),
+    "tiğ": ("mediğ", None), "tik": ("medik", None),
+    "tüğ": ("mediğ", ("ü", "i")), "tük": ("medik", ("ü", "i")),
+}
+
 
 def _first_vowel(s):
     for ch in s:
@@ -64,6 +88,39 @@ def derive(rows):
                 new_tags = "Verb+DB+Verb+Pass+Neg+" + tags[len("Verb+Neg+"):]
                 for p in allo:
                     out.append((p + surface, new_tags))
+        # 3. negative participle/nominalization families (blind-11:
+        #    `unutmayacağını` fell to Unknown — positive FutPart/PastPart
+        #    nominalizations were present, their negatives were not).
+        #    The negative marker slots in directly before the participle
+        #    morpheme, after any voice stack (artır+MA+yacağını), with
+        #    the y-buffer before vowel-initial FutPart.
+        for probe, fam in (("+Pos+DB+Noun+FutPart", "fut"),
+                           ("+Pos+DB+Adj+FutPart", "fut"),
+                           ("+Pos+DB+Noun+PastPart", "past"),
+                           ("+Pos+DB+Adj+PastPart", "past")):
+            if probe not in tags:
+                continue
+            new_tags = tags.replace(probe, probe.replace("+Pos+", "+Neg+"))
+            table = _FUT_MAP if fam == "fut" else _PAST_MAP
+            # rightmost morpheme match; on equal END prefer the longer
+            # key so the y-buffer variant wins over its bare substring
+            hit = None
+            for key in table:
+                p = surface.rfind(key)
+                if p >= 0 and (hit is None
+                               or (p + len(key), len(key))
+                               > (hit[0] + len(hit[1]), len(hit[1]))):
+                    hit = (p, key)
+            if hit:
+                p, key = hit
+                repl, vmap = table[key]
+                tail = surface[p + len(key):]
+                if vmap:
+                    # the negative marker re-harmonizes the round high
+                    # vowels of the tail (olduğunu -> olmadığını)
+                    tail = tail.replace(vmap[0], vmap[1])
+                out.append((surface[:p] + repl + tail, new_tags))
+            break
         # 2. -lAn+DIr acquire-causative product
         if tags.startswith("Verb+DB+Verb+Caus+"):
             rest = tags[len("Verb+DB+Verb+Caus+"):]
@@ -83,15 +140,21 @@ def main():
     with gzip.open(PATH, "rt", encoding="utf-8") as f:
         existing_lines = f.read().splitlines()
     existing = set(existing_lines)
-    rows = [tuple(l.split("\t")) for l in existing_lines]
     added = 0
     new_lines = list(existing_lines)
-    for surface, tags in derive(rows):
-        line = f"{surface}\t{tags}"
-        if line not in existing:
-            existing.add(line)
-            new_lines.append(line)
-            added += 1
+    # iterate to a fixpoint so the products compose (a rule-3 negative
+    # participle then gains its rule-1 passive twins: taşınmayacağı)
+    frontier = [tuple(l.split("\t")) for l in existing_lines]
+    while frontier:
+        fresh = []
+        for surface, tags in derive(frontier):
+            line = f"{surface}\t{tags}"
+            if line not in existing:
+                existing.add(line)
+                new_lines.append(line)
+                fresh.append((surface, tags))
+                added += 1
+        frontier = fresh
     if added:
         with gzip.open(PATH, "wt", encoding="utf-8", newline="\n") as f:
             f.write("\n".join(new_lines) + "\n")

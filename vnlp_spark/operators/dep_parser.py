@@ -1024,9 +1024,12 @@ def py_parse_tokens(
                 nom is not None
                 and nom + 1 < n
                 and upos[nom + 1] in _NOMINAL
-                and _case_of(analyses[nom]) in ("Nom", "")
-                and not possessed(nom)
-                and possessed(nom + 1)
+                and eff_case[nom] in ("Nom", "")
+                and not eff_poss[nom]
+                # the RESOLVED possession decides: an Acc-resolved object
+                # is not a compound head (Yeni KÖPRÜ ulaşımı oldukça
+                # kolaylaştırdı keeps amod on köprü)
+                and eff_poss[nom + 1]
                 and not (nom + 2 < n
                          and (upos[nom + 2] == "ADP"
                               or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS

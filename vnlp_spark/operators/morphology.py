@@ -377,9 +377,14 @@ class HeuristicDisambiguator:
                 # finite readings beat nominal homographs also mid-sentence
                 # (arttı = art+Past, not 'its remainder')
                 s += 2.0
-                # a dative complement to the left selects the verb over a
-                # whole-word noun homograph (yola çıktı != 'the printout')
-                if prev_case in ("Dat", "Abl"):
+                # an oblique complement to the left selects the verb over
+                # a whole-word noun homograph (yola çıktı, parkta koştu
+                # != 'the printout' / 'its parallel').  After a locative
+                # the Aorist stays out: -Ar 3sg readings collide with
+                # plural nouns (mahallede ELEKTRİKLER != elektrikle+Aor)
+                if prev_case in ("Dat", "Abl") or (
+                    prev_case == "Loc" and "Aor" not in tag_set
+                ):
                     s += 6.0
                 # clause coordination: a finite verb directly before a
                 # coordinating conjunction is the first conjunct's
@@ -391,7 +396,10 @@ class HeuristicDisambiguator:
                     idx + 1 < len(tokens)
                     and to_lower(tokens[idx + 1]) in _COORD_CONJS
                 ):
-                    s += 6.0
+                    # +8 matches the sentence-final finite bonus: the
+                    # pre-coordinator slot IS clause-final for the first
+                    # conjunct (parkta KOŞTU ve ... sallandı)
+                    s += 8.0
             # an oblique-case nominal directly to the left is an argument
             # looking for a licensor: the -An participle reading beats a
             # lexicalized whole-word noun homograph (Fabrikada ÇALIŞAN
@@ -451,6 +459,26 @@ class HeuristicDisambiguator:
             # in argument positions keep their nominal reading (taze
             # balık getirdi: balık = Noun, not Adj)
             s += 4.0
+        if first != "Verb" and "Verb" in tag_set:
+            # DERIVED verbs (Become/Acquire: kesinLEŞECEK) carry the same
+            # sentence-final finite-vs-participle asymmetry as plain
+            # verbs; judge the segment after the LAST derivation boundary
+            last_db = len(tags) - 1 - tags[::-1].index("DB") if "DB" in tags else -1
+            final_seg = set(tags[last_db + 1:])
+            if sent_final:
+                # zero-copula chains (aç+Adj+...+Zero+Past 'it was open')
+                # keep their own penalties, and a Verb-first finite rival
+                # (yenile+ndi vs yeni+lendi) needs no counterweight; only
+                # derived-verb conjugations competing against OTHER
+                # derived readings (kesinLEŞECEK FutPart vs Fut) earn the
+                # finite bonus
+                if (final_seg & {"Aor", "Past", "Prog1", "Fut", "Narr"}
+                        and "Zero" not in final_seg
+                        and not has_finite_rival):
+                    s += 8.0
+                elif final_seg & {"PresPart", "FutPart", "PastPart",
+                                  "Agt", "Inf", "Inf2", "Inf3"}:
+                    s -= 4.0
         # a case-marked segmentation with a dictionary root usually beats
         # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
         if not suffix and has_segmented_rival and first != "Adj":

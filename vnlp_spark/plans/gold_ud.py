@@ -1638,6 +1638,45 @@ UD_GOLD: List[dict] = [
         deprels=["nsubj", "flat", "obj", "advmod", "root", "punct"],
         ner=["O", "PER", "O", "O", "O", "O"],
     ),
+    # --- blind-11 category pins (fresh lexemes, general rules) ---------
+    # negative participle nominalization over a causative stem
+    # (artır+MA+yacağını, the suffix-fixture rule-3 product)
+    dict(
+        text="Şirket fiyatları artırmayacağını duyurdu.",
+        tokens=["Şirket", "fiyatları", "artırmayacağını", "duyurdu",
+                "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "obj", "ccomp", "root", "punct"],
+    ),
+    # derived-verb (Become) sentence-final finite over its participle
+    # homograph (dijitalleşecek = Fut, not FutPart)
+    dict(
+        text="Kurumlar önümüzdeki yıl dijitalleşecek.",
+        tokens=["Kurumlar", "önümüzdeki", "yıl", "dijitalleşecek",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obl", "root", "punct"],
+    ),
+    # locative oblique + clause coordination select the finite verb over
+    # a possessed-noun homograph (şakı+dı over şakıt+P3sg)
+    dict(
+        text="Kuşlar bahçede şakıdı ve uçtu.",
+        tokens=["Kuşlar", "bahçede", "şakıdı", "ve", "uçtu", "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 5, 3, 3],
+        deprels=["nsubj", "obl", "root", "cc", "conj", "punct"],
+    ),
+    # the amod walk consults the RESOLVED possession: an Acc-resolved
+    # object is not a compound head (amod stays on şirket)
+    dict(
+        text="Genç şirket üretimi hızla artırdı.",
+        tokens=["Genç", "şirket", "üretimi", "hızla", "artırdı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["amod", "nsubj", "obj", "advmod", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
