@@ -377,6 +377,12 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                          and _case_of(analyses[i + 1]) in ("Nom", "")))
             and not all(out[j] == "PUNCT" for j in range(i + 1, n))
             and not (i + 1 < n and out[i + 1] == "VERB")
+            # manner-frame hosts keep their attributive adjective even
+            # case-marked (dikkatli ŞEKİLDE, sakin BİÇİMDE)
+            and not (i + 1 < n and out[i + 1] == "NOUN"
+                     and analyses[i + 1].split("+", 1)[0]
+                     in ("şekil", "biçim", "tarz", "üslup")
+                     and _case_of(analyses[i + 1]) in ("Loc", "Ins"))
         ):
             # -lH/-sHz adjective not modifying anything nominal is a
             # zero-derived noun (Mahalleli ... rahatsız oldu); but keep

@@ -1677,6 +1677,15 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 5, 5, 0, 5],
         deprels=["amod", "nsubj", "obj", "advmod", "root", "punct"],
     ),
+    # a -lI adjective before a case-marked manner-frame host stays
+    # attributive (planlı BİÇİMDE), it is not a zero-derived noun
+    dict(
+        text="Ekip sorunu planlı biçimde çözdü.",
+        tokens=["Ekip", "sorunu", "planlı", "biçimde", "çözdü", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "amod", "obl", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
