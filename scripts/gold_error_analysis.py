@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind11" in sys.argv:
+    if "--blind12" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind12 import BLIND12 as entries
+    elif "--blind11" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind11 import BLIND11 as entries
     elif "--blind10" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind10 import BLIND10 as entries

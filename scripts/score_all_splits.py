@@ -29,6 +29,7 @@ SPLITS = [
     ("blind9", "vnlp_spark.plans.gold_ud_blind9", "BLIND9"),
     ("blind10", "vnlp_spark.plans.gold_ud_blind10", "BLIND10"),
     ("blind11", "vnlp_spark.plans.gold_ud_blind11", "BLIND11"),
+    ("blind12", "vnlp_spark.plans.gold_ud_blind12", "BLIND12"),
 ]
 
 

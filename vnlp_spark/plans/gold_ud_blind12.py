@@ -1,0 +1,197 @@
+"""Twelfth BLIND gold split — round 3, post-blind-11 generalization check.
+
+Protocol (same as gold_ud_blind{,2..11}.py): blind-11 (commit c1a0129)
+was scored ONCE at triple P/R 0.850/0.895 and its four residual
+categories were fixed with general rules and pinned, burning it.
+These 20 NEW sentences were written and UD-annotated by hand AFTER
+those fixes (and the manner-frame PoS fix, commit 931a94d) landed and
+are COMMITTED BEFORE the engine touches them in any way (the
+tokenizations below are hand-written).  The first-run score is
+recorded as-is in BENCH.md regardless of outcome.
+
+Register: representative web-news, fresh content lexemes.  Unseen-
+member probes of the blind-11 burn categories: negative FutPart and
+passive-negative PastPart nominalizations (``erteleyeceğini``,
+``tamamlanmadığını``), a Become-Fut finite (``yaygınlaşacak``), the
+locative+coordinator homograph frame on the one class member that
+resisted all round (``mutfakta yoğurdu ve``), the amod-walk stop on an
+Acc-resolved object (``Eski fabrika üretimi ... başlattı``), and a
+manner-frame -lI adjective (``özenli biçimde``).  Earlier burned
+classes with unseen members: title-flats over verb-rival and ADJ-stem
+surnames (``Eczacı Yılmaz``, ``Müfettiş Sert``), a relational-noun
+host (``Görüşmeler sonucunda``), a genitive-stays-possessor control
+with a saturated compound and NO nominalization (``Sürücünün park
+cezası``), a passive×negative conditional with the In allomorph
+(``alınmazsa``), VP coordination with a post-coordinator adjective
+(``ve taze ürünler``), an ``-Ip`` converb chain (``gezip``), an
+unseen comparative (``öncekinden daha``), ``kal-`` copular (``kapalı
+kaldı``), existential ``var`` root, and amod-on-compound-head under
+it (``yeni oyun alanları var``).
+
+Annotation conventions: universaldependencies.org/tr, identical to
+gold_ud.py and the earlier splits.
+"""
+from typing import List
+
+BLIND12: List[dict] = [
+    dict(
+        text="Usta mayayı mutfakta yoğurdu ve dinlendirdi.",
+        tokens=["Usta", "mayayı", "mutfakta", "yoğurdu", "ve",
+                "dinlendirdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "CCONJ", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 6, 4, 4],
+        deprels=["nsubj", "obj", "obl", "root", "cc", "conj", "punct"],
+    ),
+    dict(
+        text="Gazete bakanlığın vergi düzenlemesini erteleyeceğini"
+             " yazdı.",
+        tokens=["Gazete", "bakanlığın", "vergi", "düzenlemesini",
+                "erteleyeceğini", "yazdı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[6, 5, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "nsubj", "nmod", "obj", "ccomp", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Komisyon raporun tamamlanmadığını açıkladı.",
+        tokens=["Komisyon", "raporun", "tamamlanmadığını", "açıkladı",
+                "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nsubj", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Elektrikli araçlar hızla yaygınlaşacak.",
+        tokens=["Elektrikli", "araçlar", "hızla", "yaygınlaşacak",
+                "."],
+        upos=["ADJ", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Sanatçılar duvarı özenli biçimde boyadı.",
+        tokens=["Sanatçılar", "duvarı", "özenli", "biçimde", "boyadı",
+                "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "amod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Eczacı Yılmaz ilaçları kontrol etti.",
+        tokens=["Eczacı", "Yılmaz", "ilaçları", "kontrol", "etti",
+                "."],
+        upos=["NOUN", "PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obj", "compound", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Görüşmeler sonucunda anlaşma sağlandı.",
+        tokens=["Görüşmeler", "sonucunda", "anlaşma", "sağlandı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "obl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Sürücünün park cezası iptal edildi.",
+        tokens=["Sürücünün", "park", "cezası", "iptal", "edildi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["nmod", "nmod", "nsubj", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Önlem alınmazsa kayıplar artacak.",
+        tokens=["Önlem", "alınmazsa", "kayıplar", "artacak", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Kafe menüsünü genişletti ve taze ürünler ekledi.",
+        tokens=["Kafe", "menüsünü", "genişletti", "ve", "taze",
+                "ürünler", "ekledi", "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "ADJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[3, 3, 0, 7, 6, 7, 3, 3],
+        deprels=["nsubj", "obj", "root", "cc", "amod", "obj", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Yetkililer bölgeyi gezip hasarı inceledi.",
+        tokens=["Yetkililer", "bölgeyi", "gezip", "hasarı", "inceledi",
+                "."],
+        upos=["NOUN", "NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "advcl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Yeni sistem öncekinden daha güvenli.",
+        tokens=["Yeni", "sistem", "öncekinden", "daha", "güvenli",
+                "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["amod", "nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Yollar kar nedeniyle kapalı kaldı.",
+        tokens=["Yollar", "kar", "nedeniyle", "kapalı", "kaldı", "."],
+        upos=["NOUN", "NOUN", "ADP", "ADJ", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Görevli afişleri duvara astı.",
+        tokens=["Görevli", "afişleri", "duvara", "astı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Parkta yeni oyun alanları var.",
+        tokens=["Parkta", "yeni", "oyun", "alanları", "var", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "ADJ", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["obl", "amod", "nmod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Müfettiş Sert belgeleri istedi.",
+        tokens=["Müfettiş", "Sert", "belgeleri", "istedi", "."],
+        upos=["NOUN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["nsubj", "flat", "obj", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O"],
+    ),
+    dict(
+        text="Eski fabrika üretimi yeniden başlattı.",
+        tokens=["Eski", "fabrika", "üretimi", "yeniden", "başlattı",
+                "."],
+        upos=["ADJ", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["amod", "nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Doktorlar hastayı ameliyata hazırladı.",
+        tokens=["Doktorlar", "hastayı", "ameliyata", "hazırladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kadın çantasını otobüste unuttu.",
+        tokens=["Kadın", "çantasını", "otobüste", "unuttu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Belediye başkanı yeni projeyi tanıttı.",
+        tokens=["Belediye", "başkanı", "yeni", "projeyi", "tanıttı",
+                "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+]
+
+for _g in BLIND12:
+    _g.setdefault("ner", ["O"] * len(_g["tokens"]))
