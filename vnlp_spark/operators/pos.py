@@ -144,6 +144,12 @@ _GRAMMAT_ADPS = {
 # reading for the bare uninflected surface / zero-copula predicate
 _LOAN_ADJS = {"net", "komple", "direkt", "süper", "ekstra", "kalabalık"}
 
+# role nouns whose citation form doubles as an adjective (usta işçi vs
+# USTA mayayı yoğurdu): sentence-initially before a case-marked nominal
+# the role-noun subject reading wins — an adjective cannot modify a
+# case-marked object from outside its NP
+_ROLE_NOUN_ADJS = {"usta", "görevli", "yetkili", "sorumlu"}
+
 # core qualitative adjectives (Turkish grammar's primary nitelik
 # sıfatları): citation-form adjectives so frequent that their accidental
 # P3sg segmentation homographs (yeni = yen+P3sg 'its sleeve') are
@@ -245,6 +251,23 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     last_content = next(
         (i for i in range(n - 1, -1, -1) if upos[i] != "PUNCT"), -1
     )
+    # sentence-initial role-noun/adjective homograph directly before a
+    # case-marked (or Acc-readable) nominal is the clause subject, not
+    # an attributive adjective (USTA mayayı yoğurdu, GÖREVLİ afişleri
+    # astı); before a bare-Nom nominal the attributive reading stands
+    # (usta işçiler, görevli memurlar)
+    if (
+        n > 1
+        and upos[0] == "ADJ"
+        and to_lower(tokens[0]) in _ROLE_NOUN_ADJS
+        and upos[1] in ("NOUN", "PROPN")
+        and (_case_of(analyses[1]) not in ("Nom", "")
+             or "acc" in _readings(tokens[1]))
+    ):
+        upos = list(upos)
+        upos[0] = "NOUN"
+        out = list(out)
+        out[0] = "NOUN"
     for i in range(n):
         low = to_lower(tokens[i])
         tags = set(analyses[i].replace("^", "+").split("+"))

@@ -1686,6 +1686,24 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 4, 5, 0, 5],
         deprels=["nsubj", "obj", "amod", "obl", "root", "punct"],
     ),
+    # --- blind-12 category pins (fresh lexemes, general rules) ---------
+    # sentence-initial role-noun/adjective homograph before a case-
+    # marked nominal is the subject ...
+    dict(
+        text="Sorumlu hataları hemen kabul etti.",
+        tokens=["Sorumlu", "hataları", "hemen", "kabul", "etti", "."],
+        upos=["NOUN", "NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "advmod", "compound", "root", "punct"],
+    ),
+    # ... while before a bare-Nom nominal it stays attributive
+    dict(
+        text="Usta işçiler fabrikada çalıştı.",
+        tokens=["Usta", "işçiler", "fabrikada", "çalıştı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "obl", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
