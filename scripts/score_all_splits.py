@@ -30,6 +30,7 @@ SPLITS = [
     ("blind10", "vnlp_spark.plans.gold_ud_blind10", "BLIND10"),
     ("blind11", "vnlp_spark.plans.gold_ud_blind11", "BLIND11"),
     ("blind12", "vnlp_spark.plans.gold_ud_blind12", "BLIND12"),
+    ("blind13", "vnlp_spark.plans.gold_ud_blind13", "BLIND13"),
 ]
 
 
