@@ -121,6 +121,26 @@ def derive(rows):
                     tail = tail.replace(vmap[0], vmap[1])
                 out.append((surface[:p] + repl + tail, new_tags))
             break
+        # 4. vowel-stem allomorphs of the 1st/2nd-plural possessives:
+        #    after a vowel-final stem the buffer vowel drops
+        #    (iki+miz, araba+nız) — derive the short twin from every
+        #    vowel-initial ImIz/InIz row
+        if tags.startswith("Noun+") and ("P1pl" in tags or "P2pl" in tags):
+            for pre in ("ımız", "imiz", "umuz", "ümüz",
+                        "ınız", "iniz", "unuz", "ünüz"):
+                if surface.startswith(pre):
+                    out.append((surface[1:], tags))
+                    break
+            # numeral stems take the same possessive plurals as
+            # collective pronouns (iki+miz, üçü+nüz): give the bare Nom
+            # rows a Num-initial twin so Num stems can reach them
+            if tags in ("Noun+A3sg+P1pl+Nom", "Noun+A3sg+P2pl+Nom"):
+                out.append((surface, "Num" + tags[len("Noun"):]))
+                for pre in ("ımız", "imiz", "umuz", "ümüz",
+                            "ınız", "iniz", "unuz", "ünüz"):
+                    if surface.startswith(pre):
+                        out.append((surface[1:], "Num" + tags[len("Noun"):]))
+                        break
         # 2. -lAn+DIr acquire-causative product
         if tags.startswith("Verb+DB+Verb+Caus+"):
             rest = tags[len("Verb+DB+Verb+Caus+"):]

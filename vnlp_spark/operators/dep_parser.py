@@ -67,6 +67,12 @@ _CAP_RE = re.compile(r"^[A-ZÇĞİIÖŞÜ]")
 
 # words UD-Turkish treebanks tag ADV regardless of the morph table's
 # nominal reading (dün = 'yesterday', not 'yesterday-the-noun')
+# 1st/2nd-person pronouns that subject person-marked predicates
+_PRON_12 = {
+    "ben", "sen", "biz", "siz", "bizler", "sizler",
+    "hepimiz", "hepiniz", "ikimiz", "ikiniz", "üçümüz", "üçünüz",
+}
+
 _TEMPORAL_ADVS = {
     "dün", "bugün", "yarın", "şimdi", "demin", "artık", "hemen", "henüz",
     "hâlâ", "hala", "bazen", "asla", "belki", "yine", "gene", "ayrıca",
@@ -128,6 +134,7 @@ _TRANSITIVE_ROOTS = {
     "doğra", "kavur", "haşla", "dilimle", "soy", "ez", "süz", "kıy",
     "öv", "kirala", "onayla", "imzala", "yükle", "indir", "sakla",
     "boya", "dik", "yık", "sök", "tak", "as", "ser", "katla", "ütüle",
+    "bas", "yay", "tart", "ölç", "say", "karıştır", "tara",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -704,6 +711,10 @@ def py_parse_tokens(
                 or (upos[j] in _NOMINAL
                     and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
                     and not (j + 1 < n and upos[j + 1] == "ADP"))
+                # bare time expressions are obliques here too (Belediye
+                # simitçileri SABAH denetledi), mirroring
+                # _adjacent_to_verb
+                or (upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS)
                 or _spatial_frame_mod(j)
                 # adjective inside an intervening oblique phrase
                 # (soruları SAKİN biçimde yanıtladı)
@@ -931,6 +942,11 @@ def py_parse_tokens(
             )
             heads[i], rels[i] = ((prev_v if prev_v is not None else root) + 1), "aux"
         elif u == "NUM":
+            if tagsets[i] & {"P1pl", "P2pl", "P3pl", "P1sg", "P2sg"}:
+                # a POSSESSED numeral (ikimiz 'the two of us') is a
+                # collective pronoun heading its own slot, never a
+                # nummod of the next noun — leave it to the nominal pass
+                continue
             if (
                 i + 1 < n
                 and upos[i + 1] == "VERB"
@@ -1067,6 +1083,33 @@ def py_parse_tokens(
                 upos[j] == "VERB" for j in range(first + 1, i)
             )
             if first is not None and not verb_between:
+                # conjuncts chain to the FIRST conjunct (elma, armut ve
+                # ÜZÜM -> üzüm conj elma, not conj armut)
+                if rels[first] == "conj" and heads[first] > 0:
+                    first = heads[first] - 1
+                heads[i], rels[i] = first + 1, "conj"
+                continue
+
+        # comma-separated list conjunct: X , Y ... ve Z (a later
+        # CCONJ+nominal before the predicate marks the list context —
+        # a bare comma otherwise separates clauses/appositions)
+        if (
+            prev_upos == "PUNCT" and i > 0 and tokens[i - 1] == ","
+        ):
+            first = next(
+                (j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL),
+                None,
+            )
+            verb_between = first is not None and any(
+                upos[j] == "VERB" for j in range(first + 1, i)
+            )
+            listy = any(
+                upos[j] == "CCONJ" and j + 1 < n
+                and upos[j + 1] in _NOMINAL
+                for j in range(i + 1, p if p > i else n)
+            )
+            if (first is not None and not verb_between and listy
+                    and eff_case[i] in (eff_case[first], "")):
                 heads[i], rels[i] = first + 1, "conj"
                 continue
 
@@ -1240,7 +1283,14 @@ def py_parse_tokens(
                      or (eff_poss[i + 1] and eff_case[i + 1] in ("Nom", "")))
                 and not (i + 1 in run_member and i not in run_member)
             )
-            if (compoundable and eff_case[i + 1] not in ("Nom", "")
+            if (compoundable and eff_case[i + 1] == "Gen"
+                    and eff_poss[i + 1]):
+                # a bare nominal before a possessed GENITIVE is the
+                # zincirleme chain's modifier outright (OKUL müdürünün
+                # odası): the genitive cannot be a clause argument, so
+                # the subject-viability test does not apply
+                pass
+            elif (compoundable and eff_case[i + 1] not in ("Nom", "")
                     and not tagsets[i + 1] & {"P1sg", "P2sg", "P1pl", "P2pl"}):
                 viable_subject = (
                     p not in subj_of
@@ -1298,6 +1348,17 @@ def py_parse_tokens(
                     heads[i], rels[i] = v + 1, "obl"
                 else:
                     heads[i], rels[i] = p + 1, "obl"
+            elif (
+                to_lower(tokens[i]) in _PRON_12
+                and verb_person_12(p)
+                and p not in subj_of
+            ):
+                # a 1st/2nd-person pronoun IS the subject of a
+                # person-marked predicate (HEPİMİZ sevindik, biz
+                # kazandık) — the pro-drop rule only bars 3rd-person
+                # nominals
+                heads[i], rels[i] = p + 1, "nsubj"
+                subj_of[p] = i
             elif p not in subj_of and not verb_person_12(p):
                 if preverbal:
                     # directly preverbal: indefinite subject vs bare object
@@ -1423,6 +1484,15 @@ def py_parse_tokens(
                 heads[i], rels[i] = vt + 1, "obl" if intransitive else "obj"
             else:
                 heads[i], rels[i] = vt + 1, "obl"
+
+    # a list comma attaches to the conjunct it introduces (elma ,
+    # ARMUT ve üzüm), not to the clause predicate
+    for i in range(n):
+        if (
+            upos[i] == "PUNCT" and tokens[i] == ","
+            and i + 1 < n and rels[i + 1] == "conj"
+        ):
+            heads[i], rels[i] = i + 2, "punct"
 
     # --- leftovers -------------------------------------------------------
     for i in range(n):

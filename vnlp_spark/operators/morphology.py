@@ -739,6 +739,19 @@ def _unknown_fallback_candidates(word: str) -> list:
             if {"P2sg", "P2pl"} & set(tag_seq):
                 continue
             out.append((stem, sfx, list(tag_seq)))
+    # a cut whose stem is a PRODUCTIVE agentive derivation of a known
+    # stem (oyun+cu, sanat+çı) is evidenced where arbitrary unknown
+    # stems are not: the -CI noun behaves like a dictionary word, so its
+    # cuts win outright (oyuncu+larını over oyuncuların+ı — the bare
+    # longest-stem heuristic picks the wrong split for this class)
+    agt = [
+        (stem, sfx, tags) for stem, sfx, tags in out
+        if len(stem) > 4 and len(sfx) >= 2
+        and stem[-2:] in ("cı", "ci", "cu", "cü", "çı", "çi", "çu", "çü")
+        and stem[:-2] in gen.stem_dic
+    ]
+    if agt:
+        return agt
     # all legal cuts compete; the disambiguator's possessive/person priors
     # pick the split (işsizlik+ten Abl over işsizlikte+n P2sg)
     return out

@@ -1704,6 +1704,55 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=["amod", "nsubj", "obl", "root", "punct"],
     ),
+    # --- blind-13 category pins (fresh lexemes, general rules) ---------
+    # productive -CI agentive of a known stem through the unknown-stem
+    # fallback (simit+çi), bare temporal transparent for adjacency
+    dict(
+        text="Belediye simitçileri sabah denetledi.",
+        tokens=["Belediye", "simitçileri", "sabah", "denetledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    # press/print transitive class member
+    dict(
+        text="Matbaa afişleri bastı.",
+        tokens=["Matbaa", "afişleri", "bastı", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    # bare nominal before a possessed GENITIVE is the zincirleme
+    # modifier outright (the genitive cannot be a clause argument)
+    dict(
+        text="Takım kaptanının sakatlığı üzüntü yarattı.",
+        tokens=["Takım", "kaptanının", "sakatlığı", "üzüntü",
+                "yarattı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["nmod", "nmod", "nsubj", "obj", "root", "punct"],
+    ),
+    # comma-separated list conjuncts all chain to the FIRST conjunct,
+    # the comma attaches to the conjunct it introduces
+    dict(
+        text="Masada kalem, defter ve silgi duruyor.",
+        tokens=["Masada", "kalem", ",", "defter", "ve", "silgi",
+                "duruyor", "."],
+        upos=["NOUN", "NOUN", "PUNCT", "NOUN", "CCONJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 7, 4, 2, 6, 2, 0, 7],
+        deprels=["obl", "nsubj", "punct", "conj", "cc", "conj", "root",
+                 "punct"],
+    ),
+    # a 1st/2nd-person pronoun (incl. the Num+P1pl ikimiz class) is the
+    # subject of a person-marked predicate
+    dict(
+        text="İkimiz maçı birlikte izledik.",
+        tokens=["İkimiz", "maçı", "birlikte", "izledik", "."],
+        upos=["NUM", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
