@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind13" in sys.argv:
+    if "--blind14" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind14 import BLIND14 as entries
+    elif "--blind13" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind13 import BLIND13 as entries
     elif "--blind12" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind12 import BLIND12 as entries

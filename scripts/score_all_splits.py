@@ -31,6 +31,7 @@ SPLITS = [
     ("blind11", "vnlp_spark.plans.gold_ud_blind11", "BLIND11"),
     ("blind12", "vnlp_spark.plans.gold_ud_blind12", "BLIND12"),
     ("blind13", "vnlp_spark.plans.gold_ud_blind13", "BLIND13"),
+    ("blind14", "vnlp_spark.plans.gold_ud_blind14", "BLIND14"),
 ]
 
 
