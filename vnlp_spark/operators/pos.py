@@ -451,6 +451,13 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "bare_adj" in _readings(tokens[i])
             and not _CAP_RE.match(tokens[i])
             and "Agt" not in tags
+            # an ablative comparative frame keeps the noun: the Abl is
+            # the predicate's standard of comparison, not an argument
+            # the homograph must escape (Bu KUMAŞ diğerinden daha
+            # yumuşak)
+            and not (_case_of(analyses[i + 1]) == "Abl"
+                     and i + 2 < n
+                     and to_lower(tokens[i + 2]) in _DEGREE_ADVS)
         ):
             # noun/adjective homograph before a CASE-MARKED nominal it
             # cannot compound with is the adjective (yabancı liderlerle

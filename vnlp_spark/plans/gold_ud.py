@@ -1753,6 +1753,16 @@ UD_GOLD: List[dict] = [
         heads=[4, 4, 4, 0, 4],
         deprels=["nsubj", "obj", "advmod", "root", "punct"],
     ),
+    # --- blind-14 category pin (fresh lexeme, general rule) ------------
+    # a noun/adjective homograph before an ablative COMPARATIVE frame
+    # stays the subject noun (the Abl is the standard of comparison)
+    dict(
+        text="Bu ipek diğerinden daha parlak.",
+        tokens=["Bu", "ipek", "diğerinden", "daha", "parlak", "."],
+        upos=["DET", "NOUN", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["det", "nsubj", "obl", "advmod", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
