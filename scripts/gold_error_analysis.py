@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind14" in sys.argv:
+    if "--blind15" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind15 import BLIND15 as entries
+    elif "--blind14" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind14 import BLIND14 as entries
     elif "--blind13" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind13 import BLIND13 as entries

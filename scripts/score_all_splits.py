@@ -32,6 +32,7 @@ SPLITS = [
     ("blind12", "vnlp_spark.plans.gold_ud_blind12", "BLIND12"),
     ("blind13", "vnlp_spark.plans.gold_ud_blind13", "BLIND13"),
     ("blind14", "vnlp_spark.plans.gold_ud_blind14", "BLIND14"),
+    ("blind15", "vnlp_spark.plans.gold_ud_blind15", "BLIND15"),
 ]
 
 
