@@ -82,7 +82,7 @@ _TEMPORAL_ADVS = {
     # "zamanında" is NOT here: UD keeps it a Loc-possessed NOUN oblique
     # (Borç ZAMANINDA ödenmezse -> zaman+P3sg+Loc, obl)
     "başarıyla", "hızla", "dikkatle", "özenle", "içeri", "dışarı",
-    "sırayla",
+    "sırayla", "önceden",
 }
 # degree adverbs: advmod to a following ADJ/ADV
 _DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
@@ -96,6 +96,10 @@ _TEMPORAL_ROOTS = {
     "dakika", "saat", "saniye", "dönem", "çeyrek", "mevsim", "asır",
     "yüzyıl", "pazartesi", "salı", "çarşamba", "perşembe", "cuma",
     "cumartesi", "pazar",
+    # frequency nouns behave identically (üçüncü KEZ kazandı -> obl);
+    # "sefer" stays out — its trip/flight sense is a regular noun
+    # (seferler durduruldu)
+    "kez", "defa", "kere",
 }
 # ADP whose complement precedes it (postpositions) keep the old handling;
 # önce/sonra after a bare time NP are ADP too
@@ -916,6 +920,16 @@ def py_parse_tokens(
             nxt = [p for p in preds if p > i]
             heads[i], rels[i] = (nxt[0] if nxt else root) + 1, "punct"
         elif u == "CCONJ":
+            if to_lower(tokens[i]) in ("de", "da") and i > 0:
+                # the emphatic particle attaches to the word it focuses
+                # (Veliler DE ... itiraz etti), it coordinates nothing
+                prev_w = next(
+                    (j for j in range(i - 1, -1, -1)
+                     if upos[j] != "PUNCT"), None,
+                )
+                if prev_w is not None:
+                    heads[i], rels[i] = prev_w + 1, "advmod"
+                    continue
             # cc attaches forward to the conjunct it introduces; a
             # conj-labeled verb wins over nearer nominals (clause
             # coordination: ucurdu ve ... yedi)
@@ -1077,7 +1091,7 @@ def py_parse_tokens(
 
         # nominal conjunct: X ve Y (only when no verb intervenes between
         # the conjuncts -- otherwise the CCONJ coordinates clauses)
-        if prev_upos == "CCONJ":
+        if prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da"):
             first = next((j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL), None)
             verb_between = first is not None and any(
                 upos[j] == "VERB" for j in range(first + 1, i)
@@ -1484,6 +1498,23 @@ def py_parse_tokens(
                 heads[i], rels[i] = vt + 1, "obl" if intransitive else "obj"
             else:
                 heads[i], rels[i] = vt + 1, "obl"
+
+    # a cc whose attachment never became a conjunct re-points to the
+    # next conj token, else to the following predicate (ANCAK sonuç
+    # değişmedi -> cc on the clause)
+    for i in range(n):
+        if upos[i] == "CCONJ" and rels[i] == "cc":
+            h = heads[i] - 1
+            if 0 <= h < n and rels[h] not in ("conj", "root"):
+                nxt_conj = next(
+                    (j for j in range(i + 1, n) if rels[j] == "conj"),
+                    None,
+                )
+                if nxt_conj is not None:
+                    heads[i] = nxt_conj + 1
+                else:
+                    nxt_p = next((pp for pp in preds if pp > i), root)
+                    heads[i] = nxt_p + 1
 
     # a list comma attaches to the conjunct it introduces (elma ,
     # ARMUT ve üzüm), not to the clause predicate

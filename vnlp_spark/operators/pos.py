@@ -543,7 +543,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     # reading (Profesör Orhan); apostrophe-cliticized capitals are proper
     # everywhere (İstanbul'dan)
     for i in range(n):
-        if out[i] not in ("NOUN", "PROPN") or not _CAP_RE.match(tokens[i]):
+        if not _CAP_RE.match(tokens[i]):
+            continue
+        # a mid-sentence capitalized ADJECTIVE next to a capitalized
+        # name is a surname homograph (Doçent Ece AYDIN), not an
+        # attributive adjective; sentence-initial ADJ stays out
+        if out[i] not in ("NOUN", "PROPN") and not (
+            out[i] == "ADJ" and i > 0
+            # -ki relatives of place names (Ankara'daki) are real
+            # adjectives, not surname homographs
+            and "Rel" not in analyses[i]
+            and "'" not in tokens[i] and "’" not in tokens[i]
+        ):
             continue
         low = to_lower(tokens[i])
         if ("'" in tokens[i] or "’" in tokens[i]) and out[i] == "NOUN":

@@ -1763,6 +1763,48 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 5, 5, 0, 5],
         deprels=["det", "nsubj", "obl", "advmod", "root", "punct"],
     ),
+    # --- blind-15 category pins (fresh lexemes, general rules) ---------
+    # frequency nouns are obliques like time nouns (ikinci DEFA)
+    dict(
+        text="Ekip ödülü ikinci defa kazandı.",
+        tokens=["Ekip", "ödülü", "ikinci", "defa", "kazandı", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "amod", "obl", "root", "punct"],
+    ),
+    # the emphatic particle attaches to the word it focuses
+    dict(
+        text="Öğretmenler de yürüyüşe katıldı.",
+        tokens=["Öğretmenler", "de", "yürüyüşe", "katıldı", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["nsubj", "advmod", "obl", "root", "punct"],
+    ),
+    # a sentence-initial contrastive conjunction is cc on the clause
+    dict(
+        text="Fakat fiyatlar düşmedi.",
+        tokens=["Fakat", "fiyatlar", "düşmedi", "."],
+        upos=["CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["cc", "nsubj", "root", "punct"],
+    ),
+    # a mid-run capitalized ADJ-stem surname is PROPN flat (Sarı)
+    dict(
+        text="Savcı Emre Sarı dosyayı kapattı.",
+        tokens=["Savcı", "Emre", "Sarı", "dosyayı", "kapattı", "."],
+        upos=["NOUN", "PROPN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 1, 5, 0, 5],
+        deprels=["nsubj", "flat", "flat", "obj", "root", "punct"],
+        ner=["O", "PER", "PER", "O", "O", "O"],
+    ),
+    # lexicalized "önceden" is an adverb, not an ablative oblique
+    dict(
+        text="Uzman riski önceden bildirdi.",
+        tokens=["Uzman", "riski", "önceden", "bildirdi", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
