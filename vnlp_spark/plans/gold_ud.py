@@ -27,6 +27,29 @@ Two consumers:
 Sentences 28/29 reproduce the reference's NER/DP test sentences with the
 reference repo's OWN published annotations (tests/test_general.py) — for
 those two the gold is literally reference output.
+
+ANNOTATION CONVENTIONS (authoritative for every gold_ud_blind*.py
+split — annotate new splits against THIS list; the blind-12
+``sonucunda`` incident was a drift from it):
+
+- first-clause root; subtypes collapsed to base relations
+- title-headed flat names (Doktor Çelik: title NOUN nsubj, name PROPN
+  flat); 3-token runs chain flat to the title
+- amod on the compound head (yeni ders PROGRAMI); conjuncts chain to
+  the FIRST conjunct; a list comma attaches to its conjunct
+- grammaticalized possessed postpositions as ADP/case — the closed
+  list is pos.py _GRAMMAT_ADPS (sırasında, sonucunda, sayesinde,
+  nedeniyle, boyunca, ...); SPATIAL relational nouns stay NOUN with
+  an nmod host (arasında, altına, çevresinde), as do sonuç-free
+  temporal nouns (zamanında, gününde = NOUN obl)
+- nominalized -mA/-DIk/-AcAk complements as ccomp hosting their own
+  arguments; participle relatives as VERB + acl; converbs (-IncA,
+  -Ip, -ArAk, -mAdAn) as advcl, -IncA hosting its own subject
+- existential var/yok as ADJ root; copular predicative complements
+  (ol-, kal-, görün-) as compound; zero-copula adjectives as root
+- emphatic de/da: CCONJ, advmod on the focused word; sentence-initial
+  contrastive CCONJ (Ancak, Fakat): cc on the clause predicate
+- bare time AND frequency nouns (sabah, üçüncü kez) as obl
 """
 from __future__ import annotations
 
