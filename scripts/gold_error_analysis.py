@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind15" in sys.argv:
+    if "--blind16" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind16 import BLIND16 as entries
+    elif "--blind15" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind15 import BLIND15 as entries
     elif "--blind14" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind14 import BLIND14 as entries

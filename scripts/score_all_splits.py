@@ -33,6 +33,7 @@ SPLITS = [
     ("blind13", "vnlp_spark.plans.gold_ud_blind13", "BLIND13"),
     ("blind14", "vnlp_spark.plans.gold_ud_blind14", "BLIND14"),
     ("blind15", "vnlp_spark.plans.gold_ud_blind15", "BLIND15"),
+    ("blind16", "vnlp_spark.plans.gold_ud_blind16", "BLIND16"),
 ]
 
 

@@ -1,0 +1,179 @@
+"""Sixteenth BLIND gold split — round 3, post-blind-15 generalization check.
+
+Protocol (same as gold_ud_blind{,2..15}.py): blind-15 (commit 11b1053's
+record) was scored ONCE at perfect first-run triples (1.000) and its
+five arc-level categories were fixed with general rules and pinned,
+burning it.  These 20 NEW sentences were written and UD-annotated by
+hand AFTER those fixes landed and are COMMITTED BEFORE the engine
+touches them in any way.  The first-run score is recorded as-is in
+BENCH.md regardless of outcome.
+
+Register: representative web-news, fresh content lexemes.  Unseen-
+member probes of the blind-15 fixes: back-harmony emphatic ``da``,
+sentence-initial ``Ama``, frequency ``kere``, the lexicalized-adverb
+class frontier (``sonradan`` — NOT in the current list, a deliberate
+class-boundary probe), ADJ-stem surnames standalone (``Hakim Derin``)
+and inside a three-token flat (``Mühendis Cem Uzun``), and a numeric
+year under ``beri``.  Virgin constructions: the agentive passive
+``tarafından``, separate-token ``ile``, purposive ``için`` over a
+verbal noun, a postverbal ``çünkü`` clause, a reduplicated adverb
+(``yavaş yavaş``), quantifier ``Her``, a P1sg-possessed subject
+(``Babam``), an infinitive csubj (``Yürümek ... iyi gelir``), the
+``içinde`` spatial frame under a numeral, and a month oblique
+(``eylülde``).
+
+Annotation conventions: the authoritative list in gold_ud.py's
+docstring, identical to every earlier split.
+"""
+from typing import List
+
+BLIND16: List[dict] = [
+    dict(
+        text="Sporcular da kampa katıldı.",
+        tokens=["Sporcular", "da", "kampa", "katıldı", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["nsubj", "advmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Ama yağış durmadı.",
+        tokens=["Ama", "yağış", "durmadı", "."],
+        upos=["CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["cc", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Şarkıyı üç kere dinledi.",
+        tokens=["Şarkıyı", "üç", "kere", "dinledi", "."],
+        upos=["NOUN", "NUM", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["obj", "nummod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Hata sonradan fark edildi.",
+        tokens=["Hata", "sonradan", "fark", "edildi", "."],
+        upos=["NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "advmod", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Hakim Derin kararı açıkladı.",
+        tokens=["Hakim", "Derin", "kararı", "açıkladı", "."],
+        upos=["NOUN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["nsubj", "flat", "obj", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O"],
+    ),
+    dict(
+        text="Mühendis Cem Uzun projeyi sundu.",
+        tokens=["Mühendis", "Cem", "Uzun", "projeyi", "sundu", "."],
+        upos=["NOUN", "PROPN", "PROPN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 1, 5, 0, 5],
+        deprels=["nsubj", "flat", "flat", "obj", "root", "punct"],
+        ner=["O", "PER", "PER", "O", "O", "O"],
+    ),
+    dict(
+        text="Karar kurul tarafından onaylandı.",
+        tokens=["Karar", "kurul", "tarafından", "onaylandı", "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Müdür ekibi ile toplantı yaptı.",
+        tokens=["Müdür", "ekibi", "ile", "toplantı", "yaptı", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Şirket büyüme için yatırım yaptı.",
+        tokens=["Şirket", "büyüme", "için", "yatırım", "yaptı", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Maç ertelendi çünkü saha bozuktu.",
+        tokens=["Maç", "ertelendi", "çünkü", "saha", "bozuktu", "."],
+        upos=["NOUN", "VERB", "CCONJ", "NOUN", "ADJ", "PUNCT"],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=["nsubj", "root", "cc", "nsubj", "conj", "punct"],
+    ),
+    dict(
+        text="Fiyatlar yavaş yavaş düştü.",
+        tokens=["Fiyatlar", "yavaş", "yavaş", "düştü", "."],
+        upos=["NOUN", "ADV", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "advmod", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Her öğrenci sınava girdi.",
+        tokens=["Her", "öğrenci", "sınava", "girdi", "."],
+        upos=["DET", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["det", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Babam emekli oldu.",
+        tokens=["Babam", "emekli", "oldu", "."],
+        upos=["NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Yürümek sağlığa iyi gelir.",
+        tokens=["Yürümek", "sağlığa", "iyi", "gelir", "."],
+        upos=["VERB", "NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["csubj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Kargo iki gün içinde teslim edilecek.",
+        tokens=["Kargo", "iki", "gün", "içinde", "teslim", "edilecek",
+                "."],
+        upos=["NOUN", "NUM", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "nummod", "nmod", "obl", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Yeni yönetmelik eylülde yürürlüğe girecek.",
+        tokens=["Yeni", "yönetmelik", "eylülde", "yürürlüğe", "girecek",
+                "."],
+        upos=["ADJ", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["amod", "nsubj", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Turistler antik kenti gezdi.",
+        tokens=["Turistler", "antik", "kenti", "gezdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Hastane yeni cihazlarla donatıldı.",
+        tokens=["Hastane", "yeni", "cihazlarla", "donatıldı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Komşular gürültüden şikayet etti.",
+        tokens=["Komşular", "gürültüden", "şikayet", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Tesis 2020 yılından beri çalışıyor.",
+        tokens=["Tesis", "2020", "yılından", "beri", "çalışıyor", "."],
+        upos=["NOUN", "NUM", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 3, 0, 5],
+        deprels=["nsubj", "nummod", "obl", "case", "root", "punct"],
+    ),
+]
+
+for _g in BLIND16:
+    _g.setdefault("ner", ["O"] * len(_g["tokens"]))
