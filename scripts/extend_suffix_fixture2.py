@@ -141,6 +141,18 @@ def derive(rows):
                     if surface.startswith(pre):
                         out.append((surface[1:], "Num" + tags[len("Noun"):]))
                         break
+        # 5. zero-copula past over -lI/-sIz denominal adjectives
+        #    (hava yağışLIYDI, kaygıSIZDI): the With/Without rows exist
+        #    bare, their copular-past twins do not
+        if tags.endswith("+With") or tags.endswith("+Without"):
+            zp = "+DB+Verb+Zero+Past+A3sg"
+            last_v = next((c for c in reversed(surface)
+                           if c in "aeıioöuü"), "")
+            if last_v:
+                past_v = {"a": "dı", "ı": "dı", "o": "du", "u": "du",
+                          "e": "di", "i": "di", "ö": "dü", "ü": "dü"}[last_v]
+                buf = "y" if surface[-1] in "aeıioöuü" else ""
+                out.append((surface + buf + past_v, tags + zp))
         # 2. -lAn+DIr acquire-causative product
         if tags.startswith("Verb+DB+Verb+Caus+"):
             rest = tags[len("Verb+DB+Verb+Caus+"):]

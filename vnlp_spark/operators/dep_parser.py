@@ -82,7 +82,7 @@ _TEMPORAL_ADVS = {
     # "zamanında" is NOT here: UD keeps it a Loc-possessed NOUN oblique
     # (Borç ZAMANINDA ödenmezse -> zaman+P3sg+Loc, obl)
     "başarıyla", "hızla", "dikkatle", "özenle", "içeri", "dışarı",
-    "sırayla", "önceden",
+    "sırayla", "önceden", "sonradan",
 }
 # degree adverbs: advmod to a following ADJ/ADV
 _DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
@@ -152,6 +152,9 @@ _TRANSITIVE_ROOTS = {
 # the overwhelmingly more frequent frame for a bare preverbal nominal
 # with the subject slot already filled.
 _INTRANSITIVE_ROOTS = {
+    # "ol" never takes an Acc object: possessed-Nom subjects stand
+    # (Kardeşi hasta OLDU)
+    "ol",
     "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç",
     "düş", "çık", "gir", "in", "bat", "ak", "yat", "uyu", "dur", "kaç",
     "var", "öl", "doğ", "büyü", "yaşa", "gez",
@@ -441,6 +444,26 @@ def py_parse_tokens(
                 preds = sorted(preds + [x])
         seg_start = c + 1
 
+    # --- post-matrix CCONJ + zero-copula clause --------------------------
+    # a coordinating conjunction AFTER the matrix predicate that opens a
+    # verbless segment ending in a zero-copula token coordinates CLAUSES:
+    # that token is the second conjunct's predicate (Maç ertelendi ÇÜNKÜ
+    # saha BOZUKTU)
+    for c in range(n):
+        if upos[c] != "CCONJ" or c <= root:
+            continue
+        z = next(
+            (k for k in range(c + 1, n)
+             if "Zero" in tagsets[k] and upos[k] in ("ADJ", "NOUN")
+             and heads[k] == -1),
+            None,
+        )
+        if z is not None and not any(
+            upos[k] == "VERB" for k in range(c + 1, z)
+        ):
+            heads[z], rels[z] = root + 1, "conj"
+            preds = sorted(set(preds) | {z})
+
     def next_pred(i: int) -> int:
         for p in preds:
             if p >= i and p != i:
@@ -617,6 +640,11 @@ def py_parse_tokens(
             eff_case[i], eff_poss[i] = "Nom", True
             continue
         if "Pass" in tagsets[v]:
+            eff_case[i], eff_poss[i] = "Nom", True
+            continue
+        if i + 1 < n and upos[i + 1] == "ADP":
+            # the nominal is the following postposition's complement,
+            # not the clause object (ekibi İLE toplantı yaptı)
             eff_case[i], eff_poss[i] = "Nom", True
             continue
         if i > 0 and eff_case[i - 1] == "Gen":
@@ -1297,6 +1325,30 @@ def py_parse_tokens(
                      or (eff_poss[i + 1] and eff_case[i + 1] in ("Nom", "")))
                 and not (i + 1 in run_member and i not in run_member)
             )
+            if (compoundable and i + 2 < n and upos[i + 2] == "ADP"
+                    and eff_poss[i + 1]):
+                # the possessed nominal heads a postposition phrase: the
+                # bare nominal compounds in only when it is NOT a viable
+                # clause subject (MÜDÜR ekibi ile toplantı yaptı ->
+                # subject; okul müdürü ile görüştük -> compound, and so
+                # is KAR yağışı nedeniyle when the real subject follows)
+                later_subj = any(
+                    upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and not eff_poss[j]
+                    and roots_of[j] not in _TEMPORAL_ROOTS
+                    # the light-verb nominal is not a subject candidate
+                    and not (j + 1 < n and upos[j + 1] == "VERB"
+                             and roots_of[j + 1] in ("et", "yap", "ol"))
+                    for j in range(i + 3, p)
+                )
+                viable_subject = (
+                    p not in subj_of
+                    and not verb_person_12(p)
+                    and low_root not in _TEMPORAL_ROOTS
+                    and not later_subj
+                )
+                compoundable = not viable_subject
             if (compoundable and eff_case[i + 1] == "Gen"
                     and eff_poss[i + 1]):
                 # a bare nominal before a possessed GENITIVE is the

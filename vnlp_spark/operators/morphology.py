@@ -334,6 +334,7 @@ class HeuristicDisambiguator:
         has_pass_rival: bool = False,
         has_converb_rival: bool = False,
         has_adj_whole_rival: bool = False,
+        has_seg_rival_nonp1: bool = True,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -488,8 +489,15 @@ class HeuristicDisambiguator:
                                   "Agt", "Inf", "Inf2", "Inf3"}:
                     s -= 4.0
         # a case-marked segmentation with a dictionary root usually beats
-        # the unmarked whole-word reading (baştan = baş+Abl, not baştan+Nom)
-        if not suffix and has_segmented_rival and first != "Adj":
+        # the unmarked whole-word reading (baştan = baş+Abl, not
+        # baştan+Nom) — except a whole-word NOUN whose only rival is a
+        # P1-possessive split (yatırım vs yatır+P1sg: the lexicalized
+        # -Im nominal stands)
+        if (
+            not suffix and first != "Adj"
+            and (has_seg_rival_nonp1
+                 or (has_segmented_rival and first != "Noun"))
+        ):
             s -= 8.0
             # ... unless the token is capitalized MID-sentence: Turkish
             # orthography capitalizes only names there, so the whole-word
@@ -650,6 +658,18 @@ class HeuristicDisambiguator:
             and self._in_stems(root)
             for root, sfx, tags in cands
         )
+        # does any demoting split exist BEYOND P1-possessive readings?
+        # (a lexicalized -Im NOUN beats its accidental P1sg split —
+        # yatırım stays yatırım, not yatır+P1sg — but P1 splits still
+        # demote non-noun wholes: yarım+Num loses to the Adj reading)
+        has_seg_rival_nonp1 = any(
+            sfx and len(sfx) >= 2 and not isinstance(tags, str)
+            and tags and tags[0].startswith("Noun") and "DB" not in tags
+            and self._in_stems(root)
+            and "Gen" not in tags
+            and not {"P1sg", "P1pl", "P2sg", "P2pl"} & set(tags)
+            for root, sfx, tags in cands
+        )
         has_pass_rival = any(
             not isinstance(tags, str) and tags
             and "Pass" in tags and "DB" in tags
@@ -683,6 +703,7 @@ class HeuristicDisambiguator:
                 has_pass_rival,
                 has_converb_rival,
                 has_adj_whole_rival,
+                has_seg_rival_nonp1,
             )
             # tie-break WITHIN nominal readings: prefer the longer root
             # (inflection over derivation — ağaç+P3sg over ağa+Agt), the

@@ -137,6 +137,9 @@ _GRAMMAT_ADPS = {
     # were not)
     "sonrasında", "öncesinde", "sırasında", "esnasında",
 }
+# NOTE: "tarafından" is NOT in the list — this repo's gold convention
+# (tuning 104, blind-4) keeps the agentive passive as NOUN+obl with an
+# nmod agent, the UD-BOUN treatment
 
 # frequent adjectives the reference stem list tags Noun-only (net,
 # direkt, kalabalık): the vendored lexicon cannot be edited (candidate-
@@ -389,6 +392,29 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             out[i] = "ADJ"
         elif low in _LEX_PRONOUNS:
             out[i] = "PRON"
+        elif (
+            low == "ile"
+            and out[i] == "CCONJ"
+            and not (
+                i > 0 and i + 1 < n
+                and out[i - 1] == "PROPN" and out[i + 1] == "PROPN"
+            )
+        ):
+            # comitative/instrumental "ile" is a postposition (ekibi İLE
+            # toplantı yaptı); only a proper-name pair coordinates
+            # (Ali ile Ayşe)
+            out[i] = "ADP"
+        elif (
+            out[i] == "NOUN"
+            and i + 1 < n
+            and out[i + 1] == "VERB"
+            and analyses[i + 1].split("+", 1)[0] in ("ol", "kal",
+                                                     "görün")
+            and "bare_adj" in _readings(tokens[i])
+        ):
+            # noun/adjective homograph before a copular verb is the
+            # predicative adjective (EMEKLİ oldu, rahatsız görünüyor)
+            out[i] = "ADJ"
         elif low in ("bütün", "tüm") and i + 1 < n and out[i + 1] in ("NOUN", "PROPN"):
             # universal quantifiers are determiners in UD (bütün gün)
             out[i] = "DET"

@@ -41,7 +41,8 @@ split — annotate new splits against THIS list; the blind-12
   list is pos.py _GRAMMAT_ADPS (sırasında, sonucunda, sayesinde,
   nedeniyle, boyunca, ...); SPATIAL relational nouns stay NOUN with
   an nmod host (arasında, altına, çevresinde), as do sonuç-free
-  temporal nouns (zamanında, gününde = NOUN obl)
+  temporal nouns (zamanında, gününde = NOUN obl) AND the agentive
+  passive "tarafından" (NOUN obl, agent as nmod — blind-16 incident)
 - nominalized -mA/-DIk/-AcAk complements as ccomp hosting their own
   arguments; participle relatives as VERB + acl; converbs (-IncA,
   -Ip, -ArAk, -mAdAn) as advcl, -IncA hosting its own subject
@@ -1827,6 +1828,44 @@ UD_GOLD: List[dict] = [
         upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
         heads=[4, 4, 4, 0, 4],
         deprels=["nsubj", "obj", "advmod", "root", "punct"],
+    ),
+    # --- blind-16 category pins (fresh lexemes, general rules) ---------
+    # comitative "ile" is ADP/case; the bare subject stays out of the
+    # postposition phrase when the clause needs it
+    dict(
+        text="Vali heyeti ile bölgeyi gezdi.",
+        tokens=["Vali", "heyeti", "ile", "bölgeyi", "gezdi", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "obj", "root", "punct"],
+    ),
+    # a lexicalized -Im nominal beats its accidental P1sg split
+    # (seçim, not seç+P1sg)
+    dict(
+        text="Hükümet seçim takvimini açıkladı.",
+        tokens=["Hükümet", "seçim", "takvimini", "açıkladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nmod", "obj", "root", "punct"],
+    ),
+    # noun/adjective homograph before a copular verb is the predicative
+    # adjective (hasta OLDU)
+    dict(
+        text="Dedem geçen yıl hasta oldu.",
+        tokens=["Dedem", "geçen", "yıl", "hasta", "oldu", "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obl", "compound", "root", "punct"],
+    ),
+    # a post-matrix CCONJ opening a zero-copula clause coordinates
+    # clauses: the zero-copula token is the second conjunct's predicate
+    dict(
+        text="Etkinlik durduruldu çünkü salon doluydu.",
+        tokens=["Etkinlik", "durduruldu", "çünkü", "salon", "doluydu",
+                "."],
+        upos=["NOUN", "VERB", "CCONJ", "NOUN", "ADJ", "PUNCT"],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=["nsubj", "root", "cc", "nsubj", "conj", "punct"],
     ),
 ]
 
