@@ -34,6 +34,7 @@ SPLITS = [
     ("blind14", "vnlp_spark.plans.gold_ud_blind14", "BLIND14"),
     ("blind15", "vnlp_spark.plans.gold_ud_blind15", "BLIND15"),
     ("blind16", "vnlp_spark.plans.gold_ud_blind16", "BLIND16"),
+    ("blind17", "vnlp_spark.plans.gold_ud_blind17", "BLIND17"),
 ]
 
 

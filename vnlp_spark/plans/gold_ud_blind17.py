@@ -1,0 +1,181 @@
+"""Seventeenth BLIND gold split — round 3, post-blind-16 generalization check.
+
+Protocol (same as gold_ud_blind{,2..16}.py): blind-16 (commit b237247's
+record) was scored ONCE at triple P/R 0.900 and its five engine
+categories were fixed with general rules and pinned, burning it.
+These 20 NEW sentences were written and UD-annotated by hand AFTER
+those fixes landed and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.
+
+Register: representative web-news, fresh content lexemes.  Unseen-
+member probes of the blind-16 fixes: ``ile`` over a bare plural
+(``gazeteciler ile``), a fresh whole ``-Im`` nominal against its P1sg
+split (``Üretim``), a fresh zero-copula ``çünkü`` clause
+(``soğuktu``), and the ``tarafından`` NOUN+obl convention under an
+adjective-modified agent (``uzman ekip tarafından``).  Virgin
+constructions: superlative ``en``, ``göre`` with a dative complement,
+a double-genitive chain (``Başkanın danışmanının istifası``),
+``bir hafta içinde``, comparative ``daha`` over an adjective-modified
+object, a verbless pronominal-predicate sentence (``Bu onların
+kararı.``), ``karşı`` and ``birlikte`` postpositions, a Dat homograph
+(``çifte`` = çift+Dat vs the whole noun), and double-object datives.
+
+Annotation conventions: the authoritative list in gold_ud.py's
+docstring, identical to every earlier split.
+"""
+from typing import List
+
+BLIND17: List[dict] = [
+    dict(
+        text="Bakan gazeteciler ile görüştü.",
+        tokens=["Bakan", "gazeteciler", "ile", "görüştü", "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Üretim geçen ay hızlandı.",
+        tokens=["Üretim", "geçen", "ay", "hızlandı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "amod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Yürüyüş iptal edildi çünkü hava soğuktu.",
+        tokens=["Yürüyüş", "iptal", "edildi", "çünkü", "hava",
+                "soğuktu", "."],
+        upos=["NOUN", "NOUN", "VERB", "CCONJ", "NOUN", "ADJ", "PUNCT"],
+        heads=[3, 3, 0, 6, 6, 3, 3],
+        deprels=["nsubj", "compound", "root", "cc", "nsubj", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Rapor uzman ekip tarafından hazırlandı.",
+        tokens=["Rapor", "uzman", "ekip", "tarafından", "hazırlandı",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Takım en iyi sonucu aldı.",
+        tokens=["Takım", "en", "iyi", "sonucu", "aldı", "."],
+        upos=["NOUN", "ADV", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "advmod", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Uzmanlara göre fiyatlar düşecek.",
+        tokens=["Uzmanlara", "göre", "fiyatlar", "düşecek", "."],
+        upos=["NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 1, 4, 0, 4],
+        deprels=["obl", "case", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Başkanın danışmanının istifası kabul edildi.",
+        tokens=["Başkanın", "danışmanının", "istifası", "kabul",
+                "edildi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["nmod", "nmod", "nsubj", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Komisyon bir hafta içinde toplanacak.",
+        tokens=["Komisyon", "bir", "hafta", "içinde", "toplanacak",
+                "."],
+        upos=["NOUN", "NUM", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "nummod", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kulüp daha iyi sonuçlar bekliyor.",
+        tokens=["Kulüp", "daha", "iyi", "sonuçlar", "bekliyor", "."],
+        upos=["NOUN", "ADV", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "advmod", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Öğretmen öğrencilere ödevlerini dağıttı.",
+        tokens=["Öğretmen", "öğrencilere", "ödevlerini", "dağıttı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sonuçlar açıklamadan önce paylaşılmadı.",
+        tokens=["Sonuçlar", "açıklamadan", "önce", "paylaşılmadı",
+                "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Dernek şiddete karşı kampanya başlattı.",
+        tokens=["Dernek", "şiddete", "karşı", "kampanya", "başlattı",
+                "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "obl", "case", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Aileler çocuklarıyla birlikte geldi.",
+        tokens=["Aileler", "çocuklarıyla", "birlikte", "geldi", "."],
+        upos=["NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Bu onların kararı.",
+        tokens=["Bu", "onların", "kararı", "."],
+        upos=["PRON", "PRON", "NOUN", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "nmod", "root", "punct"],
+    ),
+    dict(
+        text="Çalışanlar maaş artışı talep etti.",
+        tokens=["Çalışanlar", "maaş", "artışı", "talep", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Müze koleksiyonunu genişletiyor.",
+        tokens=["Müze", "koleksiyonunu", "genişletiyor", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Yarışmacılar sahneye sırayla çıktı.",
+        tokens=["Yarışmacılar", "sahneye", "sırayla", "çıktı", "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Emlakçı daireyi çifte gösterdi.",
+        tokens=["Emlakçı", "daireyi", "çifte", "gösterdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Davetliler salona alındı.",
+        tokens=["Davetliler", "salona", "alındı", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Pilot uçağı güvenle indirdi.",
+        tokens=["Pilot", "uçağı", "güvenle", "indirdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+]
+
+for _g in BLIND17:
+    _g.setdefault("ner", ["O"] * len(_g["tokens"]))
