@@ -1305,10 +1305,13 @@ def py_parse_tokens(
                      # an OVERTLY possessed accusative (-(s)InI: krizin
                      # konut SATIŞLARINI yavaşlatacağını) keeps its
                      # compound head even after the Acc re-resolution
-                     # cleared eff_poss; only ambiguous-surface
-                     # homographs (hastaları) lose it there
+                     # cleared eff_poss; and an Acc-RESOLVED ambiguous
+                     # surface whose chosen analysis is possessed is
+                     # still an izafet head for a bare modifier (maaş
+                     # ARTIŞI talep etti) — the viability test below
+                     # decides whether the modifier is really a subject
                      or (bool(tagsets[i + 1] & {"P3sg", "P3pl"})
-                         and "Acc" in tagsets[i + 1]))
+                         and low_root not in _TEMPORAL_ROOTS))
                 and i + 1 != p
                 # plural modifiers are fine inside a spatial-relational
                 # frame (gençler ARASINDA, ülkeler arasında); elsewhere a

@@ -115,6 +115,7 @@ _LEX_PRONOUNS = {
     "herkes", "herkese", "herkesi", "herkesin", "herkesten", "herkesle",
     "kimse", "kimseye", "kimseyi", "kimsenin", "kimseden",
     "hepsi", "hepsine", "hepsini", "birbirine", "birbirini", "birbiriyle",
+    "onlar", "onları", "onlara", "onların", "onlarla", "onlardan",
 }
 
 # grammaticalized postpositions: frozen possessed-case nominals that
@@ -391,6 +392,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # lexicalized temporal modifiers (gelecek ay, önümüzdeki hafta)
             out[i] = "ADJ"
         elif low in _LEX_PRONOUNS:
+            out[i] = "PRON"
+        elif (
+            out[i] == "DET"
+            and low in ("bu", "şu", "o")
+            and not (i + 1 < n
+                     and out[i + 1] in ("NOUN", "PROPN", "ADJ", "NUM",
+                                        "DET")
+                     # a following pronoun cannot be determined even if
+                     # its own conversion has not run yet
+                     and to_lower(tokens[i + 1]) not in _LEX_PRONOUNS)
+        ):
+            # a demonstrative with nothing to determine is the pronoun
+            # (BU onların kararı; Bunu gördüm -> already PRON by case)
             out[i] = "PRON"
         elif (
             low == "ile"

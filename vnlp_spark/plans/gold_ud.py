@@ -51,6 +51,8 @@ split — annotate new splits against THIS list; the blind-12
 - emphatic de/da: CCONJ, advmod on the focused word; sentence-initial
   contrastive CCONJ (Ancak, Fakat): cc on the clause predicate
 - bare time AND frequency nouns (sabah, üçüncü kez) as obl
+- adnominal "bir" is DET+det uniformly (yeni bir hastane, bir hafta
+  içinde); comitative "birlikte" is ADV+advmod even after an Ins
 """
 from __future__ import annotations
 
