@@ -355,6 +355,37 @@ def _q_events_user_deltas(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the clickstream/training-pipeline
+    primitive: a user's new session starts when the inter-event gap
+    exceeds 30 minutes.  Expressed as pure window functions (lag +
+    conditional cumulative sum), so Catalyst plans ONE shuffle on
+    user_id and the whole computation stays in whole-stage codegen; at
+    100 TB the identical plan partitions by user and scales linearly
+    (the streaming twin is a session window with watermarking in
+    streaming/stream_kg.py)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> timestamp -> double; gaps and durations are differences, so
+    # the session-timezone offset cancels and matches DuckDB's epoch()
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_no", F.sum("new_s").over(w).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max(sec) - F.min(sec), 1).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 def _q_top_orders_per_customer(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -779,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _q_regional_revenue,
         "quality_score": _q_quality_score,
         "events_user_deltas": _q_events_user_deltas,
+        "events_sessionize": _q_events_sessionize,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "sentence_split": _q_sentences,
         "treebank_tokens": _q_treebank_tokens,
@@ -1294,6 +1326,25 @@ def oracle_sql() -> dict[str, str]:
             "round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank "
             "FROM events ORDER BY event_id"
+        ),
+        "events_sessionize": (
+            "WITH g AS ("
+            "  SELECT user_id, event_id, epoch(ts) AS sec,"
+            "  CASE WHEN lag(epoch(ts)) OVER "
+            "         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+            "       OR epoch(ts) - lag(epoch(ts)) OVER "
+            "         (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0"
+            "       THEN 1 ELSE 0 END AS new_s"
+            "  FROM events), "
+            "s AS ("
+            "  SELECT user_id, sec, sum(new_s) OVER "
+            "    (PARTITION BY user_id ORDER BY sec, event_id "
+            "     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no"
+            "  FROM g) "
+            "SELECT user_id, session_no, count(*) AS n_events, "
+            "round(max(sec) - min(sec), 1) AS duration_sec "
+            "FROM s GROUP BY user_id, session_no "
+            "ORDER BY user_id, session_no"
         ),
         "top_orders_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
