@@ -35,6 +35,7 @@ SPLITS = [
     ("blind15", "vnlp_spark.plans.gold_ud_blind15", "BLIND15"),
     ("blind16", "vnlp_spark.plans.gold_ud_blind16", "BLIND16"),
     ("blind17", "vnlp_spark.plans.gold_ud_blind17", "BLIND17"),
+    ("blind18", "vnlp_spark.plans.gold_ud_blind18", "BLIND18"),
 ]
 
 
