@@ -153,6 +153,17 @@ def derive(rows):
                           "e": "di", "i": "di", "ö": "dü", "ü": "dü"}[last_v]
                 buf = "y" if surface[-1] in "aeıioöuü" else ""
                 out.append((surface + buf + past_v, tags + zp))
+        # 6. Become+Caus+Pass product (derin+leş+tir+il+di): the
+        #    Become+Caus rows exist (leştirdi), their passives do not
+        if tags.startswith("Verb+DB+Verb+Caus+DB+Verb+Pass+"):
+            rest6 = tags[len("Verb+DB+Verb+Caus+DB+Verb+Pass+"):]
+            pre6 = ("laş" if surface.startswith("tırıl")
+                    else "leş" if surface.startswith("tiril") else None)
+            if pre6:
+                for base in ("Noun", "Adj"):
+                    out.append((pre6 + surface,
+                                base + "+DB+Verb+Become+DB+Verb+Caus"
+                                "+DB+Verb+Pass+" + rest6))
         # 2. -lAn+DIr acquire-causative product
         if tags.startswith("Verb+DB+Verb+Caus+"):
             rest = tags[len("Verb+DB+Verb+Caus+"):]

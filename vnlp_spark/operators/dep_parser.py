@@ -1117,6 +1117,20 @@ def py_parse_tokens(
         low_root = roots_of[i]
         prev_upos = upos[i - 1] if i > 0 else ""
 
+        # an INTRANSITIVE light-verb nominal directly before its passive
+        # et-complex is the impersonal-passive compound, not the promoted
+        # subject (Karara İTİRAZ edildi; toplantı yapıldı stays nsubj —
+        # yap is transitive, its passive promotes)
+        if (
+            v is not None and i == v - 1
+            and roots_of[v] in ("et", "ol")
+            and "Pass" in tagsets[v]
+            and low_root in _INTRANS_LIGHT_NOMINALS
+            and eff_case[i] in ("Nom", "")
+        ):
+            heads[i], rels[i] = v + 1, "compound"
+            continue
+
         # nominal conjunct: X ve Y (only when no verb intervenes between
         # the conjuncts -- otherwise the CCONJ coordinates clauses)
         if prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da"):
@@ -1300,6 +1314,9 @@ def py_parse_tokens(
             # Banka müşterilerine ... sundu -> Banka is the subject)
             compoundable = (
                 i + 1 < n
+                # a PRONOUN is never an izafet modifier (BU hepimizin
+                # başarısı -> Bu is the subject of the nominal predicate)
+                and upos[i] != "PRON"
                 and upos[i + 1] in _NOMINAL
                 and (eff_poss[i + 1]
                      # an OVERTLY possessed accusative (-(s)InI: krizin
@@ -1353,7 +1370,8 @@ def py_parse_tokens(
                 )
                 compoundable = not viable_subject
             if (compoundable and eff_case[i + 1] == "Gen"
-                    and eff_poss[i + 1]):
+                    and eff_poss[i + 1]
+                    and upos[i] in ("NOUN", "PROPN")):
                 # a bare nominal before a possessed GENITIVE is the
                 # zincirleme chain's modifier outright (OKUL müdürünün
                 # odası): the genitive cannot be a clause argument, so
@@ -1521,6 +1539,15 @@ def py_parse_tokens(
                         # a bare nominal cannot be the object of an
                         # intransitive finite verb: with the subject slot
                         # open it is the subject (ama işsizlik azalmadı)
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
+                    elif any(
+                        eff_case[j] == "Acc" and next_pred(j) == p
+                        for j in range(i)
+                    ):
+                        # a fronted Acc object already fills the object
+                        # slot: the bare nominal is the subject (Kitabı
+                        # ÇOCUK okudu)
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
                     else:

@@ -1869,6 +1869,42 @@ UD_GOLD: List[dict] = [
         heads=[2, 0, 5, 5, 2, 2],
         deprels=["nsubj", "root", "cc", "nsubj", "conj", "punct"],
     ),
+    # --- blind-18 category pins (fresh lexemes, general rules) ---------
+    # an intransitive light-verb nominal stays compound under the
+    # impersonal passive
+    dict(
+        text="Projeye müdahale edildi.",
+        tokens=["Projeye", "müdahale", "edildi", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["obl", "compound", "root", "punct"],
+    ),
+    # a fronted Acc object fills the object slot: the bare preverbal
+    # nominal is the subject (OSV)
+    dict(
+        text="Ödülü genç sporcu kazandı.",
+        tokens=["Ödülü", "genç", "sporcu", "kazandı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["obj", "amod", "nsubj", "root", "punct"],
+    ),
+    # a pronoun is never an izafet modifier: demonstrative subject over
+    # a genitive pronoun in a verbless predicate
+    dict(
+        text="Bu sizlerin eseri.",
+        tokens=["Bu", "sizlerin", "eseri", "."],
+        upos=["PRON", "PRON", "NOUN", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "nmod", "root", "punct"],
+    ),
+    # Become+Caus+Pass voice chain from the fixture product
+    dict(
+        text="Yöntem basitleştirildi.",
+        tokens=["Yöntem", "basitleştirildi", "."],
+        upos=["NOUN", "VERB", "PUNCT"],
+        heads=[2, 0, 2],
+        deprels=["nsubj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
