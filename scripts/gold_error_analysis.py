@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind18" in sys.argv:
+    if "--blind19" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind19 import BLIND19 as entries
+    elif "--blind18" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind18 import BLIND18 as entries
     elif "--blind17" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind17 import BLIND17 as entries

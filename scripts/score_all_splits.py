@@ -36,6 +36,7 @@ SPLITS = [
     ("blind16", "vnlp_spark.plans.gold_ud_blind16", "BLIND16"),
     ("blind17", "vnlp_spark.plans.gold_ud_blind17", "BLIND17"),
     ("blind18", "vnlp_spark.plans.gold_ud_blind18", "BLIND18"),
+    ("blind19", "vnlp_spark.plans.gold_ud_blind19", "BLIND19"),
 ]
 
 
