@@ -179,6 +179,30 @@ def derive(rows):
     return out
 
 
+def necessitative_rows():
+    """The -mAlI necessitative paradigm (blind-19: `uymalı` fell to the
+    Unknown fallback — no base row exists to derive from, so the family
+    is emitted directly: positive + negative, all persons, plus the
+    copular past)."""
+    out = []
+    pers = [("yım", "yim", "A1sg"), ("sın", "sin", "A2sg"),
+            ("", "", "A3sg"), ("yız", "yiz", "A1pl"),
+            ("sınız", "siniz", "A2pl"), ("lar", "ler", "A3pl")]
+    for bneg, fneg, pol in (("malı", "meli", "Pos"),
+                            ("mamalı", "memeli", "Neg")):
+        for bp, fp, atag in pers:
+            out.append((bneg + bp, f"Verb+{pol}+Neces+{atag}"))
+            out.append((fneg + fp, f"Verb+{pol}+Neces+{atag}"))
+        out.append((bneg + "ydı", f"Verb+{pol}+Neces+Past+A3sg"))
+        out.append((fneg + "ydi", f"Verb+{pol}+Neces+Past+A3sg"))
+        # passive twins (alınmalı, edilmemeli)
+        for pb in ("n", "ın", "un", "ıl", "ul"):
+            out.append((pb + bneg, f"Verb+DB+Verb+Pass+{pol}+Neces+A3sg"))
+        for pf in ("n", "in", "ün", "il", "ül"):
+            out.append((pf + fneg, f"Verb+DB+Verb+Pass+{pol}+Neces+A3sg"))
+    return out
+
+
 def main():
     with gzip.open(PATH, "rt", encoding="utf-8") as f:
         existing_lines = f.read().splitlines()
@@ -188,6 +212,13 @@ def main():
     # iterate to a fixpoint so the products compose (a rule-3 negative
     # participle then gains its rule-1 passive twins: taşınmayacağı)
     frontier = [tuple(l.split("\t")) for l in existing_lines]
+    frontier += necessitative_rows()
+    for surface, tags in necessitative_rows():
+        line = f"{surface}\t{tags}"
+        if line not in existing:
+            existing.add(line)
+            new_lines.append(line)
+            added += 1
     while frontier:
         fresh = []
         for surface, tags in derive(frontier):

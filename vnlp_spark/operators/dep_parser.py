@@ -155,7 +155,7 @@ _INTRANSITIVE_ROOTS = {
     # "ol" never takes an Acc object: possessed-Nom subjects stand
     # (Kardeşi hasta OLDU)
     "ol",
-    "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç",
+    "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç", "yağ",
     "düş", "çık", "gir", "in", "bat", "ak", "yat", "uyu", "dur", "kaç",
     "var", "öl", "doğ", "büyü", "yaşa", "gez",
 }
@@ -777,7 +777,9 @@ def py_parse_tokens(
             # (bare-Nom, unpossessed, non-temporal nominal) stands between
             # it and the verb (Kitabı öğretmen öğrencilere dağıttı);
             # compound-head reading otherwise
-            later_subject = i == 0 and any(
+            later_subject = not any(
+                upos[j] in _NOMINAL for j in range(0, i)
+            ) and any(
                 upos[j] in _NOMINAL
                 and eff_case[j] in ("Nom", "")
                 and not eff_poss[j]
@@ -1383,6 +1385,15 @@ def py_parse_tokens(
                     p not in subj_of
                     and not verb_person_12(p)
                     and low_root not in _TEMPORAL_ROOTS
+                    # under a PASSIVE predicate a later nominal takes the
+                    # subject slot, so the first stays the compound
+                    # modifier (KONFERANS salonunda basın toplantısı
+                    # düzenlendi)
+                    and not ("Pass" in tagsets[p] and any(
+                        upos[j] in _NOMINAL
+                        and eff_case[j] in ("Nom", "")
+                        and roots_of[j] not in _TEMPORAL_ROOTS
+                        for j in range(i + 2, p)))
                     and not ("A3pl" in tagsets[p] and "A3pl" not in tagsets[i])
                     # a spatial-relational frame binds its complement even
                     # with the subject slot open (ÜLKELER arasında ticaret
@@ -1525,6 +1536,18 @@ def py_parse_tokens(
                         # içmeden yola çıktı)
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
+                    elif (
+                        subjish is not None
+                        and vt != p
+                        and upos[vt] == "VERB"
+                        and converb[vt]
+                        and roots_of[vt] in _INTRANSITIVE_ROOTS
+                        and "Caus" not in tagsets[vt]
+                    ):
+                        # an INTRANSITIVE converb cannot take the bare
+                        # nominal as object: it is the converb's own
+                        # subject (YAĞMUR yağarken maç durdu)
+                        heads[i], rels[i] = vt + 1, "nsubj"
                     elif (roots_of[vt] in ("ol", "et") and not lv_nominal
                           and not eff_poss[i]):
                         # support-verb construction: üye oldu, ikamet etti
@@ -1568,7 +1591,7 @@ def py_parse_tokens(
                     roots_of[vt] in _INTRANSITIVE_ROOTS
                     and "Caus" not in tagsets[vt]
                     and not lv_nominal
-                )
+                ) or "Pass" in tagsets[vt]
                 # a possessed temporal before "ol" is an adjunct, not a
                 # support-verb complement (gece YARISI olmuş -> obl)
                 if roots_of[vt] == "ol" and eff_poss[i]:

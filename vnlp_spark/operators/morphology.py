@@ -386,6 +386,12 @@ class HeuristicDisambiguator:
                 # finite readings beat nominal homographs also mid-sentence
                 # (arttı = art+Past, not 'its remainder')
                 s += 2.0
+                # ... but a 1st/2nd-SINGULAR finite reading against a
+                # whole-word noun is quotative-register only: in web
+                # prose the lexicalized noun wins (Komşulara YARDIM
+                # edildi = yardım the noun, not yar+Past+A1sg)
+                if tag_set & {"A1sg", "A2sg"} and has_whole_rival:
+                    s -= 1.0
                 # an oblique complement to the left selects the verb over
                 # a whole-word noun homograph (yola çıktı, parkta koştu
                 # != 'the printout' / 'its parallel').  After a locative

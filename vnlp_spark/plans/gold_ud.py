@@ -1905,6 +1905,52 @@ UD_GOLD: List[dict] = [
         heads=[2, 0, 2],
         deprels=["nsubj", "root", "punct"],
     ),
+    # --- blind-19 category pins (general rules) ------------------------
+    # a lexicalized noun beats its A1sg finite homograph after a dative
+    # (yardım, not yar+Past+A1sg), and a transitive passive promotes it
+    dict(
+        text="Depremzedelere yardım gönderildi.",
+        tokens=["Depremzedelere", "yardım", "gönderildi", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["obl", "nsubj", "root", "punct"],
+    ),
+    # under a passive predicate the first bare nominal compounds when a
+    # later subject candidate exists (double izafet + passive)
+    dict(
+        text="Spor salonunda halk toplantısı yapıldı.",
+        tokens=["Spor", "salonunda", "halk", "toplantısı", "yapıldı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "obl", "nmod", "nsubj", "root", "punct"],
+    ),
+    # an intransitive -ken converb hosts its own preceding subject
+    dict(
+        text="Güneş doğarken balıkçılar denize açıldı.",
+        tokens=["Güneş", "doğarken", "balıkçılar", "denize", "açıldı",
+                "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "advcl", "nsubj", "obl", "root", "punct"],
+    ),
+    # OSV with a participle-headed fronted object: the first NOMINAL of
+    # the clause is the topicalized object
+    dict(
+        text="Sunulan raporu kurul inceledi.",
+        tokens=["Sunulan", "raporu", "kurul", "inceledi", "."],
+        upos=["VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["acl", "obj", "nsubj", "root", "punct"],
+    ),
+    # necessitative -mAlI from the fixture family
+    dict(
+        text="Yolcular kemerlerini takmalı.",
+        tokens=["Yolcular", "kemerlerini", "takmalı", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
