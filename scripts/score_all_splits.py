@@ -37,6 +37,7 @@ SPLITS = [
     ("blind17", "vnlp_spark.plans.gold_ud_blind17", "BLIND17"),
     ("blind18", "vnlp_spark.plans.gold_ud_blind18", "BLIND18"),
     ("blind19", "vnlp_spark.plans.gold_ud_blind19", "BLIND19"),
+    ("blind20", "vnlp_spark.plans.gold_ud_blind20", "BLIND20"),
 ]
 
 
