@@ -179,6 +179,30 @@ def derive(rows):
     return out
 
 
+def modal_converb_rows():
+    """-DIkçA converbs and the formal -mAktA(dIr) progressive (blind-20:
+    `arttıkça` and `sürmektedir` fell to Unknown — no base rows exist)."""
+    out = []
+    for b, f in (("dıkça", "dikçe"), ("tıkça", "tikçe"),
+                 ("dukça", "dükçe"), ("tukça", "tükçe")):
+        out.append((b, "Verb+Pos+AsLongAs"))
+        out.append((f, "Verb+Pos+AsLongAs"))
+    out.append(("madıkça", "Verb+Neg+AsLongAs"))
+    out.append(("medikçe", "Verb+Neg+AsLongAs"))
+    for b, f, atag in (("", "", "A3sg"), ("yım", "yim", "A1sg"),
+                       ("sın", "sin", "A2sg"), ("yız", "yiz", "A1pl"),
+                       ("lar", "ler", "A3pl")):
+        out.append(("makta" + b, f"Verb+Pos+Prog2+{atag}"))
+        out.append(("mekte" + f, f"Verb+Pos+Prog2+{atag}"))
+    out.append(("maktadır", "Verb+Pos+Prog2+Cop+A3sg"))
+    out.append(("mektedir", "Verb+Pos+Prog2+Cop+A3sg"))
+    out.append(("maktaydı", "Verb+Pos+Prog2+Past+A3sg"))
+    out.append(("mekteydi", "Verb+Pos+Prog2+Past+A3sg"))
+    out.append(("maktadırlar", "Verb+Pos+Prog2+Cop+A3pl"))
+    out.append(("mektedirler", "Verb+Pos+Prog2+Cop+A3pl"))
+    return out
+
+
 def necessitative_rows():
     """The -mAlI necessitative paradigm (blind-19: `uymalı` fell to the
     Unknown fallback — no base row exists to derive from, so the family
@@ -212,8 +236,8 @@ def main():
     # iterate to a fixpoint so the products compose (a rule-3 negative
     # participle then gains its rule-1 passive twins: taşınmayacağı)
     frontier = [tuple(l.split("\t")) for l in existing_lines]
-    frontier += necessitative_rows()
-    for surface, tags in necessitative_rows():
+    frontier += necessitative_rows() + modal_converb_rows()
+    for surface, tags in necessitative_rows() + modal_converb_rows():
         line = f"{surface}\t{tags}"
         if line not in existing:
             existing.add(line)

@@ -107,7 +107,7 @@ _SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart", "PresPart"}
 # converb (adverbial-clause) suffixes: -(y)HncA, -(y)Hp, -(y)ArAk, -ken,
 # -mAdAn.  Converbs are never finite predicates; -HncA clauses carry
 # their own subject, the rest share the matrix subject.
-_CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While",
+_CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While", "AsLongAs",
                  "WithoutHavingDoneSo"}
 
 # titles/professions: before a capitalized name they head the mention and
@@ -359,6 +359,7 @@ def py_parse_tokens(
         cond = [False] * n
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
+    narr_acl0 = False
 
     if finite:
         # UD roots the FIRST main-clause predicate: later finite verbs
@@ -370,11 +371,27 @@ def py_parse_tokens(
         # both root and parataxis count as predicates.)
         root = finite[0]
         preds = list(finite)
+        # a sentence-initial evidential verb directly before a bare-Nom
+        # noun, with ANOTHER finite predicate later, is the -mIş
+        # participle heading a relative, not a clause of its own
+        # (KURUMUŞ dallar toplandı)
+        if (
+            len(preds) >= 2 and preds[0] == 0
+            and upos[0] == "VERB"
+            and "Narr" in tagsets[0] and "A3sg" in tagsets[0]
+            and not tagsets[0] & {"Past", "Cond", "Neg"}
+            and upos[1] in ("NOUN", "PROPN")
+            and _case_of(analyses[1]) in ("Nom", "")
+        ):
+            narr_acl0 = True
+            preds = preds[1:]
+            root = preds[0]
         # -HncA converbs host their own subject: treat them as clause
         # predicates for argument attachment (Yağmur yağınca maç
         # ertelendi -> Yağmur is yağınca's nsubj); other converbs share
         # the matrix subject and stay out of preds
-        when_preds = [i for i in range(n) if converb[i] and "When" in tagsets[i]]
+        when_preds = [i for i in range(n) if converb[i]
+                      and tagsets[i] & {"When", "AsLongAs"}]
         # conditional protasis clauses likewise host their own subject
         # (Yağmur yağarsa -> Yağmur is yağarsa's nsubj)
         when_preds += [i for i in range(n) if cond[i]]
@@ -400,6 +417,8 @@ def py_parse_tokens(
 
     heads = [-1] * n
     rels = [""] * n
+    if narr_acl0:
+        heads[0], rels[0] = 2, "acl"
 
     # --- lexicalized fixed expressions ----------------------------------
     for i in range(1, n):
@@ -1541,12 +1560,14 @@ def py_parse_tokens(
                         and vt != p
                         and upos[vt] == "VERB"
                         and converb[vt]
-                        and roots_of[vt] in _INTRANSITIVE_ROOTS
-                        and "Caus" not in tagsets[vt]
+                        and ((roots_of[vt] in _INTRANSITIVE_ROOTS
+                              and "Caus" not in tagsets[vt])
+                             or "Pass" in tagsets[vt])
                     ):
-                        # an INTRANSITIVE converb cannot take the bare
-                        # nominal as object: it is the converb's own
-                        # subject (YAĞMUR yağarken maç durdu)
+                        # an INTRANSITIVE or PASSIVE converb cannot take
+                        # the bare nominal as object: it is the converb's
+                        # own subject (YAĞMUR yağarken maç durdu; KARAR
+                        # verilmeden önce taraflar dinlendi)
                         heads[i], rels[i] = vt + 1, "nsubj"
                     elif (roots_of[vt] in ("ol", "et") and not lv_nominal
                           and not eff_poss[i]):

@@ -90,14 +90,14 @@ _COORD_CONJS = {"ve", "veya", "ama", "fakat", "ancak", "ya da"}
 # converb (adverbial-clause) tags — mirror of dep_parser._CONVERB_TAGS
 # (defined locally to keep this module import-independent)
 _CONVERB_TAG_SET = {"When", "AfterDoingSo", "ByDoingSo", "While",
-                    "WithoutHavingDoneSo"}
+                    "AsLongAs", "WithoutHavingDoneSo"}
 
 # spatial relational nouns: possessed-case forms (altına, üstünde,
 # arasında) head postposition-like oblique frames (shared with the
 # dependency parser's adjacency/transparency logic)
 SPATIAL_ROOTS = {
     "alt", "üst", "ön", "arka", "yan", "iç", "dış", "orta", "ara",
-    "üzeri", "karşı", "çevre",
+    "üzeri", "üzer", "karşı", "çevre",
 }
 
 
@@ -437,6 +437,13 @@ class HeuristicDisambiguator:
             # al+Pass 'was taken', almost never alın 'take offense'
             if root in ("alın",) and has_pass_rival:
                 s -= 15.0
+        if "Acquire" in tag_set and has_pass_rival:
+            # when a denominal Acquire and a passive of the longer verb
+            # stem spell the SAME surface (imza+lan- vs imzala+n-), the
+            # passive parse carries the voice information downstream
+            # (imzalanmadan önce = 'before being signed'); sized to beat
+            # the known-lexicon gap of derived -lA verb stems
+            s -= 12.0
         if first == "Noun" and root == "alındı" and has_pass_rival:
             # 'receipt' is live only as a modifier (alındı belgesi);
             # against a passive-finite rival the predicate reading wins
@@ -539,8 +546,12 @@ class HeuristicDisambiguator:
                 # copular predicates are clause-final; a mid-clause token
                 # is almost never 'tak+ım' = "I am a peg"
                 s -= 12.0
-        # one/two-letter roots mostly arise from over-segmentation
-        if suffix and len(root) <= 2:
+        # one/two-letter roots mostly arise from over-segmentation —
+        # except the plain plural of a real dictionary stem (SU+lar:
+        # sular the noun, not sula+Aor)
+        if suffix and len(root) <= 2 and not (
+            suffix in ("lar", "ler") and self._in_stems(root)
+        ):
             s -= 8.0 if len(root) == 1 else 3.0
         # gemination readings (root+suffix one char short of the surface,
         # his+i -> hissi) only exist for a closed root class; elsewhere
@@ -640,6 +651,9 @@ class HeuristicDisambiguator:
             # rare in web prose (yangın stays yangın, not yang+Gen /
             # yang+P2sg); P3sg splits still demote (günü = gün+P3sg)
             and "Gen" not in tags
+            # a bare -lA instrumental split never demotes a whole-word
+            # dictionary noun (MAHALLE stays mahalle, not mahal+Ins)
+            and "Ins" not in tags
             and not {"P2sg", "P2pl"} & set(tags)
             for root, sfx, tags in cands
         )
@@ -673,6 +687,7 @@ class HeuristicDisambiguator:
             and tags and tags[0].startswith("Noun") and "DB" not in tags
             and self._in_stems(root)
             and "Gen" not in tags
+            and "Ins" not in tags
             and not {"P1sg", "P1pl", "P2sg", "P2pl"} & set(tags)
             for root, sfx, tags in cands
         )

@@ -429,8 +429,12 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # noun/adjective homograph before a copular verb is the
             # predicative adjective (EMEKLİ oldu, rahatsız görünüyor)
             out[i] = "ADJ"
-        elif low in ("bütün", "tüm") and i + 1 < n and out[i + 1] in ("NOUN", "PROPN"):
-            # universal quantifiers are determiners in UD (bütün gün)
+        elif (
+            low in ("bütün", "tüm", "çoğu", "birçok", "birkaç", "bazı")
+            and i + 1 < n and out[i + 1] in ("NOUN", "PROPN", "ADJ")
+        ):
+            # quantifiers are determiners in UD (bütün gün, ÇOĞU
+            # izleyici)
             out[i] = "DET"
         elif (
             out[i] == "ADJ"
@@ -702,7 +706,12 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         if (
             out[i] == "ADJ"
             and analyses[i].endswith("+Adj+Agt")
-            and (i + 1 >= n or out[i + 1] not in ("NOUN", "PROPN"))
+            and (i + 1 >= n or out[i + 1] not in ("NOUN", "PROPN")
+                 # a case-marked (or Acc-readable) nominal is a clause
+                 # argument, not a modifiable head (İZLEYİCİ finali
+                 # beğendi)
+                 or _case_of(analyses[i + 1]) not in ("Nom", "")
+                 or "acc" in _readings(tokens[i + 1]))
         ):
             # ... but a sentence-final zero-copula predicate keeps the
             # adjectival reading (çok ETKİLEYİCİ.) unless a determiner

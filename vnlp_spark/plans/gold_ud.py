@@ -1951,6 +1951,76 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 0, 3],
         deprels=["nsubj", "obj", "root", "punct"],
     ),
+    # --- blind-20 category pins (fresh lexemes, general rules) ---------
+    # -DIkçA converb hosting its own subject
+    dict(
+        text="Ekonomi büyüdükçe istihdam artıyor.",
+        tokens=["Ekonomi", "büyüdükçe", "istihdam", "artıyor", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    # formal -mAktAdIr progressive
+    dict(
+        text="Görüşmeler devam etmektedir.",
+        tokens=["Görüşmeler", "devam", "etmektedir", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "compound", "root", "punct"],
+    ),
+    # a passive -mAdAn converb hosts its own subject; the Acquire/Pass
+    # homograph resolves to the passive (imzala+n-, not imza+lan-)
+    dict(
+        text="Sözleşme imzalanmadan önce şartlar okundu.",
+        tokens=["Sözleşme", "imzalanmadan", "önce", "şartlar",
+                "okundu", "."],
+        upos=["NOUN", "VERB", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "advcl", "case", "nsubj", "root", "punct"],
+    ),
+    # sentence-initial -mIş participle heads a relative, not a clause
+    dict(
+        text="Solmuş çiçekler değiştirildi.",
+        tokens=["Solmuş", "çiçekler", "değiştirildi", "."],
+        upos=["VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 0, 3],
+        deprels=["acl", "nsubj", "root", "punct"],
+    ),
+    # quantifier determiner over an adjective-modified nominal
+    dict(
+        text="Birkaç genç sporcu seçildi.",
+        tokens=["Birkaç", "genç", "sporcu", "seçildi", "."],
+        upos=["DET", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 4, 0, 4],
+        deprels=["det", "amod", "nsubj", "root", "punct"],
+    ),
+    # a short dictionary stem's plain plural beats the -Ar Aorist
+    # homograph (at+lar, not atla+r)
+    dict(
+        text="Atlar çayıra salındı.",
+        tokens=["Atlar", "çayıra", "salındı", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obl", "root", "punct"],
+    ),
+    # a whole-word dictionary noun beats its -lA instrumental split
+    # (tarla, not tar+Ins)
+    dict(
+        text="Tarla sabah sürüldü.",
+        tokens=["Tarla", "sabah", "sürüldü", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obl", "root", "punct"],
+    ),
+    # an -IcI agentive before a case-marked argument is the profession
+    # noun subject
+    dict(
+        text="Yüzücü madalyayı kazandı.",
+        tokens=["Yüzücü", "madalyayı", "kazandı", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
