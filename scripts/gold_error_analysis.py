@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind20" in sys.argv:
+    if "--blind21" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind21 import BLIND21 as entries
+    elif "--blind20" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind20 import BLIND20 as entries
     elif "--blind19" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind19 import BLIND19 as entries

@@ -38,6 +38,7 @@ SPLITS = [
     ("blind18", "vnlp_spark.plans.gold_ud_blind18", "BLIND18"),
     ("blind19", "vnlp_spark.plans.gold_ud_blind19", "BLIND19"),
     ("blind20", "vnlp_spark.plans.gold_ud_blind20", "BLIND20"),
+    ("blind21", "vnlp_spark.plans.gold_ud_blind21", "BLIND21"),
 ]
 
 
