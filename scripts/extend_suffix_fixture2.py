@@ -80,6 +80,15 @@ def _first_vowel(s):
 def derive(rows):
     out = []
     for surface, tags in rows:
+        # 1b. passive x Prog2 (sürdür+ül+mektedir)
+        if tags.startswith("Verb+Pos+Prog2") and surface.startswith("m"):
+            harmony = _first_vowel(surface)
+            if harmony:
+                allo = _PASS_BACK if harmony == "back" else _PASS_FRONT
+                new_tags = ("Verb+DB+Verb+Pass+Pos+Prog2"
+                            + tags[len("Verb+Pos+Prog2"):])
+                for pp in allo:
+                    out.append((pp + surface, new_tags))
         # 1. passive x negative
         if tags.startswith("Verb+Neg+") and surface.startswith("m"):
             harmony = _first_vowel(surface)
@@ -200,7 +209,26 @@ def modal_converb_rows():
     out.append(("mekteydi", "Verb+Pos+Prog2+Past+A3sg"))
     out.append(("maktadırlar", "Verb+Pos+Prog2+Cop+A3pl"))
     out.append(("mektedirler", "Verb+Pos+Prog2+Cop+A3pl"))
-    return out
+    # causative and causative-passive products of the Prog2 family
+    # (yap+tırmaktadır, sürdür+ülmektedir ~ sür+dürülmektedir)
+    voiced = []
+    for surface, tags in out:
+        if not tags.startswith("Verb+Pos+Prog2"):
+            continue
+        rest = tags[len("Verb+Pos"):]
+        back = surface.startswith("makta")
+        caus = (("dır", "dur", "tır", "tur") if back
+                else ("dir", "dür", "tir", "tür"))
+        cpass = (("dırıl", "durul", "tırıl", "turul", "tıl", "tul")
+                 if back
+                 else ("diril", "dürül", "tiril", "türül", "til",
+                       "tül"))
+        for c in caus:
+            voiced.append((c + surface, "Verb+DB+Verb+Caus+Pos" + rest))
+        for c in cpass:
+            voiced.append((c + surface,
+                           "Verb+DB+Verb+Caus+DB+Verb+Pass+Pos" + rest))
+    return out + voiced
 
 
 def necessitative_rows():

@@ -1457,6 +1457,14 @@ def py_parse_tokens(
                 # NP modifies that NP (SABAH erken saatlerde), it is not a
                 # second clause-level adjunct
                 heads[i], rels[i] = i + 3, "nmod"
+            elif (
+                low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN"
+                and v is not None and v == i + 1
+                and converb[v] and tagsets[v] & {"When", "AsLongAs"}
+            ):
+                # a bare time noun DIRECTLY before a subject-hosting
+                # converb is that converb's subject (GÜN ilerledikçe)
+                heads[i], rels[i] = v + 1, "nsubj"
             elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
                 # a bare time noun inside a subordinate clause modifies
                 # THAT clause, not the matrix predicate (enflasyonun

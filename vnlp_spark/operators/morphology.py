@@ -651,9 +651,12 @@ class HeuristicDisambiguator:
             # rare in web prose (yangın stays yangın, not yang+Gen /
             # yang+P2sg); P3sg splits still demote (günü = gün+P3sg)
             and "Gen" not in tags
-            # a bare -lA instrumental split never demotes a whole-word
-            # dictionary noun (MAHALLE stays mahalle, not mahal+Ins)
+            # bare -lA instrumental and -DA locative splits never demote
+            # a whole-word dictionary noun (MAHALLE stays mahalle, not
+            # mahal+Ins; KOMİTE stays komite, not komi+Loc — the classic
+            # baş+tan demotion is ablative and still applies)
             and "Ins" not in tags
+            and "Loc" not in tags
             and not {"P2sg", "P2pl"} & set(tags)
             for root, sfx, tags in cands
         )
@@ -688,6 +691,7 @@ class HeuristicDisambiguator:
             and self._in_stems(root)
             and "Gen" not in tags
             and "Ins" not in tags
+            and "Loc" not in tags
             and not {"P1sg", "P1pl", "P2sg", "P2pl"} & set(tags)
             for root, sfx, tags in cands
         )
@@ -789,11 +793,29 @@ def _unknown_fallback_candidates(word: str) -> list:
     agt = [
         (stem, sfx, tags) for stem, sfx, tags in out
         if len(stem) > 4 and len(sfx) >= 2
-        and stem[-2:] in ("cı", "ci", "cu", "cü", "çı", "çi", "çu", "çü")
-        and stem[:-2] in gen.stem_dic
+        and ((stem[-2:] in ("cı", "ci", "cu", "cü",
+                            "çı", "çi", "çu", "çü")
+              and stem[:-2] in gen.stem_dic)
+             # ... and -lIk abstract nouns of known stems likewise
+             # (kirli+lik: kirlilik+inden, not kirliliğin+den)
+             or (len(stem) > 5
+                 and stem[-3:] in ("lık", "lik", "luk", "lük",
+                                   "lığ", "liğ", "luğ", "lüğ")
+                 and stem[:-3] in gen.stem_dic))
     ]
     if agt:
         return agt
+    # a cut whose stem ends in a VOICED alternation letter before a
+    # vowel-initial suffix is boundary-evidenced: final b/c/d/ğ only
+    # arise from k/t/p/ç voicing at the morpheme boundary, so the true
+    # split is there (kirliliğ+inden = P3sg+Abl, not kirliliğin+den;
+    # sakatlığ+ına likewise)
+    voiced = [
+        (stem, sfx, tags) for stem, sfx, tags in out
+        if stem[-1:] in "bcdğ" and sfx[:1] in "aeıioöuü"
+    ]
+    if voiced:
+        return voiced
     # all legal cuts compete; the disambiguator's possessive/person priors
     # pick the split (işsizlik+ten Abl over işsizlikte+n P2sg)
     return out

@@ -770,7 +770,8 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     # reduplicated adjectives quantify the verb phrase adverbially
     # (bol bol kitap okudum)
     for i in range(n - 1):
-        if out[i] == "ADJ" and out[i + 1] == "ADJ" and tokens[i] == tokens[i + 1]:
+        if (out[i] == out[i + 1] and out[i] in ("ADJ", "NUM")
+                and tokens[i] == tokens[i + 1]):
             out[i] = out[i + 1] = "ADV"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":

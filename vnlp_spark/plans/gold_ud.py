@@ -2021,6 +2021,32 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 0, 3],
         deprels=["nsubj", "obj", "root", "punct"],
     ),
+    # --- blind-21 category pins (fresh lexemes, general rules) ---------
+    # a bare temporal noun directly before a subject-hosting converb is
+    # that converb's subject
+    dict(
+        text="Zaman geçtikçe özlem büyüdü.",
+        tokens=["Zaman", "geçtikçe", "özlem", "büyüdü", "."],
+        upos=["NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nsubj", "advcl", "nsubj", "root", "punct"],
+    ),
+    # passive of the formal -mAktAdIr progressive (fixture product)
+    dict(
+        text="Proje kararlılıkla yürütülmektedir.",
+        tokens=["Proje", "kararlılıkla", "yürütülmektedir", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obl", "root", "punct"],
+    ),
+    # voiced-boundary unknown-stem split (yalnız+lık: yalnızlığ+ından)
+    dict(
+        text="Şarkıcı yalnızlığından bahsetti.",
+        tokens=["Şarkıcı", "yalnızlığından", "bahsetti", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obl", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
