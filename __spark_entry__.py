@@ -380,7 +380,11 @@ def _q_events_sessionize(spark, sf_dir):
         sess.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.max(sec) - F.min(sec), 1).alias("duration_sec"),
+            # floor-to-whole-seconds before the cast: Spark HALF_UP round vs
+            # DuckDB's C-rounding could disagree on an exact .x5 boundary;
+            # floor() is identically defined in both engines (event ts are
+            # whole-second anyway, so no information is lost)
+            F.floor(F.max(sec) - F.min(sec)).cast("double").alias("duration_sec"),
         )
         .orderBy("user_id", "session_no")
     )
@@ -1342,7 +1346,7 @@ def oracle_sql() -> dict[str, str]:
             "     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no"
             "  FROM g) "
             "SELECT user_id, session_no, count(*) AS n_events, "
-            "round(max(sec) - min(sec), 1) AS duration_sec "
+            "floor(max(sec) - min(sec))::DOUBLE AS duration_sec "
             "FROM s GROUP BY user_id, session_no "
             "ORDER BY user_id, session_no"
         ),

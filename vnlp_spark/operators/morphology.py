@@ -84,8 +84,23 @@ TITLE_ROLES = {
 }
 
 # coordinating conjunctions that can conjoin finite clauses (shared with
-# the parser's conjunct segmentation)
-_COORD_CONJS = {"ve", "veya", "ama", "fakat", "ancak", "ya da"}
+# the parser's conjunct segmentation); single tokens only — the bigram
+# "ya da" is matched by _next_is_coord below (a membership test on one
+# token can never see a two-word entry)
+_COORD_CONJS = {"ve", "veya", "ama", "fakat", "ancak"}
+
+
+def _next_is_coord(tokens, idx) -> bool:
+    """True when the token after ``idx`` opens a coordinating conjunction,
+    including the two-word 'ya da' (ya alone is the question particle and
+    must NOT trigger the clause-coordination bonus)."""
+    n = len(tokens)
+    if idx + 1 >= n:
+        return False
+    nxt = to_lower(tokens[idx + 1])
+    if nxt in _COORD_CONJS:
+        return True
+    return nxt == "ya" and idx + 2 < n and to_lower(tokens[idx + 2]) == "da"
 
 # converb (adverbial-clause) tags — mirror of dep_parser._CONVERB_TAGS
 # (defined locally to keep this module import-independent)
@@ -343,6 +358,20 @@ class HeuristicDisambiguator:
             s += 40.0
         if root in self.known:
             s += 10.0
+        # voiced-boundary evidence for UNKNOWN stems: final b/c/d/ğ before
+        # a vowel-initial suffix normally arises from k/t/p/ç voicing at
+        # the morpheme boundary, so that cut is where the real split is
+        # (kirliliğ+inden, sakatlığ+ına).  A bonus, not a hard filter:
+        # loan stems genuinely end in b/c/d (ahad, metod, web) and their
+        # rival cuts must stay competitive.
+        if (
+            suffix
+            and root[-1:] in "bcdğ"
+            and suffix[:1] in "aeıioöuü"
+            and not self._in_stems(root)
+            and root not in self.known
+        ):
+            s += 6.0
         tag_set = set(tags)
         first = tags[0]
         token = tokens[idx]
@@ -407,10 +436,7 @@ class HeuristicDisambiguator:
                 # kurt+P3sg); possessed-noun homographs before "ve" are
                 # conjoined NPs and keep winning only when no finite
                 # rival exists (okul müdürü ve öğretmenler)
-                if (
-                    idx + 1 < len(tokens)
-                    and to_lower(tokens[idx + 1]) in _COORD_CONJS
-                ):
+                if _next_is_coord(tokens, idx):
                     # +8 matches the sentence-final finite bonus: the
                     # pre-coordinator slot IS clause-final for the first
                     # conjunct (parkta KOŞTU ve ... sallandı)
@@ -805,19 +831,12 @@ def _unknown_fallback_candidates(word: str) -> list:
     ]
     if agt:
         return agt
-    # a cut whose stem ends in a VOICED alternation letter before a
-    # vowel-initial suffix is boundary-evidenced: final b/c/d/ğ only
-    # arise from k/t/p/ç voicing at the morpheme boundary, so the true
-    # split is there (kirliliğ+inden = P3sg+Abl, not kirliliğin+den;
-    # sakatlığ+ına likewise)
-    voiced = [
-        (stem, sfx, tags) for stem, sfx, tags in out
-        if stem[-1:] in "bcdğ" and sfx[:1] in "aeıioöuü"
-    ]
-    if voiced:
-        return voiced
     # all legal cuts compete; the disambiguator's possessive/person priors
-    # pick the split (işsizlik+ten Abl over işsizlikte+n P2sg)
+    # pick the split (işsizlik+ten Abl over işsizlikte+n P2sg), and its
+    # voiced-boundary bonus prefers kirliliğ+inden over kirliliğin+den
+    # WITHOUT discarding the rival cut outright — final b/c/d also occur
+    # word-finally in loan stems (ahad, metod, web), where the pre-voicing
+    # split assumption is wrong and the rival must stay available
     return out
 
 
@@ -870,8 +889,10 @@ _ANALYSIS_CACHE_MAX = 500_000
 
 
 def _analyze_one(token: str, sent_final: bool, non_initial: bool,
-                 prev_case: str = "", next_coord: bool = False) -> str:
-    key = (token, sent_final, non_initial, prev_case, next_coord)
+                 prev_case: str = "", next_coord: bool = False,
+                 prev_is_punct: bool = False) -> str:
+    key = (token, sent_final, non_initial, prev_case, next_coord,
+           prev_is_punct)
     hit = _ANALYSIS_CACHE.get(key)
     if hit is None:
         gen, dis = _engine()
@@ -891,9 +912,13 @@ def _analyze_one(token: str, sent_final: bool, non_initial: bool,
             # synthetic context: the one right-context fact the scorer
             # uses beyond sentence-finality is whether a coordinating
             # conjunction follows (clause-coordination prior), surfaced
-            # here as a literal "ve"
+            # here as a literal "ve"; the one left-context fact is
+            # whether the previous token is punctuation (suppresses the
+            # mid-sentence capitalized-name bonus after quotes/colons),
+            # surfaced as a literal ":"
             right = [] if sent_final else (["ve"] if next_coord else ["x"])
-            ctx = ([""] if non_initial else []) + [token] + right
+            left = ([":"] if prev_is_punct else [""]) if non_initial else []
+            ctx = left + [token] + right
             pick = dis.select(candidates, 1 if non_initial else 0, ctx,
                               prev_case)
         root, _suffix, tags = candidates[pick]
@@ -925,11 +950,10 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
     prev_case = ""
     for idx, token in enumerate(tokens):
         sent_final = idx >= tail - 1
-        next_coord = (
-            idx + 1 < n and to_lower(tokens[idx + 1]) in _COORD_CONJS
-        )
+        next_coord = _next_is_coord(tokens, idx)
+        prev_is_punct = idx > 0 and bool(_NON_WORD.match(tokens[idx - 1]))
         analysis = _analyze_one(token, sent_final, idx > 0, prev_case,
-                                next_coord)
+                                next_coord, prev_is_punct)
         out.append(analysis)
         tags = set(analysis.split("+"))
         prev_case = next((c for c in _CASE_TAGS if c in tags), "")

@@ -133,11 +133,6 @@ def _annotate_fused_udf(sentences: pd.Series) -> pd.DataFrame:
     fusing them keeps intermediates in Python and cuts the per-row Arrow
     traffic to one in (string) and one out (struct).  Measured ~3x on the
     annotation stage and restores near-linear core scaling."""
-    from ..functions.tokenizer import py_treebank_tokenize
-    from ..operators.dep_parser import py_parse_tokens
-    from ..operators.morphology import py_analyze_tokens
-    from ..operators.ner import py_ner_mentions
-
     cache: dict = {}
     rows = [
         (None, None, None, None) if s is None else _annotate_sentence_cached(cache, s)
