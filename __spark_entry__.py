@@ -463,7 +463,7 @@ def _q_kg_triples(spark, sf_dir):
     docs = docs_to_web_pages(_load(spark, sf_dir, "documents"))
     kg = run_kg_pipeline(docs, lang=None)
     return kg.triples.select("url", "sent_id", "subj", "pred", "obj", "obl").orderBy(
-        "url", "sent_id", "pred"
+        "url", "sent_id", "pred", "subj", "obj", "obl"
     )
 
 
@@ -471,14 +471,22 @@ def _q_kg_entities(spark, sf_dir):
     from vnlp_spark.plans.pipeline import run_kg_pipeline
 
     kg = run_kg_pipeline(_corpus_docs(spark, sf_dir))
-    return kg.entities.orderBy(F.desc("n_mentions"), "canon_key")
+    return kg.entities.orderBy(F.desc("n_mentions"), "canon_key", "type")
 
 
 def _q_kg_edges(spark, sf_dir):
     from vnlp_spark.plans.pipeline import run_kg_pipeline
 
     kg = run_kg_pipeline(_corpus_docs(spark, sf_dir))
-    return kg.edges.orderBy("url", "pred")
+    # epoch seconds instead of raw timestamp: value-identical across the
+    # Spark session timezone and DuckDB, so the oracle hash is TZ-proof
+    return (
+        kg.edges.withColumn(
+            "warc_epoch", F.col("warc_ts").cast("long")
+        )
+        .drop("warc_ts")
+        .orderBy("url", "pred", "subj", "obj", "subj_id", "obj_id")
+    )
 
 
 def _q_sentiment(spark, sf_dir):
@@ -1093,6 +1101,172 @@ def _treebank_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------
+# Pinned-fixture oracles (VERDICT r03 items #1/#2).
+#
+# fixtures/*.parquet are expected outputs computed ONCE by the pure-python
+# twin functions in a plain CPython process — no Spark, no Arrow
+# (scripts/gen_oracle_fixtures.py documents the independence argument).
+# For the deterministic annotators the oracle is a direct SELECT from the
+# fixture (Spark == pinned pure-python).  For the KG chain only the
+# ANNOTATED sentences are pinned; triple extraction, entity aggregation
+# and the edge join are replayed as real DuckDB SQL, value-checking the
+# Spark relational stages (operators/triples.py, entity_resolution.py,
+# plans/pipeline.py edges_stage).  Entity ids come from a pinned
+# (canon_key, type) -> xxhash64 map built by the Spark-bit-validated
+# pure-python implementation (vnlp_spark/functions/hashing.py).
+
+_FX_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fx(name: str) -> str:
+    return os.path.join(_FX_DIR, f"{name}.parquet").replace("'", "''")
+
+
+def _canon_sql(expr: str) -> str:
+    """canonical_key(surface) in DuckDB: turkish-lower of the
+    apostrophe-stripped last space-separated word (entity_resolution.py:32)."""
+    return (
+        f"lower(translate(string_split_regex(string_split({expr}, ' ')[-1], "
+        "'[''’]')[1], 'İIĞÜÖŞÇ', 'iığüöşç'))"
+    )
+
+
+def _triples_sql_body(fixture: str, keep: str = "") -> str:
+    """extract_triples (operators/triples.py:21-72) as DuckDB list
+    lambdas: clause predicates = root/parataxis arcs; first nsubj/obj/obl
+    child each (arcs are in idx order, so list order == Spark's
+    element_at(filter(...), 1)); keep triples binding >=1 argument."""
+    return f"""
+ann AS (
+  SELECT url{keep}, sent_id, arcs FROM read_parquet('{_fx(fixture)}')
+  WHERE arcs IS NOT NULL
+),
+trip AS (
+  SELECT url{keep}, sent_id, unnest(list_filter(list_transform(
+      list_filter(arcs, a -> a.deprel IN ('root','parataxis')),
+      p -> {{
+        'subj': list_filter(arcs, x -> x.head = p.idx AND x.deprel = 'nsubj')[1].token,
+        'pred': p.token,
+        'obj':  list_filter(arcs, x -> x.head = p.idx AND x.deprel = 'obj')[1].token,
+        'obl':  list_filter(arcs, x -> x.head = p.idx AND x.deprel = 'obl')[1].token
+      }}),
+    t -> t.subj IS NOT NULL OR t.obj IS NOT NULL OR t.obl IS NOT NULL)) AS t
+  FROM ann
+)"""
+
+
+def _mentions_sql_body() -> str:
+    """mentions_stage (plans/pipeline.py:312-331) as SQL: explode
+    mentions, canon key = head-token root (analysis at last_tok) with
+    apostrophe-stripped lowered surface fallback."""
+    return f"""
+annm AS (
+  SELECT url, sent_id, analyses, unnest(mentions) AS m
+  FROM read_parquet('{_fx("annotated_corpus")}')
+),
+mm AS (
+  SELECT url, sent_id, m.mention AS mention, m.label AS label,
+    m.first_tok AS first_tok, m.last_tok AS last_tok,
+    coalesce(
+      string_split(analyses[m.last_tok + 1], '+')[1],
+      {_canon_sql('m.mention')}
+    ) AS canon_key
+  FROM annm
+)"""
+
+
+def _entities_sql_body() -> str:
+    """build_entities (entity_resolution.py:45-75) as SQL: two-level
+    canonical-surface aggregation (count-desc, surface-desc tie-break ==
+    Spark's max_by struct ordering), ids from the pinned xxhash64 map."""
+    return f"""
+per_surface AS (
+  SELECT canon_key, label, mention, count(*) AS surface_cnt
+  FROM mm GROUP BY ALL
+),
+ents AS (
+  SELECT canon_key, type, canonical, n_mentions FROM (
+    SELECT canon_key, label AS type, mention AS canonical,
+      CAST(sum(surface_cnt) OVER (PARTITION BY canon_key, label) AS BIGINT)
+        AS n_mentions,
+      row_number() OVER (PARTITION BY canon_key, label
+                         ORDER BY surface_cnt DESC, mention DESC) AS rk
+    FROM per_surface) WHERE rk = 1
+),
+eids AS (
+  SELECT ei.entity_id, ents.canon_key, ents.canonical, ents.type,
+         ents.n_mentions
+  FROM ents JOIN read_parquet('{_fx("entity_ids")}') ei
+    USING (canon_key, type)
+)"""
+
+
+def _fixture_select(name: str, cols: str, order: str) -> str:
+    return f"SELECT {cols} FROM read_parquet('{_fx(name)}') ORDER BY {order}"
+
+
+def _kg_triples_oracle() -> str:
+    return (
+        "WITH " + _triples_sql_body("annotated_docs")
+        + """
+SELECT url, sent_id, t.subj AS subj, t.pred AS pred, t.obj AS obj,
+       t.obl AS obl
+FROM trip
+ORDER BY url, sent_id, pred, subj NULLS FIRST, obj NULLS FIRST,
+         obl NULLS FIRST"""
+    )
+
+
+def _kg_entities_oracle() -> str:
+    return (
+        "WITH " + _mentions_sql_body() + "," + _entities_sql_body()
+        + """
+SELECT entity_id, canon_key, canonical, type, n_mentions
+FROM eids ORDER BY n_mentions DESC, canon_key, type"""
+    )
+
+
+def _kg_edges_oracle() -> str:
+    """edges_stage (pipeline.py:344-411) as SQL: resolve subj/obj via
+    canonical surface keys against the entity table (join on canon_key
+    only — type fan-out is part of the semantics), keep edges with >=1
+    resolved endpoint."""
+    return (
+        "WITH "
+        + _triples_sql_body("annotated_corpus", keep=", warc_epoch")
+        + ","
+        + _mentions_sql_body()
+        + ","
+        + _entities_sql_body()
+        + f"""
+,
+tt AS (
+  SELECT url, warc_epoch, t.subj AS subj, t.pred AS pred, t.obj AS obj
+  FROM trip
+)
+SELECT es.entity_id AS subj_id, tt.subj, tt.pred,
+       eo.entity_id AS obj_id, tt.obj, tt.url, tt.warc_epoch
+FROM tt
+LEFT JOIN eids es
+  ON tt.subj IS NOT NULL AND es.canon_key = {_canon_sql('tt.subj')}
+LEFT JOIN eids eo
+  ON tt.obj IS NOT NULL AND eo.canon_key = {_canon_sql('tt.obj')}
+WHERE es.entity_id IS NOT NULL OR eo.entity_id IS NOT NULL
+ORDER BY url, pred, subj NULLS FIRST, obj NULLS FIRST,
+         subj_id NULLS FIRST, obj_id NULLS FIRST"""
+    )
+
+
+def _ner_mentions_oracle() -> str:
+    return (
+        "WITH " + _mentions_sql_body()
+        + """
+SELECT url, sent_id, mention, label, first_tok, last_tok, canon_key
+FROM mm ORDER BY url, sent_id, first_tok"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = _sql_quote_list(_stopwords())
     return {
@@ -1417,6 +1591,37 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS top1_is_planted_partner "
             "FROM range(3) r ORDER BY query_word"
         ),
+        # pinned-fixture oracles: Spark == pure-python expected outputs
+        "sentence_split": _fixture_select(
+            "sentence_split", "doc_id, sent_id, sentence", "doc_id, sent_id"
+        ),
+        "morph_analyses": _fixture_select(
+            "morph_analyses", "doc_id, tok_idx, analysis", "doc_id, tok_idx"
+        ),
+        "pos_tags": _fixture_select(
+            "pos_tags", "doc_id, tok_idx, upos", "doc_id, tok_idx"
+        ),
+        "dep_parses": _fixture_select(
+            "dep_parses", "doc_id, idx, token, head, deprel", "doc_id, idx"
+        ),
+        "charner_tags": _fixture_select(
+            "charner_tags", "doc_id, tok_idx, token, label", "doc_id, tok_idx"
+        ),
+        "token_validity": _fixture_select(
+            "token_validity", "doc_id, n_valid, n_tokens", "doc_id"
+        ),
+        "deasciify": _fixture_select(
+            "deasciify", "doc_id, text_deascii", "doc_id"
+        ),
+        "displacy_outputs": _fixture_select(
+            "displacy_outputs", "doc_id, dp_displacy, ner_displacy", "doc_id"
+        ),
+        # KG chain: pinned annotations + REAL SQL replay of the relational
+        # stages (triples / entities / edges)
+        "kg_triples": _kg_triples_oracle(),
+        "kg_entities": _kg_entities_oracle(),
+        "kg_edges": _kg_edges_oracle(),
+        "ner_mentions": _ner_mentions_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "simhash_pairs": _simhash_oracle(),

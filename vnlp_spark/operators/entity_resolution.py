@@ -55,7 +55,12 @@ def build_entities(mentions_df: DataFrame, key_col: str = "canon_key",
     return (
         per_surface.groupBy(key_col, label_col)
         .agg(
-            F.max_by(surface_col, "surface_cnt").alias("canonical"),
+            # struct ordering makes the count-tie deterministic (max
+            # surface wins) — a bare max_by would pick whichever surface
+            # the partial-aggregate merge order happened to see first
+            F.max_by(
+                surface_col, F.struct(F.col("surface_cnt"), F.col(surface_col))
+            ).alias("canonical"),
             F.sum("surface_cnt").alias("n_mentions"),
         )
         .select(
