@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind21" in sys.argv:
+    if "--blind22" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind22 import BLIND22 as entries
+    elif "--blind21" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind21 import BLIND21 as entries
     elif "--blind20" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind20 import BLIND20 as entries

@@ -39,6 +39,7 @@ SPLITS = [
     ("blind19", "vnlp_spark.plans.gold_ud_blind19", "BLIND19"),
     ("blind20", "vnlp_spark.plans.gold_ud_blind20", "BLIND20"),
     ("blind21", "vnlp_spark.plans.gold_ud_blind21", "BLIND21"),
+    ("blind22", "vnlp_spark.plans.gold_ud_blind22", "BLIND22"),
 ]
 
 

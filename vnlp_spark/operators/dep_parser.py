@@ -958,6 +958,49 @@ def py_parse_tokens(
         heads[root], rels[root] = 0, "root"
 
     # --- function words --------------------------------------------------
+    def compound_walk(nom, i: int):
+        """An adnominal (ADJ/DET at position ``i``) modifies the HEAD of a
+        following possessive compound (yeni teknoloji ürünleri ->
+        ürünleri; yeni bir tedavi YÖNTEMİ) — but not a possessed nominal
+        governed by a following ADP or a degree adverb in the ablative
+        comparative frame (gelecek hafta SONUNA KADAR, model ESKİSİNDEN
+        DAHA): that constituent is the postposition's/comparative's own.
+        A degree adverb over a NON-ablative head modifies the predicate
+        instead, so the walk proceeds (Yeni ders PROGRAMI oldukça yoğun)."""
+        while (
+            nom is not None
+            and nom + 1 < n
+            and upos[nom + 1] in _NOMINAL
+            and eff_case[nom] in ("Nom", "")
+            and not eff_poss[nom]
+            # the RESOLVED possession normally decides: an Acc-resolved
+            # object is not a compound head (Yeni KÖPRÜ ulaşımı oldukça
+            # kolaylaştırdı keeps amod on köprü) — but when the clause's
+            # subject already stands LEFT of the adnominal, the bare
+            # nominal cannot be a second subject and the possessive
+            # MORPHOLOGY (P3sg/P3pl in the chosen analysis) still marks
+            # the compound head even under an Acc resolution
+            # (Araştırmacılar yeni bir tedavi YÖNTEMİ geliştirdi)
+            # the walk target must be a Nom/Acc compound head — a Loc/
+            # Abl/Dat possessed nominal is its own oblique/spatial/agent
+            # frame and never takes the adnominal (bir hafta İÇİNDE,
+            # uzman ekip TARAFINDAN)
+            and _case_of(analyses[nom + 1]) in ("Nom", "Acc")
+            and (eff_poss[nom + 1]
+                 or (bool(tagsets[nom + 1] & {"P3sg", "P3pl"})
+                     # a time noun heads its own adjunct (bu YAZ
+                     # çiftçileri zorladı keeps det on yaz)
+                     and roots_of[nom] not in _TEMPORAL_ROOTS
+                     and any(upos[j] in ("NOUN", "PROPN", "PRON")
+                             for j in range(i))))
+            and not (nom + 2 < n
+                     and (upos[nom + 2] == "ADP"
+                          or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
+                              and _case_of(analyses[nom + 1]) == "Abl")))
+        ):
+            nom += 1
+        return nom
+
     for i in range(n):
         if heads[i] != -1:
             continue
@@ -993,7 +1036,9 @@ def py_parse_tokens(
                 else:
                     heads[i], rels[i] = root + 1, "cc"
         elif u == "DET":
-            nom = next_nominal(i)
+            # same compound-head walk as adjectives: det goes to the NP
+            # head (yeni BİR tedavi yöntemi -> yöntemi)
+            nom = compound_walk(next_nominal(i), i)
             heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "det"
         elif u == "AUX":
             # question particle / copular auxiliary modifies the nearest
@@ -1090,31 +1135,7 @@ def py_parse_tokens(
                 # (rahatsız oldu, mantıklı geldi)
                 heads[i], rels[i] = i + 2, "compound"
                 continue
-            nom = next_nominal(i, stop=next_pred(i) + 1)
-            # an adjective modifies the HEAD of a following possessive
-            # compound (yeni teknoloji ürünleri -> ürünleri) — but not a
-            # possessed nominal governed by a following ADP or a degree
-            # adverb in the ablative comparative frame (gelecek hafta
-            # SONUNA KADAR, model ESKİSİNDEN DAHA): that constituent is
-            # the postposition's/comparative's own.  A degree adverb over
-            # a NON-ablative head modifies the predicate instead, so the
-            # walk proceeds (Yeni ders PROGRAMI oldukça yoğun)
-            while (
-                nom is not None
-                and nom + 1 < n
-                and upos[nom + 1] in _NOMINAL
-                and eff_case[nom] in ("Nom", "")
-                and not eff_poss[nom]
-                # the RESOLVED possession decides: an Acc-resolved object
-                # is not a compound head (Yeni KÖPRÜ ulaşımı oldukça
-                # kolaylaştırdı keeps amod on köprü)
-                and eff_poss[nom + 1]
-                and not (nom + 2 < n
-                         and (upos[nom + 2] == "ADP"
-                              or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
-                                  and _case_of(analyses[nom + 1]) == "Abl")))
-            ):
-                nom += 1
+            nom = compound_walk(next_nominal(i, stop=next_pred(i) + 1), i)
             tgt = nom if nom is not None else next_pred(i)
             rel = "acl" if tagsets[i] & {"PresPart"} else "amod"
             heads[i], rels[i] = tgt + 1, rel
@@ -1352,11 +1373,15 @@ def py_parse_tokens(
                          and low_root not in _TEMPORAL_ROOTS))
                 and i + 1 != p
                 # plural modifiers are fine inside a spatial-relational
-                # frame (gençler ARASINDA, ülkeler arasında); elsewhere a
-                # bare plural is a clause argument, not a compound modifier
+                # frame (gençler ARASINDA, ülkeler arasında) and as the
+                # agent of the tarafından passive frame (yabancı
+                # mühendisler TARAFINDAN inşa edildi); elsewhere a bare
+                # plural is a clause argument, not a compound modifier
                 and ("A3pl" not in tagsets[i]
                      or (roots_of[i + 1] in _SPATIAL_ROOTS
-                         and eff_case[i + 1] in ("Dat", "Loc", "Abl")))
+                         and eff_case[i + 1] in ("Dat", "Loc", "Abl"))
+                     or (roots_of[i + 1] == "taraf"
+                         and eff_case[i + 1] == "Abl" and eff_poss[i + 1]))
                 # a possessed nominal heads its own phrase (Kitabın son
                 # bölümü okuyucuları şaşırttı -> bölümü is the subject,
                 # not a modifier of okuyucuları) — UNLESS the next nominal

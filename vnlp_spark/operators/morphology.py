@@ -350,6 +350,7 @@ class HeuristicDisambiguator:
         has_converb_rival: bool = False,
         has_adj_whole_rival: bool = False,
         has_seg_rival_nonp1: bool = True,
+        has_any_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -496,7 +497,23 @@ class HeuristicDisambiguator:
         if first == "Pron":
             s += 2.0  # closed-class readings are frequent
         if first == "Postp":
-            s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
+            # case-governing postpositions demand their case on the LEFT:
+            # PCAbl sonra/önce/dolayı need an ablative complement, PCDat
+            # göre/kadar/rağmen a dative.  Met -> the usual closed-class
+            # bonus; unmet -> the reading is bogus (daha FAZLA vakit:
+            # fazla+Postp+PCAbl has no ablative, the Adj reading stands).
+            # PCNom postpositions (için, gibi, ile) take bare complements
+            # and keep the bonus unconditionally.
+            gov = next((t for t in tags if t.startswith("PC")), None)
+            if gov in ("PCAbl", "PCGen", "PCIns", "PCAcc"):
+                s += 6.0 if prev_case == gov[2:] else -6.0
+            elif gov == "PCDat":
+                # dative governors also take bare-Nom complements in the
+                # equative use (okul KADAR kalabalık, çocuk GİBİ) — only
+                # a non-Nom mismatched case kills the reading
+                s += 6.0 if prev_case in ("Dat", "Nom", "NomP") else -6.0
+            else:
+                s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
             s += 8.0  # tiny closed class (bir, bu, şu, her...): near-certain
         if first == "Adverb" and idx == 0:
@@ -551,6 +568,12 @@ class HeuristicDisambiguator:
                 and not _NON_WORD.match(tokens[idx - 1])
             ):
                 s += 16.0
+        # 2nd-person possessives are register-rare in web prose: when ANY
+        # rival reading exists, a P2 parse needs discourse support a
+        # single token can't supply (ziyaret EDEN = et+PresPart, not
+        # ede+P2sg 'your ede'; bare-candidate words like baban keep it)
+        if first == "Noun" and tag_set & {"P2sg", "P2pl"} and has_any_rival:
+            s -= 4.0
         # ... but a possessive/genitive segmentation needs discourse
         # context a single token can't supply: when an unsegmented
         # dictionary reading exists, it wins (fırtına != fırt+P3sg+Dat,
@@ -755,6 +778,7 @@ class HeuristicDisambiguator:
                 has_converb_rival,
                 has_adj_whole_rival,
                 has_seg_rival_nonp1,
+                has_any_rival=len(cands) > 1,
             )
             # tie-break WITHIN nominal readings: prefer the longer root
             # (inflection over derivation — ağaç+P3sg over ağa+Agt), the

@@ -80,7 +80,16 @@ def _readings(token: str) -> frozenset:
         tset = set(tags)
         if tags[0] == "Adj" and len(tags) == 1:
             out.add("bare_adj")
-        if tags[0] == "Noun" and "Prop" not in tset:
+        # nominal reading classes look at the FINAL derivation segment:
+        # kayıp+lar+ı parses as Adj^DB+Noun+A3pl+P3sg/Acc — the derived
+        # nominal carries the same Acc / P3sg+Nom homography as a plain
+        # noun and must be re-resolvable the same way (ve KAYIPLARI
+        # buldu -> obj)
+        if "DB" in tags:
+            fseg = tags[len(tags) - 1 - tags[::-1].index("DB") + 1:]
+        else:
+            fseg = tags
+        if fseg and fseg[0] == "Noun" and "Prop" not in tset:
             if "Acc" in tset:
                 out.add("acc")
             if "Nom" in tset and tset & {"P3sg", "P3pl"}:
@@ -736,10 +745,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # the bare nominal must be a claimable head, not the
             # complement of a following postposition or the tarafından
             # agent frame (Karar KURUL tarafından alındı keeps Karar
-            # the subject)
+            # the subject) — UNLESS the clause already has a subject
+            # candidate to the left, in which case the homograph really
+            # is attributive on the ADP/agent complement (Köprü YABANCI
+            # mühendisler tarafından inşa edildi)
             and not (i + 2 < n
                      and (out[i + 2] == "ADP"
-                          or to_lower(tokens[i + 2]) == "tarafından"))
+                          or to_lower(tokens[i + 2]) == "tarafından")
+                     and not any(out[j] in ("NOUN", "PROPN", "PRON")
+                                 for j in range(i)))
         ):
             out[i] = "ADJ"
     # out-of-lexicon stems ending in a harmony-consistent With suffix

@@ -2047,6 +2047,62 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 0, 3],
         deprels=["nsubj", "obl", "root", "punct"],
     ),
+    # ---- blind-22 pins (fresh lexemes, one per fix category) ----------
+    # P2sg-noun-vs-PresPart homograph (süren = sür+PresPart, not süre+n)
+    dict(
+        text="Uzun süren toplantı sona erdi.",
+        tokens=["Uzun", "süren", "toplantı", "sona", "erdi", "."],
+        upos=["ADV", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["advmod", "acl", "nsubj", "obl", "root", "punct"],
+    ),
+    # derived-nominal Acc/P3sg homography in a conjunct clause
+    # (büyükleri = büyük^DB+Noun, resolves to the object of dinledi)
+    dict(
+        text="Aile toplandı ve büyükleri dinledi.",
+        tokens=["Aile", "toplandı", "ve", "büyükleri", "dinledi", "."],
+        upos=["NOUN", "VERB", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=["nsubj", "root", "cc", "obj", "conj", "punct"],
+    ),
+    # PCDat postposition with bare-Nom equative complement (saray KADAR)
+    dict(
+        text="Ev saray kadar güzel.",
+        tokens=["Ev", "saray", "kadar", "güzel", "."],
+        upos=["NOUN", "NOUN", "ADP", "ADJ", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    # case-governing Postp demoted without its case (daha FAZLA arttı:
+    # fazla+PCAbl has no ablative complement, the degree reading stands)
+    dict(
+        text="Giderler bu yıl daha fazla arttı.",
+        tokens=["Giderler", "bu", "yıl", "daha", "fazla", "arttı", "."],
+        upos=["NOUN", "DET", "NOUN", "ADV", "ADV", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "det", "obl", "advmod", "advmod", "root",
+                 "punct"],
+    ),
+    # attributive adj-noun homograph on the tarafından agent when the
+    # clause subject stands left (GENÇ mimarlar tarafından)
+    dict(
+        text="Bina genç mimarlar tarafından tasarlandı.",
+        tokens=["Bina", "genç", "mimarlar", "tarafından", "tasarlandı",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "nmod", "obl", "root", "punct"],
+    ),
+    # adnominal walk to the Acc-resolved compound head when the subject
+    # stands left (yeni bir pazarlama STRATEJİSİ)
+    dict(
+        text="Şirket yeni bir pazarlama stratejisi uyguladı.",
+        tokens=["Şirket", "yeni", "bir", "pazarlama", "stratejisi",
+                "uyguladı", "."],
+        upos=["NOUN", "ADJ", "DET", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 5, 5, 5, 6, 0, 6],
+        deprels=["nsubj", "amod", "det", "nmod", "obj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
