@@ -40,6 +40,7 @@ SPLITS = [
     ("blind20", "vnlp_spark.plans.gold_ud_blind20", "BLIND20"),
     ("blind21", "vnlp_spark.plans.gold_ud_blind21", "BLIND21"),
     ("blind22", "vnlp_spark.plans.gold_ud_blind22", "BLIND22"),
+    ("blind23", "vnlp_spark.plans.gold_ud_blind23", "BLIND23"),
 ]
 
 
