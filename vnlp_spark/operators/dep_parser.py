@@ -88,6 +88,10 @@ _TEMPORAL_ADVS = {
 _DEGREE_ADVS = {"çok", "en", "daha", "pek", "gayet", "oldukça", "epey", "az"}
 # multiword idioms: second token attaches `fixed` to the first
 _FIXED_BIGRAMS = {("canla", "başla"), ("aşağı", "yukarı"), ("er", "geç")}
+
+# correlative coordinators: a doubled particle marks each conjunct
+# (hem X hem Y, ne X ne Y, ya X ya Y, gerek X gerek Y)
+_CORRELATIVE_CCS = ("hem", "ne", "ya", "gerek", "ister")
 # temporal noun ROOTS: bare-nominative time expressions are obl, never
 # subjects/objects (sabah kalktım)
 _TEMPORAL_ROOTS = {
@@ -371,14 +375,14 @@ def py_parse_tokens(
         # both root and parataxis count as predicates.)
         root = finite[0]
         preds = list(finite)
-        # a sentence-initial evidential verb directly before a bare-Nom
-        # noun, with ANOTHER finite predicate later, is the -mIş
-        # participle heading a relative, not a clause of its own
-        # (KURUMUŞ dallar toplandı)
+        # a sentence-initial evidential or future verb directly before a
+        # bare-Nom noun, with ANOTHER finite predicate later, is the -mIş
+        # / -AcAk participle heading a relative, not a clause of its own
+        # (KURUMUŞ dallar toplandı; YAPILACAK yatırımlar açıklanacak)
         if (
             len(preds) >= 2 and preds[0] == 0
             and upos[0] == "VERB"
-            and "Narr" in tagsets[0] and "A3sg" in tagsets[0]
+            and tagsets[0] & {"Narr", "Fut"} and "A3sg" in tagsets[0]
             and not tagsets[0] & {"Past", "Cond", "Neg"}
             and upos[1] in ("NOUN", "PROPN")
             and _case_of(analyses[1]) in ("Nom", "")
@@ -424,6 +428,44 @@ def py_parse_tokens(
     for i in range(1, n):
         if (to_lower(tokens[i - 1]), to_lower(tokens[i])) in _FIXED_BIGRAMS:
             heads[i], rels[i] = i, "fixed"
+
+    # --- correlative coordination (hem..hem, ne..ne, ya..ya, gerek..) ----
+    # each correlative CCONJ is cc on its OWN conjunct; the 2nd..kth
+    # conjuncts chain conj to the FIRST, which keeps its clause role
+    # (Şirket hem ÜRETİMİ hem ihracatı artırdı -> üretimi obj,
+    # ihracatı conj->üretimi).  The first conjunct must NOT take the
+    # generic nominal conj-back rule (it has no left conjunct).
+    corr_first = set()
+    corr_cc_idx = set()
+    _corr_groups = {}
+    for i in range(n):
+        if upos[i] == "CCONJ" and to_lower(tokens[i]) in _CORRELATIVE_CCS:
+            _corr_groups.setdefault(to_lower(tokens[i]), []).append(i)
+    for _w, _idxs in _corr_groups.items():
+        if len(_idxs) < 2:
+            continue
+        _conjs = []
+        for k in _idxs:
+            c = next(
+                (j for j in range(k + 1, n)
+                 if upos[j] in _NOMINAL or upos[j] == "VERB"
+                 or (upos[j] == "ADJ"
+                     and not (j + 1 < n and upos[j + 1] in _NOMINAL))),
+                None,
+            )
+            _conjs.append(c)
+        if any(c is None for c in _conjs) or len(set(_conjs)) < 2:
+            continue
+        c1 = _conjs[0]
+        corr_first.add(c1)
+        corr_cc_idx.update(_idxs)
+        if heads[_idxs[0]] == -1:
+            heads[_idxs[0]], rels[_idxs[0]] = c1 + 1, "cc"
+        for k, c in zip(_idxs[1:], _conjs[1:]):
+            if heads[k] == -1:
+                heads[k], rels[k] = c + 1, "cc"
+            if c != c1 and heads[c] == -1 and upos[c] != "VERB":
+                heads[c], rels[c] = c1 + 1, "conj"
 
     # --- verbless nominal-predicate clause before a comma ----------------
     # "Benim adım Melikşah, ..." : a pre-first-predicate comma segment with
@@ -607,6 +649,28 @@ def py_parse_tokens(
             upos[i] = "ADJ"
             eff_case[i], eff_poss[i] = "", False
 
+    # the same loan -î homograph class directly before the determiner
+    # "bir" + a NON-temporal nominal is attributive outright: a possessed
+    # izafet head is never followed by its own indefinite determiner
+    # (Bu anlaşma TARİHİ bir adımdır = tarihî 'historic'; "toplantı
+    # tarihi bir gün önce ..." keeps the date reading — gün is temporal,
+    # that "bir" is the numeral of the time adjunct)
+    for i in range(1, n - 2):
+        if (
+            upos[i] == "NOUN"
+            and roots_of[i] != to_lower(tokens[i])
+            and ("Acc" in tagsets[i]
+                 or ("Nom" in tagsets[i]
+                     and tagsets[i] & {"P3sg", "P3pl"}))
+            and "bare_adj" in _readings(tokens[i])
+            and to_lower(tokens[i + 1]) == "bir"
+            and upos[i + 2] in ("NOUN", "PROPN")
+            and roots_of[i + 2] not in _TEMPORAL_ROOTS
+            and upos[i - 1] in _NOMINAL
+        ):
+            upos[i] = "ADJ"
+            eff_case[i], eff_poss[i] = "", False
+
     def _spatial_frame_mod(j: int) -> bool:
         # bare nominal feeding a possessed spatial-relational oblique
         # (gözetim ALTINDA tutuyordu, kontrol ALTINA alındı): part of the
@@ -775,11 +839,16 @@ def py_parse_tokens(
             )
             for j in range(i + 1, v)
         )
+        # subject candidates only count within the SAME clause: a nominal
+        # left of an earlier finite predicate belongs to that clause and
+        # cannot be this clause's subject (müdür istifasını sundu, kurul
+        # KARARI onayladı -> kararı is the second clause's object)
+        cl_start = max((f + 1 for f in finite if f < i), default=0)
         subject_elsewhere = any(
             upos[j] in ("PROPN", "PRON")
             or (upos[j] in _NOMINAL and eff_case[j] in ("Nom", "")
                 and not eff_poss[j] and roots_of[j] not in _TEMPORAL_ROOTS)
-            for j in range(0, i - 1)
+            for j in range(cl_start, i - 1)
         )
         if prev_bare_mod and (
             not transitive_v
@@ -925,6 +994,11 @@ def py_parse_tokens(
                 heads[i], rels[i] = p + 1, rel_inf
             elif tags & {"FutPart", "PastPart", "Inf2"} and case in ("Acc", "Dat"):
                 heads[i], rels[i] = p + 1, "ccomp"
+            elif "Inf2" in tags and case in ("", "Nom"):
+                # bare-Nom -mA nominalization heading the subject slot is
+                # the clausal SUBJECT of the matrix predicate (Projenin
+                # zamanında BİTMESİ herkesi sevindirdi)
+                heads[i], rels[i] = p + 1, "csubj"
             elif (
                 tags & {"PastPart"}
                 and case in ("Abl", "Loc")
@@ -993,6 +1067,15 @@ def py_parse_tokens(
                      and roots_of[nom] not in _TEMPORAL_ROOTS
                      and any(upos[j] in ("NOUN", "PROPN", "PRON")
                              for j in range(i))))
+            # an Acc-CASED target is a clause object: the walk may only
+            # cross into it when the clause's subject already stands
+            # LEFT of the adnominal (Araştırmacılar yeni bir tedavi
+            # YÖNTEMİ geliştirdi); with no subject on the left the
+            # skipped nominal IS the subject and keeps the adnominal
+            # (GENEL müdür istifasını sundu)
+            and (_case_of(analyses[nom + 1]) != "Acc"
+                 or any(upos[j] in ("NOUN", "PROPN", "PRON")
+                        for j in range(i)))
             and not (nom + 2 < n
                      and (upos[nom + 2] == "ADP"
                           or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
@@ -1056,6 +1139,15 @@ def py_parse_tokens(
                 # nummod of the next noun — leave it to the nominal pass
                 continue
             if (
+                i > 0
+                and to_lower(tokens[i - 1]) == "yüzde"
+                and upos[i - 1] == "NOUN"
+                and not eff_poss[i - 1]
+            ):
+                # percentage frame: the measure noun heads its numeral
+                # (yüzde ON arttı -> on nummod yüzde)
+                heads[i], rels[i] = i, "nummod"
+            elif (
                 i + 1 < n
                 and upos[i + 1] == "VERB"
                 and roots_of[i + 1] in ("ol", "gel")
@@ -1110,7 +1202,7 @@ def py_parse_tokens(
             j = i - 1
             while j >= 0 and upos[j] == "PUNCT":
                 j -= 1
-            if j >= 0 and upos[j] == "CCONJ":
+            if j >= 0 and upos[j] == "CCONJ" and j not in corr_cc_idx:
                 # coordinated predicate adjective: güzel ve güneşli — but
                 # only when no verb intervenes: across a verb the CCONJ
                 # coordinates CLAUSES and the adjective modifies its own
@@ -1174,8 +1266,11 @@ def py_parse_tokens(
             continue
 
         # nominal conjunct: X ve Y (only when no verb intervenes between
-        # the conjuncts -- otherwise the CCONJ coordinates clauses)
-        if prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da"):
+        # the conjuncts -- otherwise the CCONJ coordinates clauses).
+        # The FIRST conjunct of a correlative pair has no left conjunct
+        # and keeps its clause role (hem ÜRETİMİ hem ihracatı artırdı)
+        if (prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da")
+                and i not in corr_first):
             first = next((j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL), None)
             verb_between = first is not None and any(
                 upos[j] == "VERB" for j in range(first + 1, i)
@@ -1250,9 +1345,27 @@ def py_parse_tokens(
                 if (
                     sub_v is not None
                     and (nom is None
+                         # the nominalization stands BEFORE the next
+                         # plain nominal: the genitive is its subject
+                         # (Takımın erken GELMESİ hocayı şaşırttı —
+                         # only an adverb intervenes)
+                         or sub_v < nom
                          or (nom < sub_v and not eff_poss[nom]
                              and not tagsets[nom]
                              & {"P1sg", "P2sg", "P1pl", "P2pl"})
+                         # an ADJUNCT-cased (Loc/Abl/Ins) possessed
+                         # nominal between the genitive and the
+                         # nominalization is the clause's adverbial, not
+                         # the genitive's possessed head: the P3sg
+                         # nominalization still needs its subject
+                         # (Projenin ZAMANINDA bitmesi ...) — an Acc/Dat
+                         # head stays the possessed (taraftarların
+                         # DESTEĞİNİ unutmayacağını), and another
+                         # genitive closer to the nominalization blocks
+                         or (nom < sub_v
+                             and eff_case[nom] in ("Loc", "Abl", "Ins")
+                             and not any(eff_case[k] == "Gen"
+                                         for k in range(i + 1, sub_v)))
                          # a possessed landing nominal whose P3sg agreement
                          # is already saturated by its own bare compound
                          # modifier (the walk advanced over it) cannot also
@@ -1317,6 +1430,13 @@ def py_parse_tokens(
                 heads[i], rels[i] = vt + 1, "obl"
         else:  # Nom / unmarked
             preverbal = i + 1 == vt or (i + 1 < n and run_head.get(i + 1) == vt)
+            # a coordinated NP is preverbal as a WHOLE: the first
+            # conjunct inherits preverbality from its last conj child
+            # (ne ZAM ne ek ödeme önerdi -> zam is the object)
+            preverbal = preverbal or any(
+                rels[j] == "conj" and heads[j] == i + 1 and j + 1 == vt
+                for j in range(i + 1, vt if vt is not None else n)
+            )
             # a bare light-verb nominal is transparent for preverbality
             # (sabır TAVSİYE etti -> sabır is preverbal to the tavsiye-et
             # complex and is its object, not a compound of it)
@@ -1662,7 +1782,9 @@ def py_parse_tokens(
     # next conj token, else to the following predicate (ANCAK sonuç
     # değişmedi -> cc on the clause)
     for i in range(n):
-        if upos[i] == "CCONJ" and rels[i] == "cc":
+        # correlative ccs stand on their OWN conjunct by design — the
+        # first one's conjunct keeps its clause role, never "conj"
+        if upos[i] == "CCONJ" and rels[i] == "cc" and i not in corr_cc_idx:
             h = heads[i] - 1
             if 0 <= h < n and rels[h] not in ("conj", "root"):
                 nxt_conj = next(

@@ -386,6 +386,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      # (ağaçları BUDAMAYA başladı); same gate as the parser
                      or ("acc" in _readings(tokens[i - 1])
                          and out[i - 1] in ("NOUN", "PRON"))))
+            # a bare-Nom possessed -mA nominalization with its own
+            # GENITIVE subject on the left is a clausal subject, still a
+            # verb (Projenin zamanında BİTMESİ herkesi sevindirdi); the
+            # matrix predicate must exist for it to be the subject OF
+            or ("Inf2" in tags
+                and _case_of(analyses[i]) in ("Nom", "")
+                and tags & {"P3sg", "P3pl"}
+                and has_finite_verb
+                and any(_case_of(analyses[j]) == "Gen" for j in range(i)))
         ):
             # case-marked participles are subordinate verbs, not nominals
             # (yapacağını söyledi, anlattığı konu); bare FutPart nominals
@@ -441,10 +450,38 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         elif (
             low in ("bütün", "tüm", "çoğu", "birçok", "birkaç", "bazı")
             and i + 1 < n and out[i + 1] in ("NOUN", "PROPN", "ADJ")
+            # a PARTITIVE quantifier headed by a genitive host is a
+            # pronoun, not a determiner (Katılımcıların ÇOĞU öneriyi
+            # destekledi); only the bare adnominal use is DET
+            and not (i > 0 and _case_of(analyses[i - 1]) == "Gen")
         ):
             # quantifiers are determiners in UD (bütün gün, ÇOĞU
             # izleyici)
             out[i] = "DET"
+        elif (
+            low == "neden"
+            and out[i] == "NOUN"
+            and "Pnon" in tags
+            and _case_of(analyses[i]) in ("Nom", "")
+            and i + 1 < n
+            # the next token may be a nominalized verb whose own NOUN ->
+            # VERB rewrite runs later in this pass: read the analysis
+            and (out[i + 1] == "VERB"
+                 or "Verb" in analyses[i + 1].replace("^", "+").split("+"))
+        ):
+            # the bare interrogative directly before a verb is the
+            # wh-adverb 'why' (fiyatların NEDEN arttığını açıkladı);
+            # the noun 'cause' is possessed/case-marked/determined
+            out[i] = "ADV"
+        elif (
+            low == "ne"
+            and sum(1 for t in tokens if to_lower(t) == "ne") >= 2
+            and i + 1 < n and out[i + 1] in ("NOUN", "PROPN", "ADJ",
+                                             "VERB", "NUM")
+        ):
+            # doubled 'ne' is the negative correlative coordinator
+            # (NE zam NE ek ödeme önerdi), not the interrogative pronoun
+            out[i] = "CCONJ"
         elif (
             out[i] == "ADJ"
             and tags & {"With", "Without"}
@@ -706,6 +743,26 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                 and "acc" in _readings(tokens[j])
                 for j in range(0, i)
             )
+        ):
+            out[i] = "ADJ"
+    # the same loan -î class directly before determiner "bir" + a
+    # non-temporal nominal is attributive outright (Bu anlaşma TARİHİ
+    # bir adımdır) — mirror of the parser's re-read; "toplantı tarihi
+    # bir gün önce" keeps the date reading (gün is temporal)
+    from .dep_parser import _TEMPORAL_ROOTS as _TEMP_ROOTS_M
+    for i in range(1, n - 2):
+        if (
+            out[i] == "NOUN"
+            and analyses[i].split("+", 1)[0] != to_lower(tokens[i])
+            and (set(analyses[i].replace("^", "+").split("+")) & {"Acc"}
+                 or ("Nom" in analyses[i]
+                     and set(analyses[i].replace("^", "+").split("+"))
+                     & {"P3sg", "P3pl"}))
+            and "bare_adj" in _readings(tokens[i])
+            and to_lower(tokens[i + 1]) == "bir"
+            and out[i + 2] in ("NOUN", "PROPN")
+            and analyses[i + 2].split("+", 1)[0] not in _TEMP_ROOTS_M
+            and out[i - 1] in ("NOUN", "PROPN", "PRON", "NUM")
         ):
             out[i] = "ADJ"
     # agentive -IcI derivations (yüzücü, satıcı) are profession NOUNS

@@ -2103,6 +2103,87 @@ UD_GOLD: List[dict] = [
         heads=[6, 5, 5, 5, 6, 0, 6],
         deprels=["nsubj", "amod", "det", "nmod", "obj", "root", "punct"],
     ),
+    # ---- blind-23 pins (fresh lexemes, one per fix category) ----------
+    # sentence-initial -AcAk participle relative (narr_acl0 extended)
+    dict(
+        text="Açılacak fabrikalar istihdam sağlayacak.",
+        tokens=["Açılacak", "fabrikalar", "istihdam", "sağlayacak", "."],
+        upos=["VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["acl", "nsubj", "obj", "root", "punct"],
+    ),
+    # bare interrogative 'neden' before a (nominalized) verb is ADV
+    dict(
+        text="Müdür satışların neden azaldığını sordu.",
+        tokens=["Müdür", "satışların", "neden", "azaldığını", "sordu",
+                "."],
+        upos=["NOUN", "NOUN", "ADV", "VERB", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "nsubj", "advmod", "ccomp", "root", "punct"],
+    ),
+    # bare-Nom -mA nominalization as clausal subject (csubj), its
+    # genitive reaching over an adverb
+    dict(
+        text="Takımın erken gelmesi hocayı şaşırttı.",
+        tokens=["Takımın", "erken", "gelmesi", "hocayı", "şaşırttı",
+                "."],
+        upos=["NOUN", "ADV", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "advmod", "csubj", "obj", "root", "punct"],
+    ),
+    # correlative hem..hem: first conjunct keeps its clause role
+    dict(
+        text="Belediye hem yolları hem parkları yeniledi.",
+        tokens=["Belediye", "hem", "yolları", "hem", "parkları",
+                "yeniledi", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 3, 0, 6],
+        deprels=["nsubj", "cc", "obj", "cc", "conj", "root", "punct"],
+    ),
+    # correlative ne..ne with bare-Nom conjuncts
+    dict(
+        text="Firma ne indirim ne taksit sundu.",
+        tokens=["Firma", "ne", "indirim", "ne", "taksit", "sundu", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "CCONJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 3, 0, 6],
+        deprels=["nsubj", "cc", "obj", "cc", "conj", "root", "punct"],
+    ),
+    # percentage frame: yüzde heads its numeral
+    dict(
+        text="Üretim yüzde kırk azaldı.",
+        tokens=["Üretim", "yüzde", "kırk", "azaldı", "."],
+        upos=["NOUN", "NOUN", "NUM", "VERB", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "nummod", "root", "punct"],
+    ),
+    # loan -î homograph before determiner 'bir' is attributive (resmi)
+    dict(
+        text="Kurum resmi bir açıklama yaptı.",
+        tokens=["Kurum", "resmi", "bir", "açıklama", "yaptı", "."],
+        upos=["NOUN", "ADJ", "DET", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "det", "obj", "root", "punct"],
+    ),
+    # partitive quantifier after a genitive is PRON, not DET
+    dict(
+        text="Çalışanların çoğu karara sevindi.",
+        tokens=["Çalışanların", "çoğu", "karara", "sevindi", "."],
+        upos=["NOUN", "PRON", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    # clause-scoped Acc/P3sg resolution in a parataxis second clause,
+    # adnominal walk stopped at the clause-initial subject
+    dict(
+        text="Yaşlı doktor hastayı muayene etti, hemşire raporu yazdı.",
+        tokens=["Yaşlı", "doktor", "hastayı", "muayene", "etti", ",",
+                "hemşire", "raporu", "yazdı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT", "NOUN",
+              "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 9, 9, 9, 5, 5],
+        deprels=["amod", "nsubj", "obj", "compound", "root", "punct",
+                 "nsubj", "obj", "parataxis", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
