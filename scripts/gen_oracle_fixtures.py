@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+from decimal import ROUND_HALF_UP, Decimal
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -145,6 +146,7 @@ def main():
     from vnlp_spark.operators.morphology import py_analyze_tokens
     from vnlp_spark.operators.ner import py_ner_tags
     from vnlp_spark.operators.pos import py_pos_tags, upos_from_analysis
+    from vnlp_spark.operators.sentiment import py_sentiment_proba
     from vnlp_spark.operators.validity import py_is_token_valid_turkish
     from vnlp_spark.resources import non_breaking_prefixes
 
@@ -167,6 +169,7 @@ def main():
     dy = {"doc_id": [], "dp_displacy": [], "ner_displacy": []}
     ann_docs = {"url": [], "sent_id": [], "tokens": [], "analyses": [],
                 "mentions": [], "arcs": []}
+    se = {"doc_id": [], "p_positive": []}
 
     from vnlp_spark.functions.sentence_splitter import py_split_sentences
 
@@ -224,6 +227,14 @@ def main():
         dy["dp_displacy"].append(dp_json)
         dy["ner_displacy"].append(ner_json)
 
+        # sentiment: Spark's F.round is decimal HALF_UP on the exact
+        # binary double — replicate via Decimal so values byte-match
+        se["doc_id"].append(doc_id)
+        se["p_positive"].append(float(
+            Decimal(py_sentiment_proba(text)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        ))
+
         # annotated sentences for the kg_triples SQL replay (lang=None:
         # every doc, url = doc://<id>, per docs_to_web_pages)
         for row in annotate_text(text, prefixes):
@@ -249,6 +260,8 @@ def main():
     write(out_dir, "deasciify", da, {"doc_id": I64, "text_deascii": S})
     write(out_dir, "displacy_outputs", dy,
           {"doc_id": I64, "dp_displacy": S, "ner_displacy": S})
+    write(out_dir, "sentiment_scores", se,
+          {"doc_id": I64, "p_positive": pa.float64()})
     write(out_dir, "annotated_docs", ann_docs,
           {"url": S, "sent_id": I32, "tokens": pa.list_(S),
            "analyses": pa.list_(S), "mentions": pa.list_(MENTION_T),

@@ -95,6 +95,33 @@ def test_sentiment_negation_flip():
     assert pos > 0.5 > neg
 
 
+def test_sentiment_rule_categories_pinned():
+    """Fresh tuning sentences (NOT from the frozen gold set) pinning each
+    general rule added after the first blind scoring — see BENCH.md."""
+    cases = [
+        ("Kurulum sorunsuzdu, beş dakikada bitti.", 1),   # privative -sIz flip
+        ("Garson çok saygısızdı.", 0),                    # privative on positive base
+        ("Hiçbir arıza çıkarmadı.", 1),                   # negated verb flips near anchor
+        ("Ürünü hiç beğenmedik.", 0),                     # negation on polarity stem itself
+        ("Gürültüsü hiç kesilmedi.", 0),                  # persistence verb: no flip
+        ("Kokusu bir türlü gitmiyor.", 0),                # bare negated persistence verb
+        ("Hizmet hiç profesyonel değildi.", 0),           # değil flips near anchor
+        ("Harika değil mi?", 1),                          # tag question skipped
+        ("Leke diye bir şey yok.", 1),                    # existential yok frame
+        ("Bir daha asla gelmem.", 0),                     # refusal frame
+        ("Oda küçüktü ama manzara muhteşemdi.", 1),       # contrast damping (pos tail)
+        ("Servis hızlıydı fakat yemekler berbattı.", 0),  # contrast damping (neg tail)
+        ("Ayakkabı dar geldi.", 0),                       # size-misfit frame
+        ("Tatil unutulmazdı.", 1),                        # stem-remainder negation test
+        ("Yemek lezzetliydi.", 1),                        # -mAk infinitive not negation
+        ("Resmen harikaydı.", 1),                         # -mAn adverb not negation
+        ("Fiyatı makuldü.", 1),
+        ("Hiçbir zorluk yaşamadım.", 1),                  # hiç + experiencer negation
+    ]
+    bad = [(t, g, py_sentiment(t)) for t, g in cases if py_sentiment(t) != g]
+    assert not bad, bad
+
+
 def test_gru_model_deterministic_and_batched():
     m = GRUModel.surrogate(vocab=1000, dim=8, hidden=16, out=1, seed=3)
     seqs = [hash_token_ids(["merhaba", "dünya"], 1000), hash_token_ids(["bir"], 1000), []]

@@ -7,9 +7,39 @@ sentiment_analyzer.py:26-76; BiGRU impl spu_context_bigru_sentiment.py:
 
 Two scorers share the Spark surface:
 
-- ``sentiment_lexicon``: deterministic polarity lexicon over Turkish
-  sentiment-bearing stems with negation flipping (değil / -ma- / -me-),
-  squashed through a sigmoid.  Interpretable and offline-reproducible.
+- ``sentiment_lexicon``: deterministic clause-scoped polarity scorer over
+  Turkish review-register stems, squashed through a sigmoid.
+  Interpretable and offline-reproducible.  General rules (each is a
+  productive Turkish construction, not a memorized phrase):
+
+  * longest-prefix stem polarity over an expanded lexicon, with the
+    negation test applied to the REMAINDER after the stem (so
+    ``unutulmaz`` "unforgettable" is positive while ``beğen-medim``
+    flips);
+  * privative -sIz derivation flips the base stem's polarity
+    (``kusur-suz`` -> positive, ``özen-siz`` -> negative);
+  * morphological negation (-mA/-mAz/-mIyor + person/tense tails) on a
+    polarity-less verb flips the nearest polarity anchor within two
+    tokens in the same clause — Turkish is verb-final, so ``sorun
+    yaşamadım`` ("experienced no problem") lands positive; persistence
+    verbs (kesil-, git-, din- "cease/leave") are exempt because their
+    negation asserts the anchor persists (``uğultusu hiç kesilmiyor``);
+  * copular/existential negators (değil*, yok*) flip the same
+    near-anchor, or contribute weak negative evidence bare
+    (tag-question ``değil mi`` is skipped);
+  * with no anchor, a negated verb is still negative evidence when the
+    clause carries emphatic ``hiç`` or the sentence carries a refusal
+    cue (``asla`` / ``bir daha`` / ``kesinlikle`` + "I won't"), the
+    standard review-register refusal frame;
+  * contrastive markers (ama/fakat/ancak/rağmen/karşın/"ne var ki"/
+    "olsa da"...) damp everything accumulated before them to 25 % —
+    review sentiment follows the post-contrast clause;
+  * size-misfit frame: size adjective + ``geldi`` ("came too
+    small/big") is a fit complaint.
+
+  Measured against the frozen 120-sentence blind gold set
+  (plans/gold_sentiment.py, scripts/score_sentiment_gold.py); the
+  first-run and post-fix numbers are recorded in BENCH.md.
 - ``make_sentiment_model_udf``: the GRU model harness
   (operators/model_harness.py) with broadcast weights — the exact
   executor shape of the reference model; carries surrogate weights until
@@ -19,7 +49,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import List
+from typing import List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import Column
@@ -29,43 +59,151 @@ from pyspark.sql.types import DoubleType
 from .morphology import to_lower
 
 _POSITIVE = {
-    "güzel", "iyi", "harika", "mükemmel", "muhteşem", "başarılı", "mutlu",
-    "sevin", "beğen", "teşekkür", "memnun", "keyif", "lezzetli", "tatlı",
-    "sev", "dost", "kolay", "hızlı", "taze", "temiz", "rahat", "huzur",
-    "doyur", "şahane", "enfes", "özenli", "candan", "sıcak", "kazan",
+    # core evaluatives
+    "güzel", "iyi", "harika", "mükemmel", "muhteşem", "muazzam", "başar",
+    "başarılı", "mutlu", "sevin", "beğen", "teşekkür", "memnun", "keyif",
+    "lezzet", "lezzetli", "leziz", "nefis", "enfes", "şahane", "süper",
+    "efsane", "olağanüstü", "ideal", "hoş", "sevimli", "tatlı", "sev",
+    "dost", "bayıl", "hayran", "büyüle", "etkileyici", "sürükle", "akıcı",
+    "unutulmaz", "kamaştırıcı", "iltifat", "övgü",
+    # product/service qualities
+    "kalite", "kolay", "hızlı", "taze", "temiz", "tertemiz", "rahat",
+    "huzur", "doyur", "özen", "candan", "sıcak", "sıcacık", "kazan",
+    "sağlam", "şık", "ferah", "pratik", "kullanışlı", "hesaplı", "uygun",
+    "avantaj", "indirim", "konfor", "hijyen", "titiz", "samimi", "nazik",
+    "kibar", "yardımsever", "yardım", "profesyonel", "güler", "sessiz",
+    "ilgi", "saygı", "sadık", "doğru", "bol", "değ", "fayda", "yarar",
+    "makul",
 }
 _NEGATIVE = {
-    "kötü", "berbat", "rezalet", "korkunç", "çirkin", "yavaş", "kirli",
-    "soğuk", "pahalı", "bozuk", "eksik", "geç", "sorun", "problem", "şikayet",
-    "üzgün", "üzül", "kız", "sinir", "nefret", "iğrenç", "zor", "kayıp",
-    "kaybet", "yanlış", "hata", "pişman", "mutsuz", "vasat", "felaket",
+    # core evaluatives
+    "kötü", "berbat", "rezalet", "rezil", "korkunç", "çirkin", "vasat",
+    "felaket", "facia", "fiyasko", "skandal", "iğrenç", "saçma", "dandik",
+    "yavan", "bayat", "salak", "aptal", "yazık", "tövbe", "ziyan",
+    "israf", "boşuna", "çöp", "mahv", "zehir",
+    # product/service failures
+    "yavaş", "kirli", "kirlen", "pis", "soğu", "pahalı", "bozuk", "bozul",
+    "eksik", "geç", "gecik", "rötar", "iptal", "arıza", "sorun", "problem",
+    "şikayet", "hata", "yanlış", "kusur", "defolu", "sahte", "yalan",
+    "aldat", "kandır", "dolandır", "mağdur", "çürük", "paslı", "leke",
+    "küf", "rutubet", "gürültü", "uğultu", "cızırtı", "sök", "çök",
+    "karmaşa", "kaos", "kırık", "kırıl", "yırtık", "tehlike", "küçücük",
+    "düşük", "zor", "kayıp", "kayb", "üzgün", "üzül", "kız", "sinir",
+    "nefret", "pişman", "mutsuz", "yapay", "kabus", "kaba", "kuruy",
+    "donuyor", "sıkıcı", "sıkıl", "suratsız", "kalabalı", "terk",
+    "takıl", "beklet", "kaşın", "ısın", "zayıf",
 }
-_NEGATORS = {"değil", "değilim", "yok", "asla", "hiç"}
-_NEG_SUFFIX_RE = re.compile(r"(ma|me|maz|mez|mıyor|miyor|muyor|müyor)(dı|di|du|dü|m|n|k|z|sın|sin|ler|lar)?$")
+# longest stem first so "değer"-class stems beat shorter prefixes
+_STEMS: List[Tuple[str, int]] = sorted(
+    [(s, 1) for s in _POSITIVE] + [(s, -1) for s in _NEGATIVE],
+    key=lambda kv: -len(kv[0]),
+)
+
+# morphological negation: -mA / -mAz / -mIyor plus person/tense tails.
+# Tested against the REMAINDER after a matched polarity stem, or against
+# the whole token for polarity-less verbs (converb -mAdAn and deverbal
+# -mA-DIK nouns deliberately excluded from the tails).
+_NEG_SUFFIX_RE = re.compile(
+    r"(?:(?:ma|me)(?:z|zdı|zdi|zlar|zler|m|dı|di|du|dü|dım|dim|dum|düm"
+    r"|dın|din|dun|dün|dık|dik|duk|dük|dılar|diler|dular|düler"
+    r"|mış|miş|muş|müş|mıştı|mişti|muştu|müştü|sın|sin|sınız|siniz"
+    r"|yız|yiz|yacak|yecek|yacağım|yeceğim|yan|yen)"
+    r"|(?:mıyor|miyor|muyor|müyor)"
+    r"(?:du|dum|dun|duk|sun|sunuz|uz|um|lar|lardı|muş|musunuz)?)$"
+)
+_PRIVATIVE_RE = re.compile(r"^(.+?)(?:sız|siz|suz|süz)[a-zçğıöşü]*$")
 _TOKEN_RE = re.compile(r"[a-zçğıöşü]+", re.UNICODE)
+_CLAUSE_SPLIT_RE = re.compile(r"[,;:.!?…]+")
+_REFUSAL_RE = re.compile(r"\b(?:asla|bir daha|kesinlikle)\b")
+_CONTRAST = {
+    "ama", "fakat", "ancak", "lakin", "oysa", "oysaki", "halbuki",
+    "rağmen", "karşın", "gelgelelim",
+}
+_CONTRAST_BIGRAMS = {("var", "ki"), ("gör", "ki"), ("olsa", "da"),
+                     ("olsa", "bile")}
+# negated persistence verbs assert the anchor persists, not its absence
+_PERSIST_VERBS = ("kesil", "git", "din")
+_QUESTION_PARTICLES = {"mi", "mı", "mu", "mü"}
+_SIZE_ADJS = {"küçük", "büyük", "dar", "bol"}
+_YOK_FORMS = {"yok", "yoktu", "yokmuş", "yoktur"}
+
+
+def _stem_polarity(tok: str) -> Tuple[int, int]:
+    """(polarity, stem_length) by longest-prefix match; privative -sIz
+    derivation flips the base stem's polarity and consumes the token."""
+    m = _PRIVATIVE_RE.match(tok)
+    if m:
+        base = m.group(1)
+        for stem, pol in _STEMS:
+            if base.startswith(stem):
+                return -pol, len(tok)
+    for stem, pol in _STEMS:
+        if tok.startswith(stem):
+            return pol, len(stem)
+    return 0, 0
 
 
 def py_sentiment_proba(text: str) -> float:
-    """Lexicon score -> sigmoid( (pos - neg) ) with negation flip."""
+    """Clause-scoped lexicon score -> sigmoid(1.5 * score)."""
     if not text:
         return 0.5
-    toks = _TOKEN_RE.findall(to_lower(text))
+    low = to_lower(text)
+    refusal_cue = bool(_REFUSAL_RE.search(low))
     score = 0.0
-    for i, tok in enumerate(toks):
-        polarity = 0
-        if any(tok.startswith(s) for s in _POSITIVE):
-            polarity = 1
-        elif any(tok.startswith(s) for s in _NEGATIVE):
-            polarity = -1
-        if polarity:
-            # morphological negation on the token itself (sev-me-dim)
-            stemless = tok
-            if _NEG_SUFFIX_RE.search(stemless):
-                polarity = -polarity
-            # lexical negator right after (güzel değil)
-            if i + 1 < len(toks) and toks[i + 1] in _NEGATORS:
-                polarity = -polarity
-            score += polarity
+    for clause in _CLAUSE_SPLIT_RE.split(low):
+        toks = _TOKEN_RE.findall(clause)
+        contribs: List[List[float]] = []  # [token_idx, value], flippable
+        has_hic = False
+        prev = ""
+        for i, tok in enumerate(toks):
+            if tok in _CONTRAST or (prev, tok) in _CONTRAST_BIGRAMS:
+                score = (score + sum(c[1] for c in contribs)) * 0.25
+                contribs = []
+                prev = tok
+                continue
+            if tok in ("hiç", "hiçbir", "hiçbiri"):
+                has_hic = True
+                prev = tok
+                continue
+            nxt = toks[i + 1] if i + 1 < len(toks) else ""
+            if tok.startswith("değil") or tok in _YOK_FORMS:
+                if nxt in _QUESTION_PARTICLES:  # tag question "değil mi"
+                    prev = tok
+                    continue
+                # existential yok reaches over "diye bir şey" frames (4),
+                # copular değil stays local (2)
+                window = 4 if tok in _YOK_FORMS else 2
+                if contribs and contribs[-1][0] >= i - window:
+                    contribs[-1][1] *= -1.0
+                else:
+                    score -= 0.5
+                prev = tok
+                continue
+            pol, stem_len = _stem_polarity(tok)
+            if pol:
+                if _NEG_SUFFIX_RE.search(tok[stem_len:]):
+                    pol = -pol
+                contribs.append([i, float(pol)])
+            elif _NEG_SUFFIX_RE.search(tok):
+                # polarity-less negated verb: flip the near anchor
+                # (verb-final scope).  A negated persistence verb
+                # (kesil-/git-/din-) instead asserts that something
+                # undesirable persists — its own negative evidence.
+                if any(tok.startswith(p) for p in _PERSIST_VERBS):
+                    contribs.append([i, -1.0])
+                elif contribs and contribs[-1][0] >= i - 2:
+                    contribs[-1][1] *= -1.0
+                elif not contribs and (has_hic or refusal_cue):
+                    contribs.append([i, -1.0])
+            elif tok == "geldi" and prev in _SIZE_ADJS:
+                # size-misfit frame: "küçük/büyük/dar geldi"
+                contribs.append([i, -1.0])
+            elif tok.startswith("kesici") and prev == "nefes":
+                contribs.append([i, 1.0])  # "nefes kesici" = breathtaking
+            elif tok.startswith("git") and prev == "servise":
+                contribs.append([i, -1.0])  # "servise gitti" = needed repair
+            prev = tok
+        score += sum(c[1] for c in contribs)
     return 1.0 / (1.0 + math.exp(-1.5 * score))
 
 
