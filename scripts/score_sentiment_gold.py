@@ -9,7 +9,7 @@ then the same for negative), and the reference's published 0.947 for
 comparison (/root/reference/vnlp/sentiment_analyzer/
 spu_context_bigru_sentiment.py:78).
 
-Usage: python scripts/score_sentiment_gold.py
+Usage: python scripts/score_sentiment_gold.py [--split2]
 """
 from __future__ import annotations
 
@@ -26,9 +26,18 @@ CATS = [
     ("pos-terse", 55, 60), ("neg-plain", 60, 90), ("neg-negation", 90, 105),
     ("neg-mixed", 105, 115), ("neg-terse", 115, 120),
 ]
+CATS2 = [
+    ("pos-plain", 0, 15), ("pos-negation", 15, 23), ("pos-mixed", 23, 28),
+    ("pos-terse", 28, 30), ("neg-plain", 30, 45), ("neg-negation", 45, 53),
+    ("neg-mixed", 53, 58), ("neg-terse", 58, 60),
+]
 
 
 def main() -> None:
+    global GOLD_SENTIMENT, CATS
+    if "--split2" in sys.argv:
+        from vnlp_spark.plans.gold_sentiment2 import GOLD_SENTIMENT2
+        GOLD_SENTIMENT, CATS = GOLD_SENTIMENT2, CATS2
     preds = [py_sentiment(t) for t, _ in GOLD_SENTIMENT]
     golds = [lbl for _, lbl in GOLD_SENTIMENT]
     n_ok = sum(p == g for p, g in zip(preds, golds))
