@@ -117,6 +117,15 @@ def test_sentiment_rule_categories_pinned():
         ("Resmen harikaydı.", 1),                         # -mAn adverb not negation
         ("Fiyatı makuldü.", 1),
         ("Hiçbir zorluk yaşamadım.", 1),                  # hiç + experiencer negation
+        # pins for the rules added after the split-2 first run
+        ("Arızayı aynı gün giderdiler.", 1),              # resolution verb flips anchor
+        ("Sorunu bir türlü çözemediler.", 0),             # negated resolution persists
+        ("Her kuruşunu hak ediyor.", 1),                  # praise frame
+        ("Telefonu suratımıza kapattılar.", 0),           # hang-up frame
+        ("Toplantıya geç kaldılar.", 0),                  # geç + verb frame = late
+        ("Hafta sonu güzel geçti.", 1),                   # free verb geç- not "late"
+        ("Ekran ilk haftada çatladı.", 0),                # open-class lexicon growth
+        ("Paket sapasağlam ulaştı.", 1),
     ]
     bad = [(t, g, py_sentiment(t)) for t, g in cases if py_sentiment(t) != g]
     assert not bad, bad

@@ -73,7 +73,8 @@ _POSITIVE = {
     "avantaj", "indirim", "konfor", "hijyen", "titiz", "samimi", "nazik",
     "kibar", "yardımsever", "yardım", "profesyonel", "güler", "sessiz",
     "ilgi", "saygı", "sadık", "doğru", "bol", "değ", "fayda", "yarar",
-    "makul",
+    "makul", "verim", "sabır", "müthiş", "alkış", "sapasağlam", "bakımlı",
+    "taptaze",
 }
 _NEGATIVE = {
     # core evaluatives
@@ -83,7 +84,7 @@ _NEGATIVE = {
     "israf", "boşuna", "çöp", "mahv", "zehir",
     # product/service failures
     "yavaş", "kirli", "kirlen", "pis", "soğu", "pahalı", "bozuk", "bozul",
-    "eksik", "geç", "gecik", "rötar", "iptal", "arıza", "sorun", "problem",
+    "eksik", "gecik", "rötar", "iptal", "arıza", "sorun", "problem",
     "şikayet", "hata", "yanlış", "kusur", "defolu", "sahte", "yalan",
     "aldat", "kandır", "dolandır", "mağdur", "çürük", "paslı", "leke",
     "küf", "rutubet", "gürültü", "uğultu", "cızırtı", "sök", "çök",
@@ -91,7 +92,10 @@ _NEGATIVE = {
     "düşük", "zor", "kayıp", "kayb", "üzgün", "üzül", "kız", "sinir",
     "nefret", "pişman", "mutsuz", "yapay", "kabus", "kaba", "kuruy",
     "donuyor", "sıkıcı", "sıkıl", "suratsız", "kalabalı", "terk",
-    "takıl", "beklet", "kaşın", "ısın", "zayıf",
+    "takıl", "beklet", "kaşın", "ısın", "zayıf", "döküntü", "patlak",
+    "bulan", "sinek", "haşere", "böcek", "batır", "erimiş", "acımış",
+    "izbe", "darmadağın", "fahiş", "çatla", "koktu", "sürün", "uğraştır",
+    "kop", "pes",
 }
 # longest stem first so "değer"-class stems beat shorter prefixes
 _STEMS: List[Tuple[str, int]] = sorted(
@@ -123,6 +127,11 @@ _CONTRAST_BIGRAMS = {("var", "ki"), ("gör", "ki"), ("olsa", "da"),
                      ("olsa", "bile")}
 # negated persistence verbs assert the anchor persists, not its absence
 _PERSIST_VERBS = ("kesil", "git", "din")
+# resolution verbs acting on a negative anchor flip it ("sorunu çözdüler")
+_RESOLUTION_VERBS = ("çöz", "hallet", "gider", "düzelt", "telafi")
+# bare "geç" is the ADJ/ADV "late" only in a verb frame ("geç kaldı");
+# the free verb geç- "pass" ("dersler verimli geçiyor") carries no polarity
+_LATE_FRAME_VERBS = ("kal", "gel", "aç", "başla", "teslim", "yolla")
 _QUESTION_PARTICLES = {"mi", "mı", "mu", "mü"}
 _SIZE_ADJS = {"küçük", "büyük", "dar", "bol"}
 _YOK_FORMS = {"yok", "yoktu", "yokmuş", "yoktur"}
@@ -150,6 +159,8 @@ def py_sentiment_proba(text: str) -> float:
     low = to_lower(text)
     refusal_cue = bool(_REFUSAL_RE.search(low))
     score = 0.0
+    any_contrast = False
+    post_contrast_contrib = False
     for clause in _CLAUSE_SPLIT_RE.split(low):
         toks = _TOKEN_RE.findall(clause)
         contribs: List[List[float]] = []  # [token_idx, value], flippable
@@ -159,6 +170,8 @@ def py_sentiment_proba(text: str) -> float:
             if tok in _CONTRAST or (prev, tok) in _CONTRAST_BIGRAMS:
                 score = (score + sum(c[1] for c in contribs)) * 0.25
                 contribs = []
+                any_contrast = True
+                post_contrast_contrib = False
                 prev = tok
                 continue
             if tok in ("hiç", "hiçbir", "hiçbiri"):
@@ -177,9 +190,16 @@ def py_sentiment_proba(text: str) -> float:
                     contribs[-1][1] *= -1.0
                 else:
                     score -= 0.5
+                    post_contrast_contrib = post_contrast_contrib or any_contrast
                 prev = tok
                 continue
             pol, stem_len = _stem_polarity(tok)
+            if tok == "geç":
+                # "late" only in a verb frame ("geç kaldı/geldi/açıldı")
+                if any(nxt.startswith(v) for v in _LATE_FRAME_VERBS):
+                    contribs.append([i, -1.0])
+                prev = tok
+                continue
             if pol:
                 if _NEG_SUFFIX_RE.search(tok[stem_len:]):
                     pol = -pol
@@ -187,9 +207,11 @@ def py_sentiment_proba(text: str) -> float:
             elif _NEG_SUFFIX_RE.search(tok):
                 # polarity-less negated verb: flip the near anchor
                 # (verb-final scope).  A negated persistence verb
-                # (kesil-/git-/din-) instead asserts that something
+                # (kesil-/git-/din-) or negated resolution verb
+                # ("çözemediler") instead asserts that something
                 # undesirable persists — its own negative evidence.
-                if any(tok.startswith(p) for p in _PERSIST_VERBS):
+                if any(tok.startswith(p)
+                       for p in _PERSIST_VERBS + _RESOLUTION_VERBS):
                     contribs.append([i, -1.0])
                 elif contribs and contribs[-1][0] >= i - 2:
                     contribs[-1][1] *= -1.0
@@ -202,8 +224,30 @@ def py_sentiment_proba(text: str) -> float:
                 contribs.append([i, 1.0])  # "nefes kesici" = breathtaking
             elif tok.startswith("git") and prev == "servise":
                 contribs.append([i, -1.0])  # "servise gitti" = needed repair
+            elif tok.startswith("ed") and prev == "hak":
+                contribs.append([i, 1.0])  # "hak ediyor" = deserves it
+            elif (tok.startswith("kapat")
+                  and prev in ("yüzüme", "yüzümüze", "yüzüne",
+                               "suratıma", "suratımıza")):
+                contribs.append([i, -1.0])  # hung up on us
+            elif (contribs and contribs[-1][1] < 0
+                  and contribs[-1][0] >= i - 3
+                  and any(tok.startswith(v)
+                          and not re.match(r"[ae]?m[aeıiuü]", tok[len(v):])
+                          for v in _RESOLUTION_VERBS)):
+                # non-negated resolution verb fixes the near negative
+                # anchor: "sorunumu anında çözdüler" (participle-form
+                # negations like "çözemediği" must not flip)
+                contribs[-1][1] *= -1.0
             prev = tok
+        if any_contrast and contribs:
+            post_contrast_contrib = True
         score += sum(c[1] for c in contribs)
+    # a contrast marker with nothing scored after it is itself the
+    # complaint signal ("Dekorasyon hoştu ama ..."): review register
+    # fronts the concession and ends on the (here unlexicalized) point
+    if any_contrast and not post_contrast_contrib:
+        score = -score - 0.25
     return 1.0 / (1.0 + math.exp(-1.5 * score))
 
 
