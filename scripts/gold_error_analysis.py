@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind23" in sys.argv:
+    if "--blind24" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind24 import BLIND24 as entries
+    elif "--blind23" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind23 import BLIND23 as entries
     elif "--blind22" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind22 import BLIND22 as entries

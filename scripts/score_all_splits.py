@@ -41,6 +41,7 @@ SPLITS = [
     ("blind21", "vnlp_spark.plans.gold_ud_blind21", "BLIND21"),
     ("blind22", "vnlp_spark.plans.gold_ud_blind22", "BLIND22"),
     ("blind23", "vnlp_spark.plans.gold_ud_blind23", "BLIND23"),
+    ("blind24", "vnlp_spark.plans.gold_ud_blind24", "BLIND24"),
 ]
 
 

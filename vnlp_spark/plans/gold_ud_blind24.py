@@ -1,0 +1,211 @@
+"""Twenty-fourth BLIND gold split — round 4, restart of the consecutive
+gate series after the blind-23 hard probe (VERDICT r03 item #3: three
+consecutive fresh splits scoring >=0.95 first-run, at least one
+deliberately hard; the hard slot in this series is planned for blind-25).
+
+Protocol (same as gold_ud_blind{,2..23}.py): these 20 NEW sentences were
+written and UD-annotated by hand from the conventions list in
+gold_ud.py's docstring, and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.
+
+Register: REPRESENTATIVE web-news prose with fresh vocabulary across
+burned construction categories: grammaticalized possessed postpositions
+(boyunca, kapsamında) vs a plain PCAbl (dolayı) vs a spatial relational
+noun (arasında, NOUN+nmod host per conventions); a title-headed flat
+name; -IncA converb with its own subject; -DIk ccomp with genitive
+subject; Acc -mA ccomp; tarafından agent frame (NOUN obl, agent nmod);
+-An participle relatives with their own obliques; finite ve coordination
+and correlative hem..hem (cc on own conjunct, conj to first clause);
+emphatic da on a focused object; zero-copula ADJ and existential var
+roots; adnominal-compound subject with an Acc object (kulüp başkanı
+istifasını sundu — blind-23 fix-9 generalization probe); birlikte after
+an instrumental; bare frequency obl.
+
+Convention notes made BEFORE scoring, where the list is silent:
+attributive "ek" before a noun (ek prim) is ADJ amod (the same
+loan/attributive-homograph convention as blind-23's resmi/tarihi);
+the deverbal -mA acting adnominally (durma noktası) is NOUN nmod, not
+acl — it is a lexicalized compound member, matching treebank usage.
+"""
+from typing import List
+
+BLIND24: List[dict] = [
+    dict(
+        text="Belediye sabah yeni otobüs hatlarını duyurdu.",
+        tokens=["Belediye", "sabah", "yeni", "otobüs", "hatlarını",
+                "duyurdu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 5, 5, 6, 0, 6],
+        deprels=["nsubj", "obl", "amod", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Takım sezon boyunca deplasmanda hiç yenilmedi.",
+        tokens=["Takım", "sezon", "boyunca", "deplasmanda", "hiç",
+                "yenilmedi", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[6, 6, 2, 6, 6, 0, 6],
+        deprels=["nsubj", "obl", "case", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Doktor Aydın hastalarını öğleden sonra kabul ediyor.",
+        tokens=["Doktor", "Aydın", "hastalarını", "öğleden", "sonra",
+                "kabul", "ediyor", "."],
+        upos=["NOUN", "PROPN", "NOUN", "NOUN", "ADP", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 1, 7, 7, 4, 7, 0, 7],
+        deprels=["nsubj", "flat", "obj", "obl", "case", "compound",
+                 "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O", "O", "O"],
+    ),
+    dict(
+        text="Yağmur başlayınca maç kısa süre durduruldu.",
+        tokens=["Yağmur", "başlayınca", "maç", "kısa", "süre",
+                "durduruldu", "."],
+        upos=["NOUN", "VERB", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "advcl", "nsubj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Bakanlık köy okullarına yeni kitaplar gönderdi.",
+        tokens=["Bakanlık", "köy", "okullarına", "yeni", "kitaplar",
+                "gönderdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obl", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sanatçı konserde eski şarkılarını da söyledi.",
+        tokens=["Sanatçı", "konserde", "eski", "şarkılarını", "da",
+                "söyledi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "CCONJ", "VERB", "PUNCT"],
+        heads=[6, 6, 4, 6, 4, 0, 6],
+        deprels=["nsubj", "obl", "amod", "obj", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Uzmanlar kuraklığın tarımı etkilediğini söylüyor.",
+        tokens=["Uzmanlar", "kuraklığın", "tarımı", "etkilediğini",
+                "söylüyor", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "nsubj", "obj", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Yeni köprü iki ilçe arasında ulaşımı kolaylaştırdı.",
+        tokens=["Yeni", "köprü", "iki", "ilçe", "arasında", "ulaşımı",
+                "kolaylaştırdı", "."],
+        upos=["ADJ", "NOUN", "NUM", "NOUN", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 4, 5, 7, 7, 0, 7],
+        deprels=["amod", "nsubj", "nummod", "nmod", "obl", "obj",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Firma çalışanlarına ek prim ödemeyi planlıyor.",
+        tokens=["Firma", "çalışanlarına", "ek", "prim", "ödemeyi",
+                "planlıyor", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[6, 5, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "obl", "amod", "obj", "ccomp", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ancak yoğun kar yağışı ulaşımı durma noktasına getirdi.",
+        tokens=["Ancak", "yoğun", "kar", "yağışı", "ulaşımı", "durma",
+                "noktasına", "getirdi", "."],
+        upos=["CCONJ", "ADJ", "NOUN", "NOUN", "NOUN", "NOUN", "NOUN",
+              "VERB", "PUNCT"],
+        heads=[8, 4, 4, 8, 8, 7, 8, 0, 8],
+        deprels=["cc", "amod", "nmod", "nsubj", "obj", "nmod", "obl",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Müze hafta sonu ziyaretçilere açık.",
+        tokens=["Müze", "hafta", "sonu", "ziyaretçilere", "açık", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADJ", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Şehirde yeni bir kültür merkezi var.",
+        tokens=["Şehirde", "yeni", "bir", "kültür", "merkezi", "var",
+                "."],
+        upos=["NOUN", "ADJ", "DET", "NOUN", "NOUN", "ADJ", "PUNCT"],
+        heads=[6, 5, 5, 5, 6, 0, 6],
+        deprels=["obl", "amod", "det", "nmod", "nsubj", "root", "punct"],
+    ),
+    dict(
+        text="Kulüp başkanı istifasını yönetim kuruluna sundu.",
+        tokens=["Kulüp", "başkanı", "istifasını", "yönetim", "kuruluna",
+                "sundu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 6, 5, 6, 0, 6],
+        deprels=["nmod", "nsubj", "obj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Rapor komisyon tarafından hazırlanıp meclise sunuldu.",
+        tokens=["Rapor", "komisyon", "tarafından", "hazırlanıp",
+                "meclise", "sunuldu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obl", "advcl", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Gazeteci ödülünü törende ailesiyle birlikte aldı.",
+        tokens=["Gazeteci", "ödülünü", "törende", "ailesiyle",
+                "birlikte", "aldı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[6, 6, 6, 6, 6, 0, 6],
+        deprels=["nsubj", "obj", "obl", "obl", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Sahilde yürüyen turistler eski kaleyi fotoğrafladı.",
+        tokens=["Sahilde", "yürüyen", "turistler", "eski", "kaleyi",
+                "fotoğrafladı", "."],
+        upos=["NOUN", "VERB", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 6, 5, 6, 0, 6],
+        deprels=["obl", "acl", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Şirket hem üretimi artırdı hem maliyetleri düşürdü.",
+        tokens=["Şirket", "hem", "üretimi", "artırdı", "hem",
+                "maliyetleri", "düşürdü", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "VERB", "CCONJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[4, 4, 4, 0, 7, 7, 4, 4],
+        deprels=["nsubj", "cc", "obj", "root", "cc", "obj", "conj",
+                 "punct"],
+    ),
+    dict(
+        text="Vatandaşlar elektrik kesintisinden dolayı yetkililere tepki gösterdi.",
+        tokens=["Vatandaşlar", "elektrik", "kesintisinden", "dolayı",
+                "yetkililere", "tepki", "gösterdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 7, 3, 7, 7, 0, 7],
+        deprels=["nsubj", "nmod", "obl", "case", "obl", "compound",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Yarışmaya katılan öğrenciler projelerini jüriye sundu ve ödüllerini aldı.",
+        tokens=["Yarışmaya", "katılan", "öğrenciler", "projelerini",
+                "jüriye", "sundu", "ve", "ödüllerini", "aldı", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "NOUN", "VERB", "CCONJ",
+              "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 6, 6, 6, 0, 9, 9, 6, 6],
+        deprels=["obl", "acl", "nsubj", "obj", "obl", "root", "cc",
+                 "obj", "conj", "punct"],
+    ),
+    dict(
+        text="Festival kapsamında ünlü yazarlar okurlarıyla buluştu.",
+        tokens=["Festival", "kapsamında", "ünlü", "yazarlar",
+                "okurlarıyla", "buluştu", "."],
+        upos=["NOUN", "ADP", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 1, 4, 6, 6, 0, 6],
+        deprels=["obl", "case", "amod", "nsubj", "obl", "root", "punct"],
+    ),
+]
