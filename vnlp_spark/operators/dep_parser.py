@@ -337,6 +337,21 @@ def py_parse_tokens(
                     # the Inf2 clause is exactly what licenses its Acc
                     # reading (parktaki ağaçları BUDAMAYA başladı)
                     or "acc" in _readings(tokens[i - 1])
+                    # an INCORPORATED bare-Nom object counts too, when a
+                    # subject candidate stands further left (Firma ... ek
+                    # PRİM ödemeyi planlıyor — "prim" has no other
+                    # licenser); clause-initial bare nominals are the
+                    # matrix subject instead (Konuşmayı dinleyeceğim)
+                    or (
+                        _case_of(analyses[i - 1]) in ("Nom", "")
+                        and "Pnon" in tagsets[i - 1]
+                        and upos[i - 1] == "NOUN"
+                        and any(
+                            upos[j] in _NOMINAL
+                            and _case_of(analyses[j]) in ("Nom", "")
+                            for j in range(0, i - 1)
+                        )
+                    )
                 )
             )
             if not prev_arg:
@@ -444,15 +459,35 @@ def py_parse_tokens(
     for _w, _idxs in _corr_groups.items():
         if len(_idxs) < 2:
             continue
+        # clausal correlative: a finite verb stands between the first two
+        # particles, so the conjuncts are the clause PREDICATES, not the
+        # nominals each particle fronts (hem üretimi ARTIRDI hem
+        # maliyetleri DÜŞÜRDÜ); the particles take cc on their own
+        # clause's verb and the verbs coordinate through the ordinary
+        # clause machinery.  Phrasal correlatives (hem üretimi hem
+        # ihracatı artırdı) have no verb before the second particle.
+        _clausal = any(
+            upos[j] == "VERB"
+            and not (tagsets[j] & (_SUBORD_TAGS | _CONVERB_TAGS))
+            for j in range(_idxs[0] + 1, _idxs[1])
+        )
         _conjs = []
         for k in _idxs:
-            c = next(
-                (j for j in range(k + 1, n)
-                 if upos[j] in _NOMINAL or upos[j] == "VERB"
-                 or (upos[j] == "ADJ"
-                     and not (j + 1 < n and upos[j + 1] in _NOMINAL))),
-                None,
-            )
+            if _clausal:
+                c = next(
+                    (j for j in range(k + 1, n)
+                     if upos[j] == "VERB"
+                     and not (tagsets[j] & (_SUBORD_TAGS | _CONVERB_TAGS))),
+                    None,
+                )
+            else:
+                c = next(
+                    (j for j in range(k + 1, n)
+                     if upos[j] in _NOMINAL or upos[j] == "VERB"
+                     or (upos[j] == "ADJ"
+                         and not (j + 1 < n and upos[j + 1] in _NOMINAL))),
+                    None,
+                )
             _conjs.append(c)
         if any(c is None for c in _conjs) or len(set(_conjs)) < 2:
             continue
@@ -730,6 +765,22 @@ def py_parse_tokens(
             # not the clause object (ekibi İLE toplantı yaptı)
             eff_case[i], eff_poss[i] = "Nom", True
             continue
+        if (
+            i > 0 and eff_case[i - 1] == "Gen"
+            and i + 1 < n and upos[i + 1] == "VERB" and subord[i + 1]
+            and tagsets[i + 1] & {"P3sg", "P3pl"}
+            and roots_of[i + 1] in _TRANSITIVE_ROOTS
+            and "Pass" not in tagsets[i + 1]
+        ):
+            # genitive + ambiguous -(s)I noun + P3sg-agreeing TRANSITIVE
+            # nominalization directly after: the nominalization's own
+            # agreement claims the genitive as ITS subject, freeing the
+            # ambiguous noun to be the object the verb demands
+            # (kuraklığın TARIMI etkilediğini -> obj; overt-Acc possessed
+            # heads like "desteğini" are not ambiguous and never reach
+            # this gate)
+            eff_case[i], eff_poss[i] = "Acc", False
+            continue
         if i > 0 and eff_case[i - 1] == "Gen":
             # a genitive possessor licenses the possessed-Nom reading
             # (Şirketin geliri ... arttı -> gelir+P3sg+Nom, subject)
@@ -776,6 +827,26 @@ def py_parse_tokens(
             # possessed-Nom reading stands (üyeleri istifa etti,
             # fiyatları düştü)
             eff_case[i], eff_poss[i] = "Nom", True
+            continue
+        if (
+            i > 1
+            and upos[i - 1] in ("NOUN", "PROPN")
+            and tagsets[i - 1] & {"P3sg", "P3pl"}
+            and _case_of(analyses[i - 1]) in ("Nom", "")
+            and upos[i - 2] in ("NOUN", "PROPN")
+            and eff_case[i - 2] in ("Nom", "")
+            and not eff_poss[i - 2]
+            and roots_of[i - 2] not in _TEMPORAL_ROOTS
+            and roots_of[v] in _TRANSITIVE_ROOTS
+            and "Pass" not in tagsets[v]
+        ):
+            # the left neighbor already heads its own bare-modifier
+            # izafet (kar YAĞIŞI): a possessed-Nom head cannot itself
+            # be the bare modifier of this nominal — N+P3sg chains need
+            # a genitive — so the saturated group is the subject and
+            # this ambiguous nominal is the transitive verb's object
+            # (yoğun kar yağışı ULAŞIMI durma noktasına getirdi)
+            eff_case[i], eff_poss[i] = "Acc", False
             continue
         prev_bare_mod = (
             i > 0
@@ -930,6 +1001,10 @@ def py_parse_tokens(
             # argument, not a compound head the name should join
             and eff_poss[nxt]
             and not possessed(last)
+            # a TITLE-opened run never releases its name to a following
+            # compound: the title selects the person (Doktor AYDIN
+            # hastalarını ... -> Aydın stays flat in the mention)
+            and not (len(group) >= 2 and _base(tokens[group[0]]) in _TITLES)
             # a possessed nominal in a verb-argument case is a clause
             # argument, not a compound head: the name stays in its
             # mention (Doktor Çelik hastalarına ... -> Çelik flat,
@@ -1270,7 +1345,11 @@ def py_parse_tokens(
         # The FIRST conjunct of a correlative pair has no left conjunct
         # and keeps its clause role (hem ÜRETİMİ hem ihracatı artırdı)
         if (prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da")
-                and i not in corr_first):
+                and i not in corr_first
+                # a nominal fronted by a CLAUSAL correlative particle is
+                # its own clause's argument, not a conjunct of an earlier
+                # nominal (hem üretimi artırdı hem MALİYETLERİ düşürdü)
+                and i - 1 not in corr_cc_idx):
             first = next((j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL), None)
             verb_between = first is not None and any(
                 upos[j] == "VERB" for j in range(first + 1, i)

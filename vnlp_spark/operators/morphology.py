@@ -442,6 +442,20 @@ class HeuristicDisambiguator:
                     # pre-coordinator slot IS clause-final for the first
                     # conjunct (parkta KOŞTU ve ... sallandı)
                     s += 8.0
+            # incorporated-object frame: a bare-Nom nominal immediately
+            # left is licensed only by the VERBAL reading of an Acc/Dat
+            # -mA form (prim ÖDEMEYİ planlıyor = öde+Inf2, the bare
+            # "prim" is its object); without that left licenser the
+            # lexicalized -mA noun keeps winning (ödemeyi iade etti)
+            if (
+                "Inf2" in tag_set
+                and "DB" in tags
+                and tag_set & {"Acc", "Dat"}
+                and prev_case == "Nom"
+            ):
+                # must outweigh the lexicalized noun's whole-word margin
+                # (stem-length + known-word edge ~12)
+                s += 14.0
             # an oblique-case nominal directly to the left is an argument
             # looking for a licensor: the -An participle reading beats a
             # lexicalized whole-word noun homograph (Fabrikada ÇALIŞAN

@@ -104,7 +104,31 @@ def _readings(token: str) -> frozenset:
         if (tags[0] == "Verb" and "Zero" not in tset
                 and tset & {"Aor", "Past", "Prog1", "Fut", "Narr"}):
             out.add("finite")  # a real finite-verb reading exists (alındı)
+        if "DB" in tags:
+            fseg2 = tags[len(tags) - 1 - tags[::-1].index("DB") + 1:]
+            if (fseg2 and fseg2[0] == "Adj"
+                    and set(fseg2) & {"With", "Without", "Rel"}
+                    and _harmonic_split(_root, _suffix)):
+                # a derivational adjective reading exists alongside the
+                # lexicalized noun (ün+lü 'famous' vs ünlü 'celebrity');
+                # harmony-invalid splits (va+li for 'vali') don't count
+                out.add("adj_deriv")
     return frozenset(out)
+
+
+_HARMONY_I = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+              "o": "u", "u": "u", "ö": "ü", "ü": "ü"}
+
+
+def _harmonic_split(root: str, suffix: str) -> bool:
+    """Fourfold (-I type) vowel harmony between a root's last vowel and
+    its suffix's first vowel; permissive when either has no vowel or the
+    suffix vowel is not I-type."""
+    rv = next((c for c in reversed(root) if c in "aeıioöuü"), None)
+    sv = next((c for c in suffix if c in "aeıioöuü"), None)
+    if rv is None or sv is None or sv not in "ıiuü":
+        return True
+    return _HARMONY_I[rv] == sv
 
 
 # existential predicates: var/yok (+ copular tense) are ADJ roots in the
@@ -297,6 +321,40 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # net hatırlayamadı); inflected forms keep the noun reading
             out[i] = "ADJ"
         elif (
+            i > 0
+            and (out[i] in ("ADJ", "NOUN")
+                 # participle-homograph surnames (Duran, Koşan): the
+                 # capitalized token after a title is the name, not an
+                 # -An relative
+                 or (out[i] == "VERB" and "PresPart" in tags))
+            and _CAP_RE.match(tokens[i])
+            and "Prop" not in tags
+            and to_lower(tokens[i - 1]).split("'")[0] in _TITLES
+            and out[i - 1] == "NOUN"
+            and _CAP_RE.match(tokens[i - 1])
+        ):
+            # a capitalized token directly after a capitalized title is
+            # the person's NAME even when the lexicon only knows it as a
+            # common word (Doktor AYDIN — aydın 'enlightened' stays an
+            # adjective elsewhere); titles select persons
+            out[i] = "PROPN"
+        elif (
+            out[i] == "NOUN"
+            and "Pnon" in tags and "Nom" in tags and "A3sg" in tags
+            and low == to_lower(analyses[i].split("+", 1)[0])
+            and "adj_deriv" in _readings(tokens[i])
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) in ("Nom", "")
+            and "Pnon" in set(analyses[i + 1].replace("^", "+").split("+"))
+        ):
+            # whole-word noun with a derivational-adjective homograph
+            # (ünlü 'celebrity' vs ün+lü 'famous') directly before a
+            # bare-Nom nominal host: the attributive reading stands
+            # (ÜNLÜ yazarlar); before a case-marked nominal the noun
+            # keeps its argument reading (Ünlü şarkıyı söyledi)
+            out[i] = "ADJ"
+        elif (
             out[i] == "VERB"
             and "Zero" in tags
             and _zero_cop_class(analyses[i]) == "Adj"
@@ -385,7 +443,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      # parser resolves them to Acc under this very clause
                      # (ağaçları BUDAMAYA başladı); same gate as the parser
                      or ("acc" in _readings(tokens[i - 1])
-                         and out[i - 1] in ("NOUN", "PRON"))))
+                         and out[i - 1] in ("NOUN", "PRON"))
+                     # incorporated bare-Nom object with a subject
+                     # candidate further left (Firma ... ek PRİM ödemeyi
+                     # planlıyor) — same gate as the parser
+                     or (out[i - 1] == "NOUN"
+                         and _case_of(analyses[i - 1]) in ("Nom", "")
+                         and "Pnon" in set(
+                             analyses[i - 1].replace("^", "+").split("+"))
+                         and any(
+                             out[j] in ("NOUN", "PROPN", "PRON")
+                             and _case_of(analyses[j]) in ("Nom", "")
+                             for j in range(0, i - 1)))))
             # a bare-Nom possessed -mA nominalization with its own
             # GENITIVE subject on the left is a clausal subject, still a
             # verb (Projenin zamanında BİTMESİ herkesi sevindirdi); the

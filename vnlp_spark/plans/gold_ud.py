@@ -2184,6 +2184,64 @@ UD_GOLD: List[dict] = [
         deprels=["amod", "nsubj", "obj", "compound", "root", "punct",
                  "nsubj", "obj", "parataxis", "punct"],
     ),
+    # --- blind-24 rule pins (fresh sentences, not the blind split) ----
+    # genitive + ambiguous -(s)I noun + P3sg transitive nominalization:
+    # the genitive is the nominalization's subject, the noun its object
+    dict(
+        text="Adamın kitabı sattığını gördüm.",
+        tokens=["Adamın", "kitabı", "sattığını", "gördüm", "."],
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[3, 3, 4, 0, 4],
+        deprels=["nsubj", "obj", "ccomp", "root", "punct"],
+    ),
+    # incorporated bare-Nom object licenses the verbal -mA reading
+    dict(
+        text="Banka müşterilere kredi vermeyi durdurdu.",
+        tokens=["Banka", "müşterilere", "kredi", "vermeyi", "durdurdu",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "obj", "ccomp", "root", "punct"],
+    ),
+    # saturated izafet head is the subject; the next ambiguous noun is
+    # the transitive verb's object
+    dict(
+        text="Ders programı öğrencileri şaşırttı.",
+        tokens=["Ders", "programı", "öğrencileri", "şaşırttı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obj", "root", "punct"],
+    ),
+    # clausal hem..hem: conjuncts are the predicates, each particle cc
+    # on its own clause's verb
+    dict(
+        text="Kulüp hem stadı yeniledi hem borçları ödedi.",
+        tokens=["Kulüp", "hem", "stadı", "yeniledi", "hem", "borçları",
+                "ödedi", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "VERB", "CCONJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[4, 4, 4, 0, 7, 7, 4, 4],
+        deprels=["nsubj", "cc", "obj", "root", "cc", "obj", "conj",
+                 "punct"],
+    ),
+    # derivational-adjective homograph before a bare-Nom host
+    dict(
+        text="Ünlü yönetmenler festivale katıldı.",
+        tokens=["Ünlü", "yönetmenler", "festivale", "katıldı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["amod", "nsubj", "obl", "root", "punct"],
+    ),
+    # title + participle-homograph surname stays flat in the mention
+    dict(
+        text="Profesör Duran öğrencilerini sınava hazırladı.",
+        tokens=["Profesör", "Duran", "öğrencilerini", "sınava",
+                "hazırladı", "."],
+        upos=["NOUN", "PROPN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 1, 5, 5, 0, 5],
+        deprels=["nsubj", "flat", "obj", "obl", "root", "punct"],
+        ner=["O", "PER", "O", "O", "O", "O"],
+    ),
 ]
 
 for _g in UD_GOLD:
