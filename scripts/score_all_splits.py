@@ -42,6 +42,7 @@ SPLITS = [
     ("blind22", "vnlp_spark.plans.gold_ud_blind22", "BLIND22"),
     ("blind23", "vnlp_spark.plans.gold_ud_blind23", "BLIND23"),
     ("blind24", "vnlp_spark.plans.gold_ud_blind24", "BLIND24"),
+    ("blind25", "vnlp_spark.plans.gold_ud_blind25", "BLIND25"),
 ]
 
 
