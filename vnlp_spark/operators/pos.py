@@ -143,6 +143,14 @@ import re as _re
 _LARCA_RE = _re.compile(r"l[ae]rc[ae]$")
 _ORDINAL_RE = _re.compile(r"(inci|ıncı|uncu|üncü|nci|ncı|ncu|ncü)$")
 
+# measure-unit roots whose -lIk derivative after a numeral is the measure
+# adjective (bin YILLIK mezar, iki KİŞİLİK masa, kırk DAKİKALIK gecikme)
+_UNIT_ROOTS = {
+    "yıl", "ay", "gün", "hafta", "saat", "dakika", "saniye", "kişi",
+    "metre", "kilometre", "kilo", "ton", "litre", "dönem", "sayfa",
+    "sezon", "gece", "aylar", "yüzyıl", "asır",
+}
+
 # quantifier/indefinite pronouns the morph table reads as plain nouns
 _LEX_PRONOUNS = {
     "herkes", "herkese", "herkesi", "herkesin", "herkesten", "herkesle",
@@ -344,9 +352,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and low == to_lower(analyses[i].split("+", 1)[0])
             and "adj_deriv" in _readings(tokens[i])
             and i + 1 < n
-            and out[i + 1] in ("NOUN", "PROPN")
-            and _case_of(analyses[i + 1]) in ("Nom", "")
-            and "Pnon" in set(analyses[i + 1].replace("^", "+").split("+"))
+            and (
+                (out[i + 1] in ("NOUN", "PROPN")
+                 and _case_of(analyses[i + 1]) in ("Nom", "")
+                 and "Pnon" in set(analyses[i + 1].replace("^", "+")
+                                   .split("+")))
+                # determiner 'bir' may intervene between the attributive
+                # homograph and its nominal host (ÜNLÜ bir mimar) — the
+                # host may then carry any case, the DET proves the
+                # adnominal frame
+                or (out[i + 1] == "DET" and i + 2 < n
+                    and out[i + 2] in ("NOUN", "PROPN"))
+            )
         ):
             # whole-word noun with a derivational-adjective homograph
             # (ünlü 'celebrity' vs ün+lü 'famous') directly before a
@@ -558,7 +575,20 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
                          and _case_of(analyses[i + 1]) in ("Nom", "")))
             and not all(out[j] == "PUNCT" for j in range(i + 1, n))
-            and not (i + 1 < n and out[i + 1] == "VERB")
+            and not (i + 1 < n
+                     and (out[i + 1] == "VERB"
+                          # the nominalized-verb NOUN -> VERB rewrite runs
+                          # later in this pass: a copular/verbal host read
+                          # from the analysis counts (riskli OLDUĞUNU
+                          # savunuyor keeps the predicative adjective)
+                          or "Verb" in analyses[i + 1].replace("^", "+")
+                          .split("+")))
+            # a conjunct chain of adjectives closing the sentence is a
+            # zero-copula coordinated predicate: every token after this
+            # one being CCONJ/ADJ/PUNCT keeps the adjective reading
+            # (uygulama hem HIZLI hem güvenli.)
+            and not all(out[j] in ("CCONJ", "ADJ", "PUNCT")
+                        for j in range(i + 1, n))
             # manner-frame hosts keep their attributive adjective even
             # case-marked (dikkatli ŞEKİLDE, sakin BİÇİMDE)
             and not (i + 1 < n and out[i + 1] == "NOUN"
@@ -648,6 +678,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         ):
             # adnominal ordinals are adjectives in UD (sezonun ÜÇÜNCÜ
             # galibiyetini aldı)
+            out[i] = "ADJ"
+        elif (
+            out[i] == "NOUN"
+            and low[-3:] in ("lık", "lik", "luk", "lük")
+            and low[:-3] in _UNIT_ROOTS
+            and i > 0
+            and out[i - 1] == "NUM"
+            and i + 1 < n
+            and out[i + 1] in ("DET", "NOUN", "PROPN", "ADJ")
+        ):
+            # NUM + unit-noun + -lIk is the measure adjective (bin
+            # YILLIK bir mezar, iki KİŞİLİK masa, üç GÜNLÜK gezi) —
+            # the bare -lIk nominal reading needs no numeral
             out[i] = "ADJ"
         elif (
             out[i] == "NOUN"

@@ -2242,6 +2242,84 @@ UD_GOLD: List[dict] = [
         deprels=["nsubj", "flat", "obj", "obl", "root", "punct"],
         ner=["O", "PER", "O", "O", "O", "O"],
     ),
+    # ---- blind-25 rule pins (fresh sentences, annotated before use) ----
+    # temporal-det time noun is a clause adjunct, never izafet modifier
+    dict(
+        text="Kurum geçen hafta üyelerine yeni kartlar gönderdi.",
+        tokens=["Kurum", "geçen", "hafta", "üyelerine", "yeni",
+                "kartlar", "gönderdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "ADJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 7, 7, 6, 7, 0, 7],
+        deprels=["nsubj", "amod", "obl", "obl", "amod", "obj", "root",
+                 "punct"],
+    ),
+    # det-completed time noun + bare-Nom frequency host are two obls
+    dict(
+        text="Oyuncu bu sezon beşinci kez gol attı.",
+        tokens=["Oyuncu", "bu", "sezon", "beşinci", "kez", "gol",
+                "attı", "."],
+        upos=["NOUN", "DET", "NOUN", "ADJ", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 7, 5, 7, 7, 0, 7],
+        deprels=["nsubj", "det", "obl", "amod", "obl", "obj", "root",
+                 "punct"],
+    ),
+    # -lI adjective keeps ADJ before a copular ol- nominalization
+    dict(
+        text="Komisyon planın sakıncalı olduğunu bildirdi.",
+        tokens=["Komisyon", "planın", "sakıncalı", "olduğunu",
+                "bildirdi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "VERB", "VERB", "PUNCT"],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=["nsubj", "nsubj", "compound", "ccomp", "root",
+                 "punct"],
+    ),
+    # zero-copula correlative adjective chain: first conjunct is root
+    dict(
+        text="Bu kumaş hem ucuz hem dayanıklı.",
+        tokens=["Bu", "kumaş", "hem", "ucuz", "hem", "dayanıklı", "."],
+        upos=["DET", "NOUN", "CCONJ", "ADJ", "CCONJ", "ADJ", "PUNCT"],
+        heads=[2, 4, 4, 0, 6, 4, 4],
+        deprels=["det", "nsubj", "cc", "root", "cc", "conj", "punct"],
+    ),
+    # derivational-adjective homograph stays attributive across DET bir
+    # (sözlü 'oral' vs sözlü 'fiancé(e)')
+    dict(
+        text="Sözlü bir açıklama yeterli olmaz.",
+        tokens=["Sözlü", "bir", "açıklama", "yeterli", "olmaz", "."],
+        upos=["ADJ", "DET", "NOUN", "ADJ", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["amod", "det", "nsubj", "compound", "root", "punct"],
+    ),
+    # NUM + unit-lIk measure adjective takes the numeral as nummod
+    dict(
+        text="Ekip iki saatlik bir toplantı yaptı.",
+        tokens=["Ekip", "iki", "saatlik", "bir", "toplantı", "yaptı",
+                "."],
+        upos=["NOUN", "NUM", "ADJ", "DET", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 5, 5, 6, 0, 6],
+        deprels=["nsubj", "nummod", "amod", "det", "obj", "root",
+                 "punct"],
+    ),
+    # change-of-state transitive resolves the ambiguous Acc as object
+    dict(
+        text="Üniversite laboratuvarı geliştirdi.",
+        tokens=["Üniversite", "laboratuvarı", "geliştirdi", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 0, 3],
+        deprels=["nsubj", "obj", "root", "punct"],
+    ),
+    # an ADP complement is not a subject candidate for Acc resolution
+    dict(
+        text="Firma öğrenciler için staj programı açtı.",
+        tokens=["Firma", "öğrenciler", "için", "staj", "programı",
+                "açtı", "."],
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 2, 5, 6, 0, 6],
+        deprels=["nsubj", "obl", "case", "nmod", "obj", "root",
+                 "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
