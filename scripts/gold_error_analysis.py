@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind25" in sys.argv:
+    if "--blind26" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind26 import BLIND26 as entries
+    elif "--blind25" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind25 import BLIND25 as entries
     elif "--blind24" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind24 import BLIND24 as entries

@@ -43,6 +43,7 @@ SPLITS = [
     ("blind23", "vnlp_spark.plans.gold_ud_blind23", "BLIND23"),
     ("blind24", "vnlp_spark.plans.gold_ud_blind24", "BLIND24"),
     ("blind25", "vnlp_spark.plans.gold_ud_blind25", "BLIND25"),
+    ("blind26", "vnlp_spark.plans.gold_ud_blind26", "BLIND26"),
 ]
 
 
