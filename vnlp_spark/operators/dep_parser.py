@@ -78,6 +78,9 @@ _TEMPORAL_ADVS = {
     "hâlâ", "hala", "bazen", "asla", "belki", "yine", "gene", "ayrıca",
     "ardından", "sonunda", "birlikte", "beraber", "erkenden", "yeniden",
     "tekrar", "önce", "sonra", "erken", "geç", "gerçekten",
+    # bare "yakında" is the lexicalized adverb ('soon' / 'nearby'); the
+    # possessed spatial form (yakınında) never matches this surface
+    "yakında",
     # lexicalized manner adverbs (Ins-case in the morph table).
     # "zamanında" is NOT here: UD keeps it a Loc-possessed NOUN oblique
     # (Borç ZAMANINDA ödenmezse -> zaman+P3sg+Loc, obl)
@@ -392,6 +395,25 @@ def py_parse_tokens(
         and not subord[i] and not converb[i]
         for i in range(n)
     ]
+    # V+Aor V+Neg+Aor same-stem adjacent pair is the 'as soon as'
+    # aspectual reduplication converb (gelir gelmez, olur olmaz):
+    # neither is a finite predicate; the pair heads on its FIRST element
+    # (the yavaş-yavaş direction), second element compound
+    redup_converb = None
+    for _i in range(n - 1):
+        if (
+            upos[_i] == "VERB" and upos[_i + 1] == "VERB"
+            and "Aor" in tagsets[_i] and "Pos" in tagsets[_i]
+            and "Aor" in tagsets[_i + 1] and "Neg" in tagsets[_i + 1]
+            and not (tagsets[_i] | tagsets[_i + 1]) & _SUBORD_TAGS
+            and analyses[_i].split("+", 1)[0]
+                == analyses[_i + 1].split("+", 1)[0]
+            and any(upos[_k] == "VERB" for _k in range(_i + 2, n))
+        ):
+            converb[_i] = True
+            converb[_i + 1] = True
+            redup_converb = (_i, _i + 1)
+            break
     finite = [
         i for i in range(n)
         if upos[i] == "VERB" and not subord[i] and not converb[i]
@@ -403,6 +425,7 @@ def py_parse_tokens(
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
     narr_acl0 = False
+    cop_aux = None
 
     if finite:
         # UD roots the FIRST main-clause predicate: later finite verbs
@@ -438,6 +461,21 @@ def py_parse_tokens(
         # conditional protasis clauses likewise host their own subject
         # (Yağmur yağarsa -> Yağmur is yağarsa's nsubj)
         when_preds += [i for i in range(n) if cond[i]]
+        # the aspectual reduplication converb hosts its own subject ONLY
+        # when another bare-Nom subject candidate follows the pair for
+        # the matrix (Müzakereler biter bitmez ANLAŞMA imzalandı);
+        # otherwise the subject is shared and stays with the matrix
+        # (MÜDÜR ofise gelir gelmez toplantıyı başlattı)
+        if redup_converb is not None:
+            rc0, rc1 = redup_converb
+            nf = next((f for f in finite if f > rc1), None)
+            if nf is not None and any(
+                upos[j] in ("NOUN", "PROPN", "PRON")
+                and _case_of(analyses[j]) in ("Nom", "")
+                and not _is_possessed(tokens[j], analyses[j])
+                for j in range(rc1 + 1, nf)
+            ):
+                when_preds.append(rc0)
         if when_preds:
             preds = sorted(set(preds) | set(when_preds))
     else:
@@ -464,12 +502,23 @@ def py_parse_tokens(
                     root = nk
                     continue
             break
+        # a negative-copula particle never roots: the nominal predicate
+        # before it does (kolay bir karar DEĞİL -> karar root, değil cop)
+        if upos[root] == "AUX" and root > 0:
+            k = root - 1
+            while k >= 0 and upos[k] == "PUNCT":
+                k -= 1
+            if k >= 0:
+                cop_aux = root
+                root = k
         preds = [root]
 
     heads = [-1] * n
     rels = [""] * n
     if narr_acl0:
         heads[0], rels[0] = 2, "acl"
+    if cop_aux is not None:
+        heads[cop_aux], rels[cop_aux] = root + 1, "cop"
 
     # --- lexicalized fixed expressions ----------------------------------
     for i in range(1, n):
@@ -785,6 +834,13 @@ def py_parse_tokens(
         r = _readings(tokens[i])
         if not chosen_ambiguous or "acc" not in r or "p3nom" not in r:
             continue
+        if "Pron" in tagsets[i]:
+            # a chosen closed-class pronoun ANALYSIS (ONU seçti =
+            # o+Pron+Acc) is never re-resolved into the possessed-noun
+            # homograph of a numeral (on+P3sg 'its ten'); quantifier
+            # pronouns whose chosen reading is nominal (herkesi =
+            # herkes+Noun) still resolve normally
+            continue
         v = next_verbish(i)
         if v is None:
             eff_case[i], eff_poss[i] = "Nom", True
@@ -1082,6 +1138,10 @@ def py_parse_tokens(
             continue
         if i == root:
             heads[i], rels[i] = 0, "root"
+        elif redup_converb is not None and i == redup_converb[1]:
+            # second element of the aspectual reduplication pair
+            # (gelir GELMEZ) compounds on the first
+            heads[i], rels[i] = redup_converb[0] + 1, "compound"
         elif converb[i] or cond[i]:
             # adverbial clause on the next finite predicate
             fin = next((p for p in finite if p > i), root)
@@ -1129,7 +1189,19 @@ def py_parse_tokens(
             # conj when a CCONJ introduces its clause, parataxis across a
             # comma, advcl otherwise
             prev_fin = max([v for v in finite if v < i], default=-1)
-            if any(upos[c] == "CCONJ" for c in range(prev_fin + 1, i)):
+            ki_c = next(
+                (c for c in range(prev_fin + 1, i)
+                 if upos[c] == "SCONJ" and to_lower(tokens[c]) == "ki"),
+                None,
+            )
+            if ki_c is not None:
+                # post-verbal ki complement clause (diyor Kİ fiyatlar
+                # düşecek): the clause is ccomp of the saying verb, ki
+                # its mark
+                heads[i], rels[i] = (
+                    (prev_fin if prev_fin >= 0 else root) + 1, "ccomp")
+                heads[ki_c], rels[ki_c] = i + 1, "mark"
+            elif any(upos[c] == "CCONJ" for c in range(prev_fin + 1, i)):
                 # conj attaches to its FIRST CONJUNCT (the previous finite
                 # verb), which may itself be a parataxis clause (ikamet
                 # ediyorum ve ... çalışıyorum)
@@ -1208,12 +1280,21 @@ def py_parse_tokens(
             heads[i], rels[i] = (nxt[0] if nxt else root) + 1, "punct"
         elif u == "CCONJ":
             if to_lower(tokens[i]) in ("de", "da") and i > 0:
-                # the emphatic particle attaches to the word it focuses
-                # (Veliler DE ... itiraz etti), it coordinates nothing
                 prev_w = next(
                     (j for j in range(i - 1, -1, -1)
                      if upos[j] != "PUNCT"), None,
                 )
+                if (
+                    prev_w is not None
+                    and upos[prev_w] == "CCONJ"
+                    and to_lower(tokens[prev_w]) == "ya"
+                ):
+                    # the bigram second correlative 'ya da' keeps ya as
+                    # the cc and da as its fixed continuation
+                    heads[i], rels[i] = prev_w + 1, "fixed"
+                    continue
+                # the emphatic particle attaches to the word it focuses
+                # (Veliler DE ... itiraz etti), it coordinates nothing
                 if prev_w is not None:
                     heads[i], rels[i] = prev_w + 1, "advmod"
                     continue
@@ -1314,6 +1395,10 @@ def py_parse_tokens(
                 i + 1 < n
                 and upos[i + 1] == "VERB"
                 and (subord[i + 1] or converb[i + 1])
+                # a finite predicate BEFORE the adverb claims it for the
+                # matrix clause (GELDİ sonunda beklenen haber -> sonunda
+                # modifies geldi, not the adnominal participle)
+                and not any(f < i for f in finite)
             ):
                 # adverb scoped inside a participial/converb clause stays
                 # there (YENİ açılan restoran -> yeni modifies açılan)
@@ -1833,6 +1918,25 @@ def py_parse_tokens(
                         # (POLİS kaçan şüpheliyi yakalamaya çalıştı); with a
                         # Nom participle head the bare nominal stays the
                         # participle's object (SU içen kedi uyudu)
+                        heads[i], rels[i] = p + 1, "nsubj"
+                        subj_of[p] = i
+                    elif (
+                        subjish
+                        and vt != p
+                        and p not in subj_of
+                        and upos[vt] == "VERB"
+                        and subord[vt]
+                        and any(
+                            upos[j] in _NOMINAL
+                            and eff_case[j] in ("Nom", "")
+                            and not eff_poss[j]
+                            for j in range(i + 1, vt)
+                        )
+                    ):
+                        # the subordinate verbal noun already has its own
+                        # adjacent bare nominal (Belediye YOL yapmak
+                        # yerine parkları onardı): the clause-initial
+                        # nominal is the matrix subject
                         heads[i], rels[i] = p + 1, "nsubj"
                         subj_of[p] = i
                     elif (

@@ -162,6 +162,22 @@ _EXISTENTIAL_EXACT = {
 }
 
 
+# irregular 'su' possessive paradigm: su takes -yU possessives (suyu,
+# suyun, suyunu ...) where regular vowel-final stems take -sI, so the
+# generated suffix fixture rightly lacks y-linked P3sg rows; the closed
+# paradigm is supplied exactly (same format as the exact-lookup table).
+# Without it "nehrin suyu" loses its izafet reading to the Acc homograph.
+_IRREGULAR_EXACT = {
+    "suyu": ["yu/su+Noun+A3sg+P3sg+Nom", "yu/su+Noun+A3sg+Pnon+Acc"],
+    "suyun": ["yun/su+Noun+A3sg+Pnon+Gen", "yun/su+Noun+A3sg+P2sg+Nom"],
+    "suyunu": ["yunu/su+Noun+A3sg+P3sg+Acc"],
+    "suyuna": ["yuna/su+Noun+A3sg+P3sg+Dat"],
+    "suyunda": ["yunda/su+Noun+A3sg+P3sg+Loc"],
+    "suyundan": ["yundan/su+Noun+A3sg+P3sg+Abl"],
+    "suyuyla": ["yuyla/su+Noun+A3sg+P3sg+Ins"],
+}
+
+
 class CandidateGenerator:
     """Rule engine producing (root, suffix, tags) candidates per token."""
 
@@ -169,6 +185,8 @@ class CandidateGenerator:
         self.stem_dic = stem_dic if stem_dic is not None else resources.stem_dict()
         self.suffix_dic = suffix_dic if suffix_dic is not None else resources.suffix_dict()
         self.exact = exact_table if exact_table is not None else resources.exact_lookup()
+        for k, v in _IRREGULAR_EXACT.items():
+            self.exact.setdefault(k, v)
 
     # --- split enumeration + phonology ---------------------------------
 
@@ -508,6 +526,12 @@ class HeuristicDisambiguator:
             s += 6.0
         if first == "Conj":
             s += 6.0  # tiny closed class (ve, ama, fakat): near-certain
+        if first == "Ques":
+            # the question clitic is written as its own token (mı mi mu
+            # mü): when a Ques candidate exists it is near-certain — the
+            # rival whole-word nouns (mi 'the note E') are citation-form
+            # rarities, same footing as the Conj class above
+            s += 6.0
         if first == "Pron":
             s += 2.0  # closed-class readings are frequent
         if first == "Postp":

@@ -134,6 +134,10 @@ def _harmonic_split(root: str, suffix: str) -> bool:
 # existential predicates: var/yok (+ copular tense) are ADJ roots in the
 # UD Turkish treebanks, not the homophonous verb imperatives
 _EXISTENTIALS = {"var", "yok", "vardır", "yoktur"}
+
+# negative copular particle and its inflected closed paradigm
+_NEG_COPULAS = {"değil", "değildi", "değilmiş", "değildir", "değilse",
+                "değiller", "değildir", "değillerdi"}
 # past/evidential existentials (vardı, yokmuş) keep the finite-verb
 # reading: the reference's published PoS output tags "vardı" VERB
 # (part_of_speech_tagger.py:52-57)
@@ -395,6 +399,38 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # zero-copula NOMINAL predicate is a noun in UD (29
             # yaşındayım, evdeydi, öğretmenim)
             out[i] = "NOUN"
+        elif low in _NEG_COPULAS:
+            # the negative copular particle and its inflected forms
+            # (karar kolay bir karar DEĞİL; hazır değildi): AUX in UD
+            # regardless of the lexicon's Verb/Conj readings
+            out[i] = "AUX"
+        elif (
+            low == "olarak"
+            and i > 0
+            and out[i - 1] in ("NOUN", "PROPN", "ADJ", "NUM")
+        ):
+            # grammaticalized 'as'-postposition over a bare nominal
+            # (başkan OLARAK seçti): ADP; the literal ol- converb
+            # reading survives clause-initially and after verbs
+            out[i] = "ADP"
+        elif (
+            low == "yerine"
+            and i > 0
+            and "Inf" in set(analyses[i - 1].replace("^", "+").split("+"))
+        ):
+            # 'instead of V-ing' (artırmak YERİNE): grammaticalized ADP
+            # over the infinitive clause; after plain nominals the
+            # literal possessed noun stays (yerine koydu)
+            out[i] = "ADP"
+        elif (
+            low == "ki"
+            and i > 0
+            and out[i - 1] == "VERB"
+            and any(out[j] == "VERB" for j in range(i + 1, n))
+        ):
+            # post-verbal complementizer ki (diyor Kİ fiyatlar düşecek):
+            # SCONJ; the coordinating/discourse ki elsewhere stays CCONJ
+            out[i] = "SCONJ"
         elif (
             low in _GRAMMAT_ADPS
             and i > 0
@@ -640,6 +676,10 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "bare_adj" in _readings(tokens[i])
             and not _CAP_RE.match(tokens[i])
             and "Agt" not in tags
+            # a lexicalized adverb surface (yakında, önceden) is about
+            # to be rewritten ADV: the homograph then has no nominal to
+            # modify and stays the subject noun (hasta YAKINDA iyileşecek)
+            and to_lower(tokens[i + 1]) not in _TEMPORAL_ADVS
             # an ablative comparative frame keeps the noun: the Abl is
             # the predicate's standard of comparison, not an argument
             # the homograph must escape (Bu KUMAŞ diğerinden daha

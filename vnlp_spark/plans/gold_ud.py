@@ -2320,6 +2320,176 @@ UD_GOLD: List[dict] = [
         deprels=["nsubj", "obl", "case", "nmod", "obj", "root",
                  "punct"],
     ),
+    # --- blind-26 category pins (fresh tuning sentences; see
+    # BENCH.md twenty-sixth-split entry) ---
+    # verb-initial inversion + temporal adverb skipping an adnominal
+    # participle (pins: inversion root, advmod-to-root)
+    dict(
+        text="Açıldı sonunda yenilenen kütüphane.",
+        tokens=["Açıldı", "sonunda", "yenilenen", "kütüphane", "."],
+        upos=["VERB", "ADV", "VERB", "NOUN", "PUNCT"],
+        heads=[0, 1, 4, 1, 1],
+        deprels=["root", "advmod", "acl", "nsubj", "punct"],
+    ),
+    # ki complement + yakında ADV (pins: ki SCONJ mark/ccomp, yakında)
+    dict(
+        text="Doktor diyor ki hasta yakında iyileşecek.",
+        tokens=["Doktor", "diyor", "ki", "hasta", "yakında",
+                "iyileşecek", "."],
+        upos=["NOUN", "VERB", "SCONJ", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 0, 6, 6, 6, 2, 2],
+        deprels=["nsubj", "root", "mark", "nsubj", "advmod", "ccomp",
+                 "punct"],
+    ),
+    # aspectual reduplication converb (pins: V+Aor V+Neg+Aor pair)
+    dict(
+        text="Müzakereler biter bitmez anlaşma imzalandı.",
+        tokens=["Müzakereler", "biter", "bitmez", "anlaşma",
+                "imzalandı", "."],
+        upos=["NOUN", "VERB", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=["nsubj", "advcl", "compound", "nsubj", "root", "punct"],
+    ),
+    # -DIkçA with genitive-izafet matrix subject (pins: Gen->P3sg+Nom)
+    dict(
+        text="Fırtına sürdükçe şehrin trafiği kilitlendi.",
+        tokens=["Fırtına", "sürdükçe", "şehrin", "trafiği",
+                "kilitlendi", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "advcl", "nmod", "nsubj", "root", "punct"],
+    ),
+    # question particle mi after -Abil future (pins: Ques class bonus)
+    dict(
+        text="Proje zamanında bitebilir mi?",
+        tokens=["Proje", "zamanında", "bitebilir", "mi", "?"],
+        upos=["NOUN", "NOUN", "VERB", "AUX", "PUNCT"],
+        heads=[3, 3, 0, 3, 3],
+        deprels=["nsubj", "obl", "root", "aux", "punct"],
+    ),
+    # değil over ADJ predicate (pins: AUX cop, nominal root)
+    dict(
+        text="Bu yöntem güvenli değil.",
+        tokens=["Bu", "yöntem", "güvenli", "değil", "."],
+        upos=["DET", "NOUN", "ADJ", "AUX", "PUNCT"],
+        heads=[2, 3, 0, 3, 3],
+        deprels=["det", "nsubj", "root", "cop", "punct"],
+    ),
+    # inflected değildi (pins: _NEG_COPULAS paradigm)
+    dict(
+        text="Sonuçlar kesin değildi.",
+        tokens=["Sonuçlar", "kesin", "değildi", "."],
+        upos=["NOUN", "ADJ", "AUX", "PUNCT"],
+        heads=[2, 0, 2, 2],
+        deprels=["nsubj", "root", "cop", "punct"],
+    ),
+    # causative with dative causee
+    dict(
+        text="Müdür raporu asistanına yazdırdı.",
+        tokens=["Müdür", "raporu", "asistanına", "yazdırdı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 4],
+        deprels=["nsubj", "obj", "obl", "root", "punct"],
+    ),
+    # olarak secondary predicate over an Acc pronoun (pins: olarak ADP,
+    # PRON never re-resolved to the numeral homograph)
+    dict(
+        text="Dernek onu sözcü olarak görevlendirdi.",
+        tokens=["Dernek", "onu", "sözcü", "olarak", "görevlendirdi",
+                "."],
+        upos=["NOUN", "PRON", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "obj", "obl", "case", "root", "punct"],
+    ),
+    # partitive hiçbiri with genitive host
+    dict(
+        text="Adayların hiçbiri sınavı geçemedi.",
+        tokens=["Adayların", "hiçbiri", "sınavı", "geçemedi", "."],
+        upos=["NOUN", "PRON", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obj", "root", "punct"],
+    ),
+    # gibi simile under ADJ+past-copula root
+    dict(
+        text="Oda buz gibi soğuktu.",
+        tokens=["Oda", "buz", "gibi", "soğuktu", "."],
+        upos=["NOUN", "NOUN", "ADP", "ADJ", "PUNCT"],
+        heads=[4, 4, 2, 0, 4],
+        deprels=["nsubj", "obl", "case", "root", "punct"],
+    ),
+    # evidential zero-copula ADJ root (pins: Zero+Narr family)
+    dict(
+        text="Köy o yıllarda çok fakirmiş.",
+        tokens=["Köy", "o", "yıllarda", "çok", "fakirmiş", "."],
+        upos=["NOUN", "DET", "NOUN", "ADV", "ADJ", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "det", "obl", "advmod", "root", "punct"],
+    ),
+    # -mAksIzIn converb (pins: WithoutHavingDoneSo rows)
+    dict(
+        text="Kulüp üyelere sormaksızın tüzüğü değiştirdi.",
+        tokens=["Kulüp", "üyelere", "sormaksızın", "tüzüğü",
+                "değiştirdi", "."],
+        upos=["NOUN", "NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "obl", "advcl", "obj", "root", "punct"],
+    ),
+    # pronominal -ki comparative (pins: headless -ki PRON obl)
+    dict(
+        text="Komşunun bahçesi seninkinden daha genişti.",
+        tokens=["Komşunun", "bahçesi", "seninkinden", "daha",
+                "genişti", "."],
+        upos=["NOUN", "NOUN", "PRON", "ADV", "ADJ", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "obl", "advmod", "root", "punct"],
+    ),
+    # ya .. ya da correlative (pins: ya cc, da fixed)
+    dict(
+        text="Şirket ya fiyatları indirecek ya da mağazayı kapatacak.",
+        tokens=["Şirket", "ya", "fiyatları", "indirecek", "ya", "da",
+                "mağazayı", "kapatacak", "."],
+        upos=["NOUN", "CCONJ", "NOUN", "VERB", "CCONJ", "CCONJ",
+              "NOUN", "VERB", "PUNCT"],
+        heads=[4, 4, 4, 0, 8, 5, 8, 4, 4],
+        deprels=["nsubj", "cc", "obj", "root", "cc", "fixed", "obj",
+                 "conj", "punct"],
+    ),
+    # -Iş nominalization izafet subject (pins: Inf3 obliques)
+    dict(
+        text="Takımın yükselişi taraftarları sevindirdi.",
+        tokens=["Takımın", "yükselişi", "taraftarları", "sevindirdi",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 4, 4, 0, 4],
+        deprels=["nmod", "nsubj", "obj", "root", "punct"],
+    ),
+    # yerine over infinitive (pins: yerine ADP after Inf)
+    dict(
+        text="Belediye yol yapmak yerine parkları onardı.",
+        tokens=["Belediye", "yol", "yapmak", "yerine", "parkları",
+                "onardı", "."],
+        upos=["NOUN", "NOUN", "VERB", "ADP", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 3, 6, 0, 6],
+        deprels=["nsubj", "obj", "advcl", "case", "obj", "root",
+                 "punct"],
+    ),
+    # plural possessive nominal predicate with past copula
+    dict(
+        text="Bunlar mahallenin en eski binalarıydı.",
+        tokens=["Bunlar", "mahallenin", "en", "eski", "binalarıydı",
+                "."],
+        upos=["PRON", "NOUN", "ADV", "ADJ", "NOUN", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "nmod", "advmod", "amod", "root", "punct"],
+    ),
+    # irregular su possessive izafet (pins: _IRREGULAR_EXACT)
+    dict(
+        text="Kuyunun suyu çekildi.",
+        tokens=["Kuyunun", "suyu", "çekildi", "."],
+        upos=["NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 0, 3],
+        deprels=["nmod", "nsubj", "root", "punct"],
+    ),
 ]
 
 for _g in UD_GOLD:
