@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind26" in sys.argv:
+    if "--blind27" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind27 import BLIND27 as entries
+    elif "--blind26" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind26 import BLIND26 as entries
     elif "--blind25" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind25 import BLIND25 as entries

@@ -44,6 +44,7 @@ SPLITS = [
     ("blind24", "vnlp_spark.plans.gold_ud_blind24", "BLIND24"),
     ("blind25", "vnlp_spark.plans.gold_ud_blind25", "BLIND25"),
     ("blind26", "vnlp_spark.plans.gold_ud_blind26", "BLIND26"),
+    ("blind27", "vnlp_spark.plans.gold_ud_blind27", "BLIND27"),
 ]
 
 
