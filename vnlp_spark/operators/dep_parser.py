@@ -101,6 +101,7 @@ _TEMPORAL_ROOTS = {
     "sabah", "akşam", "gece", "öğle", "gündüz", "hafta", "yıl", "ay",
     "gün", "sene", "yaz", "kış", "bahar", "sonbahar", "ilkbahar",
     "dakika", "saat", "saniye", "dönem", "çeyrek", "mevsim", "asır",
+    "sezon",
     "yüzyıl", "pazartesi", "salı", "çarşamba", "perşembe", "cuma",
     "cumartesi", "pazar",
     # frequency nouns behave identically (üçüncü KEZ kazandı -> obl);
@@ -353,30 +354,35 @@ def py_parse_tokens(
             and "Inf2" in tagsets[i]
             and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
         ):
+            # the emphatic particle is transparent for the argument frame
+            # (hizmetleri DE sunmaya başladı)
+            pi = i - 1
+            while pi > 0 and to_lower(tokens[pi]) in ("de", "da"):
+                pi -= 1
             prev_arg = (
-                i > 0
-                and upos[i - 1] in _NOMINAL
+                pi >= 0
+                and upos[pi] in _NOMINAL
                 and (
-                    _case_of(analyses[i - 1])
+                    _case_of(analyses[pi])
                     in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
                     # an Acc / P3sg+Nom homograph to the left counts: its
                     # surface case is resolved only AFTER this gate, and
                     # the Inf2 clause is exactly what licenses its Acc
                     # reading (parktaki ağaçları BUDAMAYA başladı)
-                    or "acc" in _readings(tokens[i - 1])
+                    or "acc" in _readings(tokens[pi])
                     # an INCORPORATED bare-Nom object counts too, when a
                     # subject candidate stands further left (Firma ... ek
                     # PRİM ödemeyi planlıyor — "prim" has no other
                     # licenser); clause-initial bare nominals are the
                     # matrix subject instead (Konuşmayı dinleyeceğim)
                     or (
-                        _case_of(analyses[i - 1]) in ("Nom", "")
-                        and "Pnon" in tagsets[i - 1]
-                        and upos[i - 1] == "NOUN"
+                        _case_of(analyses[pi]) in ("Nom", "")
+                        and "Pnon" in tagsets[pi]
+                        and upos[pi] == "NOUN"
                         and any(
                             upos[j] in _NOMINAL
                             and _case_of(analyses[j]) in ("Nom", "")
-                            for j in range(0, i - 1)
+                            for j in range(0, pi)
                         )
                     )
                 )
@@ -458,6 +464,15 @@ def py_parse_tokens(
         # the matrix subject and stay out of preds
         when_preds = [i for i in range(n) if converb[i]
                       and tagsets[i] & {"When", "AsLongAs"}]
+        # -DIğIndA 'when'-clauses host their own subject the same way
+        # (Dağcılar zirveye ULAŞTIKLARINDA yağmur başlamıştı)
+        when_preds += [
+            i for i in range(n)
+            if upos[i] == "VERB" and "PastPart" in tagsets[i]
+            and _case_of(analyses[i]) == "Loc"
+            and not (i + 1 < n
+                     and to_lower(tokens[i + 1]) in ("sonra", "önce"))
+        ]
         # conditional protasis clauses likewise host their own subject
         # (Yağmur yağarsa -> Yağmur is yağarsa's nsubj)
         when_preds += [i for i in range(n) if cond[i]]
@@ -803,6 +818,9 @@ def py_parse_tokens(
         for j in range(i + 1, v):
             if upos[j] in _TRANSPARENT:
                 continue
+            if to_lower(tokens[j]) in ("de", "da") and upos[j] == "CCONJ":
+                continue  # the emphatic particle is transparent for the
+                # object frame (hizmetleri DE sunmaya başladı)
             if upos[j] in _NOMINAL and eff_case[j] in ("Dat", "Loc", "Abl", "Ins"):
                 continue  # obliques may intervene before the object
             if (
@@ -1065,6 +1083,24 @@ def py_parse_tokens(
             else:
                 eff_case[i], eff_poss[i] = "Nom", True
 
+    # a PROPN name directly after a lowercase POSSESSED title is that
+    # title's flat continuation (belediye başkanı AKIN ... buluştu):
+    # _segment_runs only sees capitalized runs, so the lowercase-title
+    # frame is handled here.  Apostrophe-cased names stay their own
+    # clause argument (kulüp başkanı Erdoğan'ı eleştirdi)
+    for _i in range(1, n):
+        if (
+            heads[_i] == -1
+            and upos[_i] == "PROPN"
+            and not _CAP_RE.match(tokens[_i - 1])
+            and upos[_i - 1] == "NOUN"
+            and roots_of[_i - 1] in _TITLES
+            and tagsets[_i - 1] & {"P3sg", "P3pl"}
+            and not ("'" in tokens[_i]
+                     and _case_of(analyses[_i]) not in ("Nom", ""))
+        ):
+            heads[_i], rels[_i] = _i, "flat"
+
     # --- mention runs: non-head tokens attach inside the run -----------
     run_head = {}
     run_member = set()
@@ -1179,6 +1215,12 @@ def py_parse_tokens(
             ):
                 # temporal adverbial frame: yedikten sonra
                 heads[i], rels[i] = p + 1, "advcl"
+            elif tags & {"PastPart"} and case == "Loc":
+                # -DIğIndA 'when'-clause (ulaştıklarında yağmur
+                # başlamıştı): temporal advcl on the next finite
+                # predicate, like -IncA
+                fin = next((f for f in finite if f > i), root)
+                heads[i], rels[i] = fin + 1, "advcl"
             elif tags & {"FutPart", "PastPart"}:
                 nom = next_nominal(i)
                 heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
@@ -1867,7 +1909,11 @@ def py_parse_tokens(
                     clause_start = i == min(
                         (k for k in range(n)
                          if next_pred(k) == p
-                         and upos[k] not in ("PUNCT", "CCONJ", "SCONJ")),
+                         and upos[k] not in ("PUNCT", "CCONJ", "SCONJ")
+                         # an advcl predicate between clauses is not the
+                         # next clause's first token (bindiğinde ŞOFÖR
+                         # anons yaptı -> şoför starts the matrix clause)
+                         and k not in preds),
                         default=i,
                     )
                     subjish = (
@@ -1879,7 +1925,16 @@ def py_parse_tokens(
                         or upos[i] in ("PROPN", "PRON")
                         or "Prop" in tagsets[i]
                         or "Pass" in tagsets[vt if upos[vt] == "VERB" else i]
-                        or clause_start
+                        # a clause-initial bare nominal claims the subject
+                        # slot only when another nominal stands between it
+                        # and the predicate to fill the object slot
+                        # (bindiğinde ŞOFÖR anons yaptı); a LONE bare
+                        # nominal after a converb clause is the shared-
+                        # subject matrix's object (ulaşınca BAYRAK açtı)
+                        or (clause_start
+                            and (i == 0
+                                 or any(upos[j] in _NOMINAL
+                                        for j in range(i + 1, p))))
                     )
                     # a modified bare NP before a TRANSITIVE non-first
                     # conjunct verb whose earlier conjunct already has an

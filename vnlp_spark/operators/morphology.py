@@ -995,6 +995,11 @@ def _analyze_one(token: str, sent_final: bool, non_initial: bool,
 
 _CASE_TAGS = ("Acc", "Dat", "Loc", "Abl", "Gen", "Ins", "Nom")
 
+# bare time-period nouns that head "X sonunda/başında" izafet frames
+_PERIOD_ROOTS = {"yıl", "hafta", "ay", "gün", "sezon", "dönem", "yüzyıl",
+                 "asır", "maç", "film", "toplantı", "konser", "ders",
+                 "sınav", "yarış", "tören", "görüşme", "seçim"}
+
 
 def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
     """Tokenized sentence -> best analysis string per token (the
@@ -1016,6 +1021,17 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
         prev_is_punct = idx > 0 and bool(_NON_WORD.match(tokens[idx - 1]))
         analysis = _analyze_one(token, sent_final, idx > 0, prev_case,
                                 next_coord, prev_is_punct)
+        if (
+            analysis == "sonunda+Adverb"
+            and idx > 0
+            and prev_case == "Nom"
+            and out[-1].split("+", 1)[0] in _PERIOD_ROOTS
+        ):
+            # after a bare time-period noun the relational segmentation
+            # is the izafet head (yıl SONUNDA, hafta sonunda), not the
+            # lexicalized 'finally' adverb — the one homograph where the
+            # whole-word adverb otherwise outscores the possessed noun
+            analysis = "son+Noun+A3sg+P3sg+Loc"
         out.append(analysis)
         tags = set(analysis.split("+"))
         prev_case = next((c for c in _CASE_TAGS if c in tags), "")

@@ -341,9 +341,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                  or (out[i] == "VERB" and "PresPart" in tags))
             and _CAP_RE.match(tokens[i])
             and "Prop" not in tags
-            and to_lower(tokens[i - 1]).split("'")[0] in _TITLES
+            and (to_lower(tokens[i - 1]).split("'")[0] in _TITLES
+                 # POSSESSED title forms select persons too (belediye
+                 # BAŞKANI Akın, kulüp müdürü Aydın): match by root
+                 or (analyses[i - 1].split("+", 1)[0] in _TITLES
+                     and "P3sg" in set(analyses[i - 1]
+                                       .replace("^", "+").split("+"))))
             and out[i - 1] == "NOUN"
-            and _CAP_RE.match(tokens[i - 1])
+            and (_CAP_RE.match(tokens[i - 1])
+                 or analyses[i - 1].split("+", 1)[0] in _TITLES)
         ):
             # a capitalized token directly after a capitalized title is
             # the person's NAME even when the lexicon only knows it as a
@@ -458,7 +464,14 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # ertelendi?); 'neden' the noun ('reason') keeps its reading
             # in declaratives
             out[i] = "ADV"
-        elif low in _TEMPORAL_ADVS and out[i] in ("NOUN", "ADJ", "ADP", "ADV"):
+        elif (
+            low in _TEMPORAL_ADVS
+            and out[i] in ("NOUN", "ADJ", "ADP", "ADV")
+            # a chosen possessed SEGMENTATION is the relational noun, not
+            # the lexicalized adverb (yıl SONUNDA = son+P3sg+Loc izafet)
+            and not (analyses[i].split("+", 1)[0] != low
+                     and "P3sg" in tags)
+        ):
             # önce/sonra after an ablative or time NP stay postpositions
             if low in ("önce", "sonra") and i > 0 and (
                 _case_of(analyses[i - 1]) == "Abl"
@@ -490,24 +503,30 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             or ("Inf2" in tags
                 and _case_of(analyses[i]) in ("Acc", "Dat", "Loc", "Abl")
                 and i > 0
-                and (_case_of(analyses[i - 1])
-                     in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
-                     # Acc / P3sg+Nom homographs to the left count — the
-                     # parser resolves them to Acc under this very clause
-                     # (ağaçları BUDAMAYA başladı); same gate as the parser
-                     or ("acc" in _readings(tokens[i - 1])
-                         and out[i - 1] in ("NOUN", "PRON"))
-                     # incorporated bare-Nom object with a subject
-                     # candidate further left (Firma ... ek PRİM ödemeyi
-                     # planlıyor) — same gate as the parser
-                     or (out[i - 1] == "NOUN"
-                         and _case_of(analyses[i - 1]) in ("Nom", "")
-                         and "Pnon" in set(
-                             analyses[i - 1].replace("^", "+").split("+"))
-                         and any(
-                             out[j] in ("NOUN", "PROPN", "PRON")
-                             and _case_of(analyses[j]) in ("Nom", "")
-                             for j in range(0, i - 1)))))
+                # the emphatic particle is transparent for the argument
+                # frame (hizmetleri DE sunmaya) — same skip as the parser
+                and (lambda pv: (
+                    _case_of(analyses[pv])
+                    in ("Acc", "Dat", "Loc", "Abl", "Ins", "Gen")
+                    # Acc / P3sg+Nom homographs to the left count — the
+                    # parser resolves them to Acc under this very clause
+                    # (ağaçları BUDAMAYA başladı); same gate as the parser
+                    or ("acc" in _readings(tokens[pv])
+                        and out[pv] in ("NOUN", "PRON"))
+                    # incorporated bare-Nom object with a subject
+                    # candidate further left (Firma ... ek PRİM ödemeyi
+                    # planlıyor) — same gate as the parser
+                    or (out[pv] == "NOUN"
+                        and _case_of(analyses[pv]) in ("Nom", "")
+                        and "Pnon" in set(
+                            analyses[pv].replace("^", "+").split("+"))
+                        and any(
+                            out[j] in ("NOUN", "PROPN", "PRON")
+                            and _case_of(analyses[j]) in ("Nom", "")
+                            for j in range(0, pv)))
+                ))(next((k for k in range(i - 1, -1, -1)
+                         if to_lower(tokens[k]) not in ("de", "da")),
+                        i - 1)))
             # a bare-Nom possessed -mA nominalization with its own
             # GENITIVE subject on the left is a clausal subject, still a
             # verb (Projenin zamanında BİTMESİ herkesi sevindirdi); the

@@ -2490,6 +2490,51 @@ UD_GOLD: List[dict] = [
         heads=[2, 3, 0, 3],
         deprels=["nmod", "nsubj", "root", "punct"],
     ),
+    # --- blind-27 category pins (fresh tuning sentences; see
+    # BENCH.md twenty-seventh-split entry) ---
+    dict(
+        text='Kulüp müdürü Aydın basın toplantısı düzenledi.',
+        tokens=['Kulüp', 'müdürü', 'Aydın', 'basın', 'toplantısı', 'düzenledi', '.'],
+        upos=['NOUN', 'NOUN', 'PROPN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 2, 5, 6, 0, 6],
+        deprels=['nmod', 'nsubj', 'flat', 'nmod', 'obj', 'root', 'punct'],
+        ner=['O', 'O', 'PER', 'O', 'O', 'O', 'O'],
+    ),
+    dict(
+        text='Sezon sonunda şampiyon belli olacak.',
+        tokens=['Sezon', 'sonunda', 'şampiyon', 'belli', 'olacak', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADJ', 'VERB', 'PUNCT'],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=['nmod', 'obl', 'nsubj', 'compound', 'root', 'punct'],
+    ),
+    dict(
+        text='Misafirler ayrıldıklarında ev boşaldı.',
+        tokens=['Misafirler', 'ayrıldıklarında', 'ev', 'boşaldı', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nsubj', 'advcl', 'nsubj', 'root', 'punct'],
+    ),
+    dict(
+        text='Kurumlar raporları da yayımlamaya başladı.',
+        tokens=['Kurumlar', 'raporları', 'da', 'yayımlamaya', 'başladı', '.'],
+        upos=['NOUN', 'NOUN', 'CCONJ', 'VERB', 'VERB', 'PUNCT'],
+        heads=[5, 4, 2, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'advmod', 'ccomp', 'root', 'punct'],
+    ),
+    dict(
+        text='Hafta sonunda kütüphane açık kalacak.',
+        tokens=['Hafta', 'sonunda', 'kütüphane', 'açık', 'kalacak', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADJ', 'VERB', 'PUNCT'],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=['nmod', 'obl', 'nsubj', 'compound', 'root', 'punct'],
+    ),
+    dict(
+        text='Yolcular otobüse bindiğinde şoför anons yaptı.',
+        tokens=['Yolcular', 'otobüse', 'bindiğinde', 'şoför', 'anons', 'yaptı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 6, 6, 6, 0, 6],
+        deprels=['nsubj', 'obl', 'advcl', 'nsubj', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
