@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind27" in sys.argv:
+    if "--blind28" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind28 import BLIND28 as entries
+    elif "--blind27" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind27 import BLIND27 as entries
     elif "--blind26" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind26 import BLIND26 as entries

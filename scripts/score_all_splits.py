@@ -45,6 +45,7 @@ SPLITS = [
     ("blind25", "vnlp_spark.plans.gold_ud_blind25", "BLIND25"),
     ("blind26", "vnlp_spark.plans.gold_ud_blind26", "BLIND26"),
     ("blind27", "vnlp_spark.plans.gold_ud_blind27", "BLIND27"),
+    ("blind28", "vnlp_spark.plans.gold_ud_blind28", "BLIND28"),
 ]
 
 
