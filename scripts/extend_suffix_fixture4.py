@@ -51,6 +51,21 @@ def plural_twins(rows):
     return out
 
 
+def ir_caus_passives(rows):
+    """Passive products of the -Ir causative allomorph (blind-28 pinning:
+    `artırıldı` = art+ır+ıl+dı fell to Unknown — dır/tır causatives carry
+    full passive families, the bare -Ir causative carries none).  Derived
+    by stripping the leading d from every dırıl/diril/durul/dürül row:
+    the -Ir causative is the d-less allomorph of the same morpheme."""
+    out = []
+    for surface, tags in rows:
+        if (surface[:4] in ("dırı", "diri", "duru", "dürü")
+                and surface[4:5] == "l"
+                and tags.startswith("Verb+DB+Verb+Caus+DB+Verb+Pass+")):
+            out.append((surface[1:], tags))
+    return out
+
+
 def main():
     with gzip.open(PATH, "rt", encoding="utf-8") as f:
         existing_lines = f.read().splitlines()
@@ -58,7 +73,7 @@ def main():
     base = [tuple(l.split("\t")) for l in existing_lines]
     new_lines = list(existing_lines)
     added = 0
-    for surface, tags in plural_twins(base):
+    for surface, tags in plural_twins(base) + ir_caus_passives(base):
         line = f"{surface}\t{tags}"
         if line not in existing:
             existing.add(line)

@@ -2031,8 +2031,15 @@ def py_parse_tokens(
                         heads[i], rels[i] = vt + 1, "compound"
                     elif (
                         vt == p
-                        and roots_of[vt] not in _TRANSITIVE_ROOTS
-                        and "Caus" not in tagsets[vt]
+                        and ((roots_of[vt] not in _TRANSITIVE_ROOTS
+                              and "Caus" not in tagsets[vt])
+                             # an INTRANSITIVE light-verb complex cannot
+                             # take the bare nominal as object either
+                             # (festival DEVAM etti -> festival subject)
+                             or (vt > 0 and vt - 1 != i
+                                 and roots_of[vt] in ("et", "ol")
+                                 and roots_of[vt - 1]
+                                 in _INTRANS_LIGHT_NOMINALS))
                         and "Pass" not in tagsets[vt]
                     ):
                         # a bare nominal cannot be the object of an

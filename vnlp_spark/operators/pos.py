@@ -286,6 +286,8 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         _is_possessed, _typed_gazetteer,
     )
     from .dep_parser import _TEMPORAL_ROOTS as _TEMPORAL_ROOTS_POS
+    from .dep_parser import _TRANSITIVE_ROOTS as _TRANS_ROOTS_POS
+    from .dep_parser import _SPATIAL_ROOTS as _SPATIAL_ROOTS_POS
     from .morphology import to_lower
 
     n = len(tokens)
@@ -381,6 +383,42 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # (ÜNLÜ yazarlar); before a case-marked nominal the noun
             # keeps its argument reading (Ünlü şarkıyı söyledi)
             out[i] = "ADJ"
+        elif (
+            out[i] == "ADJ"
+            and i == 0
+            and analyses[i].count("+") == 1
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) in ("Dat", "Loc", "Abl", "Ins")
+            # an ADP-governed oblique keeps the attributive reading: the
+            # adjective modifies the postposition's complement (AŞIRI
+            # sıcaklara rağmen festival ...)
+            and not (i + 2 < n and out[i + 2] == "ADP")
+            and any(
+                out[j] == "NOUN"
+                and _case_of(analyses[j]) in ("Nom", "")
+                and not _is_possessed(tokens[j], analyses[j])
+                for j in range(i + 2, n)
+            )
+            # ... and the verb must be TRANSITIVE for the later bare
+            # nominal to be its object; before an intransitive the later
+            # nominal is the subject and the adjective attributive
+            # (SON yıllarda turizm hızla gelişti)
+            and any(
+                out[j] == "VERB"
+                and (analyses[j].split("+", 1)[0] in _TRANS_ROOTS_POS
+                     or "Caus" in set(analyses[j]
+                                      .replace("^", "+").split("+")))
+                for j in range(i + 2, n)
+            )
+        ):
+            # sentence-initial citation-adjective homograph before a
+            # case-marked oblique, with ANOTHER bare nominal later
+            # filling the object slot, is the clause subject (BELGESEL
+            # izleyicilerden büyük ilgi gördü); with no later bare
+            # nominal the attributive reading stands (YABANCI liderlerle
+            # görüştü — pro-drop subject)
+            out[i] = "NOUN"
         elif (
             out[i] == "VERB"
             and "Zero" in tags
@@ -693,7 +731,29 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i + 1] in ("NOUN", "PROPN")
             and _case_of(analyses[i + 1]) not in ("Nom", "")
             and "bare_adj" in _readings(tokens[i])
-            and not _CAP_RE.match(tokens[i])
+            # mid-sentence capitals are names; a SENTENCE-INITIAL capital
+            # is attributive when a later bare nominal can be the subject
+            # (YABANCI yatırımcılarla görüşmeler sürüyor), the subject
+            # itself otherwise (HASTA doktora gitti)
+            and (not _CAP_RE.match(tokens[i])
+                 or (i == 0
+                     # titles stay the subject (BAKAN mühendislerle ...)
+                     and low not in _TITLES
+                     and any(
+                         out[j] == "NOUN"
+                         and _case_of(analyses[j]) in ("Nom", "")
+                         and not _is_possessed(tokens[j], analyses[j])
+                         # an LVC nominal is not a subject candidate
+                         # (ziyaret ETTİ)
+                         and not (j + 1 < n and out[j + 1] == "VERB"
+                                  and analyses[j + 1].split("+", 1)[0]
+                                  in ("et", "yap", "ol"))
+                         for j in range(i + 2, n))))
+            # a possessed SPATIAL relational host takes the bare noun as
+            # its nmod, not an amod (kağıt ÜZERİNDE kusursuz görünüyor)
+            and not (analyses[i + 1].split("+", 1)[0] in _SPATIAL_ROOTS_POS
+                     and "P3sg" in set(analyses[i + 1]
+                                       .replace("^", "+").split("+")))
             and "Agt" not in tags
             # a lexicalized adverb surface (yakında, önceden) is about
             # to be rewritten ADV: the homograph then has no nominal to
@@ -1018,10 +1078,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]
-            if nxt_root in ("ol", "et", "kal"):
+            if nxt_root in ("ol", "et", "kal", "görün"):
                 continue  # predicative complement: rahatsız oldu,
-                # açık kaldı
-            if nxt_root in ("gel", "görün", "dur") and i > 0 and (
+                # açık kaldı, modern görünüyor — appearance verbs take
+                # predicative adjectives, never manner adverbs
+            if nxt_root in ("gel", "dur") and i > 0 and (
                 _case_of(analyses[i - 1]) == "Dat"
             ):
                 continue  # psych-verb frame: bana mantıklı geldi

@@ -2535,6 +2535,43 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 6, 6, 6, 0, 6],
         deprels=['nsubj', 'obl', 'advcl', 'nsubj', 'obj', 'root', 'punct'],
     ),
+    # --- blind-28 category pins (fresh tuning sentences; see
+    # BENCH.md twenty-eighth-split entry) ---
+    dict(
+        text='Plan kağıt üzerinde kusursuz görünüyor.',
+        tokens=['Plan', 'kağıt', 'üzerinde', 'kusursuz', 'görünüyor', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADJ', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obl', 'compound', 'root', 'punct'],
+    ),
+    dict(
+        text='Soğuk havaya rağmen inşaat devam etti.',
+        tokens=['Soğuk', 'havaya', 'rağmen', 'inşaat', 'devam', 'etti', '.'],
+        upos=['ADJ', 'NOUN', 'ADP', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 2, 6, 6, 0, 6],
+        deprels=['amod', 'obl', 'case', 'nsubj', 'compound', 'root', 'punct'],
+    ),
+    dict(
+        text='Belgesel festivalde büyük ödül kazandı.',
+        tokens=['Belgesel', 'festivalde', 'büyük', 'ödül', 'kazandı', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'amod', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Yabancı yatırımcılarla görüşmeler sürüyor.',
+        tokens=['Yabancı', 'yatırımcılarla', 'görüşmeler', 'sürüyor', '.'],
+        upos=['ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['amod', 'obl', 'nsubj', 'root', 'punct'],
+    ),
+    dict(
+        text='Aşırı hıza karşı denetimler artırıldı.',
+        tokens=['Aşırı', 'hıza', 'karşı', 'denetimler', 'artırıldı', '.'],
+        upos=['ADJ', 'NOUN', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=['amod', 'obl', 'case', 'nsubj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
