@@ -46,6 +46,7 @@ SPLITS = [
     ("blind26", "vnlp_spark.plans.gold_ud_blind26", "BLIND26"),
     ("blind27", "vnlp_spark.plans.gold_ud_blind27", "BLIND27"),
     ("blind28", "vnlp_spark.plans.gold_ud_blind28", "BLIND28"),
+    ("blind29", "vnlp_spark.plans.gold_ud_blind29", "BLIND29"),
 ]
 
 
