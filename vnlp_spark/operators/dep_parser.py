@@ -148,7 +148,7 @@ _TRANSITIVE_ROOTS = {
     "beğen", "bağışla", "yanıtla", "teslim", "gez", "say", "dağıt",
     "et", "çal", "sor", "ekle", "onar", "düzelt", "temizle", "yıka", "dile",
     "bırak", "değiştir", "kaydet", "üret", "uygula", "düzenle", "yönet",
-    "çöz", "tasarla", "denetle",
+    "çöz", "tasarla", "denetle", "tartış",
     # change-of-state causatives (renovate/improve/raise class): their
     # bare agent + ambiguous-Acc frame is the subject+object reading
     # (Belediye PARKI yeniledi)
@@ -1653,7 +1653,8 @@ def py_parse_tokens(
                      or (case == "Dat"
                          and _base(tokens[i + 1])
                          in ("yakın", "uzak", "özel", "uygun", "yönelik",
-                             "açık", "bağlı", "karşıt")))
+                             "açık", "bağlı", "karşıt", "dayanıklı",
+                             "duyarlı", "elverişli", "yatkın")))
             ):
                 # case-selected complement of an adnominal adjective
                 # (konuyla İLGİLİ açıklama, eve YAKIN okul): the oblique
@@ -1679,6 +1680,20 @@ def py_parse_tokens(
                 # dative complement of a deverbal action noun (depreme
                 # hazırlık çağrısı) attaches to that noun
                 heads[i], rels[i] = i + 2, "obl"
+            elif (
+                i == 0
+                and vt is not None and vt != p
+                and upos[vt] == "VERB" and subord[vt]
+                and i + 1 < vt
+                and upos[i + 1] == "ADV"
+            ):
+                # a SENTENCE-INITIAL oblique separated from a following
+                # participle by that participle's own adverb is the
+                # matrix topic, not part of the relative clause
+                # (Hastanede YENİ doğan bebekler için ünite açıldı ->
+                # hastanede scopes over açıldı); a directly-adjacent
+                # oblique stays local (Fabrikada çalışan işçiler)
+                heads[i], rels[i] = p + 1, "obl"
             else:
                 heads[i], rels[i] = vt + 1, "obl"
         else:  # Nom / unmarked

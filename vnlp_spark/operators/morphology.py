@@ -469,7 +469,10 @@ class HeuristicDisambiguator:
                 "Inf2" in tag_set
                 and "DB" in tags
                 and tag_set & {"Acc", "Dat"}
-                and prev_case == "Nom"
+                # a possessed-Nom izafet group licenses the frame the
+                # same way a bare nominal does (rüzgar santrali KURMAYI
+                # planlıyor)
+                and prev_case in ("Nom", "NomP")
             ):
                 # must outweigh the lexicalized noun's whole-word margin
                 # (stem-length + known-word edge ~12)

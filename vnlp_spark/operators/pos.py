@@ -1017,6 +1017,21 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             if pred_final and not (i > 0 and out[i - 1] in ("DET", "NUM")):
                 continue
             out[i] = "NOUN"
+    # a bare whole-word noun with a citation-Adj twin directly before
+    # determiner "bir" + a nominal is attributive (İLERİ bir tarihe
+    # erteledi): a noun cannot modify across the determiner
+    for i in range(n - 2):
+        if (
+            out[i] == "NOUN"
+            and analyses[i].split("+", 1)[0] == to_lower(tokens[i])
+            and "Pnon" in analyses[i] and "Nom" in analyses[i]
+            and "bare_adj" in _readings(tokens[i])
+            and to_lower(tokens[i + 1]) == "bir"
+            and out[i + 1] == "DET"
+            and out[i + 2] in ("NOUN", "PROPN")
+            and not _CAP_RE.match(tokens[i])
+        ):
+            out[i] = "ADJ"
     # a bare whole-word noun with a citation-Adj twin directly before an
     # UNPOSSESSED bare nominal is the attributive adjective — bare-noun
     # modifiers need possessed heads (izafet), adjectives do not

@@ -2572,6 +2572,43 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 2, 5, 0, 5],
         deprels=['amod', 'obl', 'case', 'nsubj', 'root', 'punct'],
     ),
+    # --- blind-29 category pins (fresh tuning sentences; see
+    # BENCH.md twenty-ninth-split entry) ---
+    dict(
+        text='Ekip güneş paneli takmayı öneriyor.',
+        tokens=['Ekip', 'güneş', 'paneli', 'takmayı', 'öneriyor', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'ccomp', 'root', 'punct'],
+    ),
+    dict(
+        text='Şirket dev bir tesis kuracak.',
+        tokens=['Şirket', 'dev', 'bir', 'tesis', 'kuracak', '.'],
+        upos=['NOUN', 'ADJ', 'DET', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'det', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Mühendisler depreme dayanıklı binalar tasarlıyor.',
+        tokens=['Mühendisler', 'depreme', 'dayanıklı', 'binalar', 'tasarlıyor', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'amod', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Uzmanlar bulguları ayrıntılı biçimde tartıştı.',
+        tokens=['Uzmanlar', 'bulguları', 'ayrıntılı', 'biçimde', 'tartıştı', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    dict(
+        text='Bölgede hızla yayılan salgın için önlem alındı.',
+        tokens=['Bölgede', 'hızla', 'yayılan', 'salgın', 'için', 'önlem', 'alındı', '.'],
+        upos=['NOUN', 'ADV', 'VERB', 'NOUN', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[7, 3, 4, 7, 4, 7, 0, 7],
+        deprels=['obl', 'advmod', 'acl', 'obl', 'case', 'nsubj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
