@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind29" in sys.argv:
+    if "--blind30" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind30 import BLIND30 as entries
+    elif "--blind29" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind29 import BLIND29 as entries
     elif "--blind28" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind28 import BLIND28 as entries

@@ -47,6 +47,7 @@ SPLITS = [
     ("blind27", "vnlp_spark.plans.gold_ud_blind27", "BLIND27"),
     ("blind28", "vnlp_spark.plans.gold_ud_blind28", "BLIND28"),
     ("blind29", "vnlp_spark.plans.gold_ud_blind29", "BLIND29"),
+    ("blind30", "vnlp_spark.plans.gold_ud_blind30", "BLIND30"),
 ]
 
 
