@@ -32,7 +32,7 @@ def main() -> int:
     }
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "bench_artifacts", "round3_scaling_cycles.jsonl")
+                        "bench_artifacts", os.environ.get("SCALE_CYCLE_OUT", "round4_scaling_cycles.jsonl"))
     with open(path, "a") as f:
         f.write(json.dumps(out) + "\n")
     return 0

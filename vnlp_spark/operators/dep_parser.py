@@ -1717,6 +1717,15 @@ def py_parse_tokens(
                 and roots_of[vt] in ("et", "yap", "ol")
             )
             preverbal = preverbal or lv_nominal
+            # the emphatic particle is transparent for preverbality too
+            # (yeni dersler DE açtı -> dersler is the directly-preverbal
+            # object of the transitive root)
+            preverbal = preverbal or (
+                vt is not None
+                and i + 2 == vt
+                and upos[i + 1] == "CCONJ"
+                and to_lower(tokens[i + 1]) in ("de", "da")
+            )
             # bare nominal before a possessed -ki relative adjective is
             # that adjective's compound dependent (Sanayi BÖLGESİNDEKİ
             # fabrikalar -> Sanayi nmod-> bölgesindeki), the adjectival

@@ -1032,6 +1032,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and not _CAP_RE.match(tokens[i])
         ):
             out[i] = "ADJ"
+    # the -ArAk converb of git- lexicalizes as the degree adverb
+    # 'increasingly' directly before a predicate, unless git- keeps its
+    # own Dat/Abl goal argument (okula GİDEREK alıştı keeps the converb;
+    # fiyatlar GİDEREK artıyor is the adverb)
+    for i in range(n - 1):
+        if (
+            out[i] == "VERB"
+            and to_lower(tokens[i]) == "giderek"
+            and "ByDoingSo" in analyses[i]
+            and out[i + 1] in ("VERB", "ADJ", "ADV")
+            and not (i > 0 and _case_of(analyses[i - 1]) in ("Dat", "Abl"))
+        ):
+            out[i] = "ADV"
     # a bare whole-word noun with a citation-Adj twin directly before an
     # UNPOSSESSED bare nominal is the attributive adjective — bare-noun
     # modifiers need possessed heads (izafet), adjectives do not

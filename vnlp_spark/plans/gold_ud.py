@@ -2609,6 +2609,29 @@ UD_GOLD: List[dict] = [
         heads=[7, 3, 4, 7, 4, 7, 0, 7],
         deprels=['obl', 'advmod', 'acl', 'obl', 'case', 'nsubj', 'root', 'punct'],
     ),
+    # --- blind-30 category pins (fresh tuning sentences; see
+    # BENCH.md thirtieth-split entry) ---
+    dict(
+        text='Şirket çalışanlara primler de ödedi.',
+        tokens=['Şirket', 'çalışanlara', 'primler', 'de', 'ödedi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'CCONJ', 'VERB', 'PUNCT'],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=['nsubj', 'obl', 'obj', 'advmod', 'root', 'punct'],
+    ),
+    dict(
+        text='Hava giderek soğuyor.',
+        tokens=['Hava', 'giderek', 'soğuyor', '.'],
+        upos=['NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[3, 3, 0, 3],
+        deprels=['nsubj', 'advmod', 'root', 'punct'],
+    ),
+    dict(
+        text='İşe giderek gazete aldı.',
+        tokens=['İşe', 'giderek', 'gazete', 'aldı', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['obl', 'advcl', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
