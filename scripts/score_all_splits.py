@@ -48,6 +48,7 @@ SPLITS = [
     ("blind28", "vnlp_spark.plans.gold_ud_blind28", "BLIND28"),
     ("blind29", "vnlp_spark.plans.gold_ud_blind29", "BLIND29"),
     ("blind30", "vnlp_spark.plans.gold_ud_blind30", "BLIND30"),
+    ("blind31", "vnlp_spark.plans.gold_ud_blind31", "BLIND31"),
 ]
 
 
