@@ -190,6 +190,12 @@ _INTRANSITIVE_ROOTS = {
     "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç", "yağ",
     "düş", "çık", "gir", "in", "bat", "ak", "yat", "uyu", "dur", "kaç",
     "var", "öl", "doğ", "büyü", "yaşa", "gez",
+    # unaccusative change-of-state verbs: no Acc object is possible, so
+    # a preverbal nominal is never their obj and a later Nom nominal is
+    # the subject (trafik yoğunluğu AZALDI, fiyatlar YÜKSELDİ)
+    "azal", "art", "yüksel", "çoğal", "ısın", "soğu", "daral",
+    "genişle", "hızlan", "yavaşla", "ucuzla", "zayıfla", "güçlen",
+    "yaygınlaş",
 }
 
 # light-verb nominals whose et-complex is INTRANSITIVE (istifa etti,
@@ -1848,6 +1854,18 @@ def py_parse_tokens(
                         and eff_case[j] in ("Nom", "")
                         and roots_of[j] not in _TEMPORAL_ROOTS
                         for j in range(i + 2, p)))
+                    # the same holds under an INTRANSITIVE predicate: it
+                    # cannot absorb a later Nom nominal as an object, so
+                    # that nominal takes the subject slot and the first
+                    # stays the izafet modifier (ŞEHİR merkezinde trafik
+                    # yoğunluğu azaldı -> nmod)
+                    and not (roots_of[p] in _INTRANSITIVE_ROOTS
+                             and "Caus" not in tagsets[p]
+                             and any(
+                                 upos[j] in _NOMINAL
+                                 and eff_case[j] in ("Nom", "")
+                                 and roots_of[j] not in _TEMPORAL_ROOTS
+                                 for j in range(i + 2, p)))
                     and not ("A3pl" in tagsets[p] and "A3pl" not in tagsets[i])
                     # a spatial-relational frame binds its complement even
                     # with the subject slot open (ÜLKELER arasında ticaret

@@ -2632,6 +2632,22 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=['obl', 'advcl', 'obj', 'root', 'punct'],
     ),
+    # --- blind-31 category pins (fresh tuning sentences; see
+    # BENCH.md thirty-first-split entry) ---
+    dict(
+        text='Ülke genelinde su tüketimi arttı.',
+        tokens=['Ülke', 'genelinde', 'su', 'tüketimi', 'arttı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'obl', 'nmod', 'nsubj', 'root', 'punct'],
+    ),
+    dict(
+        text='Doğalgaz fiyatları kışın ucuzladı.',
+        tokens=['Doğalgaz', 'fiyatları', 'kışın', 'ucuzladı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
