@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind31" in sys.argv:
+    if "--blind32" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind32 import BLIND32 as entries
+    elif "--blind31" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind31 import BLIND31 as entries
     elif "--blind30" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind30 import BLIND30 as entries

@@ -49,6 +49,7 @@ SPLITS = [
     ("blind29", "vnlp_spark.plans.gold_ud_blind29", "BLIND29"),
     ("blind30", "vnlp_spark.plans.gold_ud_blind30", "BLIND30"),
     ("blind31", "vnlp_spark.plans.gold_ud_blind31", "BLIND31"),
+    ("blind32", "vnlp_spark.plans.gold_ud_blind32", "BLIND32"),
 ]
 
 
