@@ -985,9 +985,13 @@ def py_parse_tokens(
         # sakatlığına rağmen oynadı -> compound subject; Takım maçı
         # kazandı -> object) or a clear subject stands further left
         # (Fatma ... moda tasarımı okuyor -> compound object)
+        # only the et-complex obligates an OUTSIDE object (davet etti,
+        # iptal etti); a yap-complex's event nominal fills yap's own
+        # object slot (iniş yaptı, kutlama yaptı — UD-BOUN keeps it the
+        # obj), so the complex demands nothing beyond it
         obligate_v = "Caus" in tagsets[v] or (
             v > 0 and upos[v - 1] == "NOUN" and v - 1 != i
-            and eff_case[v - 1] in ("Nom", "") and roots_of[v] in ("et", "yap")
+            and eff_case[v - 1] in ("Nom", "") and roots_of[v] == "et"
             and roots_of[v - 1] not in _INTRANS_LIGHT_NOMINALS
         )
         transitive_v = (

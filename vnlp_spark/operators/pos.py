@@ -705,6 +705,10 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
             and _case_of(analyses[i + 1]) in ("Nom", "")
+            # a POSSESSED head selects the izafet noun-modifier reading
+            # instead (dolu YAĞIŞI, kar yağışı): bare-noun modifiers
+            # need possessed heads, so the homograph stays the noun
+            and not _is_possessed(tokens[i + 1], analyses[i + 1])
             and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN")
                      and (_case_of(analyses[i + 2]) in ("Nom", "")
                           or _is_possessed(tokens[i + 2], analyses[i + 2]))
@@ -1103,6 +1107,29 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         if (out[i] == out[i + 1] and out[i] in ("ADJ", "NUM")
                 and tokens[i] == tokens[i + 1]):
             out[i] = out[i + 1] = "ADV"
+    # reduplicated bare-Nom nouns are manner adverbials too (dakika
+    # dakika aktardı, kapı kapı dolaştı) — the doubling, not the noun,
+    # carries the function; a following nominal head blocks the rewrite
+    for i in range(n - 1):
+        if (
+            out[i] == out[i + 1] == "NOUN"
+            and tokens[i] == tokens[i + 1]
+            and "Pnon" in analyses[i] and "Nom" in analyses[i]
+            and "Pnon" in analyses[i + 1] and "Nom" in analyses[i + 1]
+            and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN"))
+        ):
+            out[i] = out[i + 1] = "ADV"
+    # bare "geri" directly before a verb is the directional particle
+    # (geri döndü, geri dönüştürerek, geri verdi) — the noun reading
+    # needs case or possession
+    for i in range(n - 1):
+        if (
+            out[i] == "NOUN"
+            and to_lower(tokens[i]) == "geri"
+            and "Pnon" in analyses[i] and "Nom" in analyses[i]
+            and out[i + 1] == "VERB"
+        ):
+            out[i] = "ADV"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]

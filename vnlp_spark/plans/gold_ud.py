@@ -2648,6 +2648,49 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=['nmod', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # --- blind-32 category pins (fresh tuning sentences; see
+    # BENCH.md thirty-second-split entry) ---
+    # yap-complex: the event nominal fills yap's own object slot
+    # (kaza yaptı), so the izafet subject stays nsubj
+    dict(
+        text='Yolcu otobüsü mola yerinde kaza yaptı.',
+        tokens=['Yolcu', 'otobüsü', 'mola', 'yerinde', 'kaza', 'yaptı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=['nmod', 'nsubj', 'nmod', 'obl', 'obj', 'root', 'punct'],
+    ),
+    # possessed-head izafet blocks the attributive homograph reading
+    # (dolu TANELERİ = hail stones, not "full" + noun)
+    dict(
+        text='Dolu taneleri araç camlarını kırdı.',
+        tokens=['Dolu', 'taneleri', 'araç', 'camlarını', 'kırdı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Hasta ziyaretleri kısıtlandı.',
+        tokens=['Hasta', 'ziyaretleri', 'kısıtlandı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 0, 3],
+        deprels=['nmod', 'nsubj', 'root', 'punct'],
+    ),
+    # reduplicated bare-Nom nouns are manner adverbials (adım adım)
+    dict(
+        text='Usta işi adım adım anlattı.',
+        tokens=['Usta', 'işi', 'adım', 'adım', 'anlattı', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'ADV', 'VERB', 'PUNCT'],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=['nsubj', 'obj', 'advmod', 'compound', 'root', 'punct'],
+    ),
+    # bare "geri" directly before a verb is the directional particle
+    dict(
+        text='Belediye otobüsleri geri çağırdı.',
+        tokens=['Belediye', 'otobüsleri', 'geri', 'çağırdı', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'advmod', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
