@@ -165,7 +165,11 @@ _TRANSITIVE_ROOTS = {
     "kapsa", "içer", "yayımla", "aktar", "devret", "üstlen",
     "kazandır", "kaybet", "programla", "gözlemle", "kopyala", "gizle",
     "reddet", "affet", "böl", "birleştir", "bağla", "yerleştir",
-    "taşı", "karşılaştır", "vurgulа" if False else "övgüyle",
+    "taşı", "karşılaştır",
+    # experiencer transitive: its bare event-nominal complement is the
+    # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
+    # takes Loc obliques which never reach the object rules anyway
+    "yaşa",
     # everyday physical-action transitives (the kitchen/craft class)
     "doğra", "kavur", "haşla", "dilimle", "soy", "ez", "süz", "kıy",
     "öv", "kirala", "onayla", "imzala", "yükle", "indir", "sakla",
@@ -189,7 +193,7 @@ _INTRANSITIVE_ROOTS = {
     "ol",
     "git", "gel", "koş", "ulaş", "dön", "kal", "otur", "yürü", "uç", "yağ",
     "düş", "çık", "gir", "in", "bat", "ak", "yat", "uyu", "dur", "kaç",
-    "var", "öl", "doğ", "büyü", "yaşa", "gez",
+    "var", "öl", "doğ", "büyü", "gez",
     # unaccusative change-of-state verbs: no Acc object is possible, so
     # a preverbal nominal is never their obj and a later Nom nominal is
     # the subject (trafik yoğunluğu AZALDI, fiyatlar YÜKSELDİ)
@@ -820,6 +824,23 @@ def py_parse_tokens(
             and eff_case[j + 1] in ("Dat", "Loc", "Abl")
         )
 
+    def _izafet_oblique_mod(j: int) -> bool:
+        # bare nominal feeding a POSSESSED oblique-case izafet head
+        # (rehber EŞLİĞİNDE gezdi, mahalle SAKİNLERİNE açtı): the pair
+        # is one oblique phrase — same frame as _spatial_frame_mod but
+        # for ordinary relational heads — transparent for object
+        # adjacency.  An unpossessed next nominal keeps its neighbor a
+        # subject candidate (Kitabı ÖĞRETMEN öğrencilere dağıttı).
+        return (
+            upos[j] in _NOMINAL
+            and eff_case[j] in ("Nom", "")
+            and not eff_poss[j]
+            and j + 1 < n
+            and upos[j + 1] in _NOMINAL
+            and eff_poss[j + 1]
+            and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins")
+        )
+
     def _adjacent_to_verb(i: int, v: int) -> bool:
         for j in range(i + 1, v):
             if upos[j] in _TRANSPARENT:
@@ -836,6 +857,16 @@ def py_parse_tokens(
             ):
                 continue  # adjective inside an intervening oblique
                 # phrase (soruları SAKİN BİÇİMDE yanıtladı)
+            if (
+                "Ness" in tagsets[j] and j + 1 < v
+                and upos[j + 1] in _NOMINAL
+                and not eff_poss[j + 1]
+                and eff_case[j + 1] == "Loc"
+            ):
+                continue  # attributive -lIk terrain nominal inside a
+                # locative phrase (çocuğu ORMANLIK alanda buldu)
+            if _izafet_oblique_mod(j):
+                continue
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
             if _spatial_frame_mod(j):
@@ -1023,6 +1054,15 @@ def py_parse_tokens(
                 or (upos[j] == "ADJ" and j + 1 < v
                     and upos[j + 1] in _NOMINAL
                     and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins"))
+                # attributive -lIk terrain nominal inside a locative
+                # phrase (ORMANLIK alanda)
+                or ("Ness" in tagsets[j] and j + 1 < v
+                    and upos[j + 1] in _NOMINAL
+                    and not eff_poss[j + 1]
+                    and eff_case[j + 1] == "Loc")
+                # bare modifier of a possessed oblique izafet head
+                # (rehber EŞLİĞİNDE)
+                or _izafet_oblique_mod(j)
             )
             for j in range(i + 1, v)
         )

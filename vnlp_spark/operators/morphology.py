@@ -178,11 +178,34 @@ _IRREGULAR_EXACT = {
 }
 
 
+# Lexicon gap repairs: common dictionary words the reference's 78k stem
+# list lacks (or lists under only one PoS).  'çıkar' is the lexicalized
+# -Ar causative of çık- (a closed class the productive Caus machinery
+# does not derive: çıkarıyor/çıkaracak were Unknown without it); the
+# nominals are high-frequency lexicalized derivations whose citation
+# forms never appear in the flag list.  Kept deliberately tiny — the
+# productive fallback covers ordinary OOV; this is for words whose
+# ABSENCE breaks disambiguation of their inflected forms.
+_STEM_PATCH: dict = {
+    "çıkar": ["Verb"],     # çıkarmak 'take out / release / publish'
+    "atama": ["Noun"],     # 'appointment (to a post)'
+    "eşlik": ["Noun"],     # 'accompaniment' (eşliğinde frames)
+}
+
+
+@lru_cache(maxsize=1)
+def _patched_stem_dict() -> dict:
+    out = dict(resources.stem_dict())
+    for stem, tags in _STEM_PATCH.items():
+        out[stem] = sorted(set(tags) | set(out.get(stem, [])))
+    return out
+
+
 class CandidateGenerator:
     """Rule engine producing (root, suffix, tags) candidates per token."""
 
     def __init__(self, stem_dic=None, suffix_dic=None, exact_table=None):
-        self.stem_dic = stem_dic if stem_dic is not None else resources.stem_dict()
+        self.stem_dic = stem_dic if stem_dic is not None else _patched_stem_dict()
         self.suffix_dic = suffix_dic if suffix_dic is not None else resources.suffix_dict()
         self.exact = exact_table if exact_table is not None else resources.exact_lookup()
         for k, v in _IRREGULAR_EXACT.items():
@@ -227,16 +250,25 @@ class CandidateGenerator:
             and _STARTS_VOWEL.match(suffix or "")
         ):
             first = to_lower(suffix[0])
+            dropped: list = []
             if first in "uüıi":
-                roots.append(stem[:-1] + first + stem[-1])
-                suffixes.append(suffix)
+                dropped.append(stem[:-1] + first + stem[-1])
             elif first == "e":
                 for v in ("i", "ü"):
-                    roots.append(stem[:-1] + v + stem[-1])
-                    suffixes.append(suffix)
+                    dropped.append(stem[:-1] + v + stem[-1])
             elif first == "a":
                 for v in ("ı", "u"):
-                    roots.append(stem[:-1] + v + stem[-1])
+                    dropped.append(stem[:-1] + v + stem[-1])
+            for cand in dropped:
+                roots.append(cand)
+                suffixes.append(suffix)
+                # drop + voicing combine in one stem class: kayb+ı has
+                # BOTH the dropped high vowel restored AND the final
+                # obstruent voiced (kayıp -> kaybı, the ağız->ağzı
+                # pattern with a kitap->kitabı final) — harden the
+                # restored form too so the citation stem is reachable
+                if cand[-1] in _SOFTEN:
+                    roots.append(cand[:-1] + _SOFTEN[cand[-1]])
                     suffixes.append(suffix)
         # final soft-consonant hardening: kitab -> kitap
         if len(stem) > 2 and _ENDS_SOFT.search(stem):
@@ -340,7 +372,7 @@ class HeuristicDisambiguator:
 
     def __init__(self):
         self.known = resources.known_words()
-        self.stems = resources.stem_dict()
+        self.stems = _patched_stem_dict()
         # typed NER gazetteer doubles as a proper-noun prior: a sentence-
         # initial capitalized token has no positional Prop signal, but a
         # gazetteer hit (Ali, Murat, İzmir) disambiguates name-vs-common-
@@ -369,6 +401,7 @@ class HeuristicDisambiguator:
         has_adj_whole_rival: bool = False,
         has_seg_rival_nonp1: bool = True,
         has_any_rival: bool = False,
+        has_acc_rival: bool = False,
     ) -> float:
         if tags == "Unknown" or tags == ["Unknown"]:
             return -1000.0
@@ -473,6 +506,13 @@ class HeuristicDisambiguator:
                 # same way a bare nominal does (rüzgar santrali KURMAYI
                 # planlıyor)
                 and prev_case in ("Nom", "NomP")
+                # the frame's verbal noun is UNPOSSESSED (ödemeyi,
+                # kurmayı): a possessed -mA plural after a bare-Nom is
+                # the izafet compound instead (öğretmen ATAMALARINI
+                # erteledi = atama the noun; a verbal reading with a
+                # possessor needs a genitive subject, not bare-Nom)
+                and not tag_set & {"P3sg", "P3pl", "P1sg", "P1pl",
+                                   "P2sg", "P2pl"}
             ):
                 # must outweigh the lexicalized noun's whole-word margin
                 # (stem-length + known-word edge ~12)
@@ -670,6 +710,22 @@ class HeuristicDisambiguator:
             # strong enough to override both the whole-word-rival demotion
             # (-5) and the citation-adjective bonus (+4)
             s += 8.0
+        # possessed-Nom izafet needs a possessor on its LEFT (a bare-Nom
+        # noun, a possessed-Nom chain head, or a genitive).  After a
+        # case-less word (adjective, determiner, adverb, clause start)
+        # the P3sg+Nom reading of an accusative-homograph surface is
+        # unlicensed and the object reading wins: antik KENTİ gezdi,
+        # kayıp ÇOCUĞU buldu — vs kar YAĞIŞI with its bare-Nom possessor,
+        # which keeps the izafet reading via prev_case == "Nom".
+        if (
+            first == "Noun"
+            and "P3sg" in tag_set
+            and "Nom" in tag_set
+            and "DB" not in tag_set
+            and has_acc_rival
+            and prev_case not in ("Nom", "NomP", "Gen")
+        ):
+            s -= 2.5
         # nominal priors: unmarked possessive > P3sg > other
         if "Pnon" in tag_set:
             s += 4.0
@@ -802,6 +858,17 @@ class HeuristicDisambiguator:
             and tags[0] == "Adj" and self._in_stems(root)
             for root, sfx, tags in cands
         )
+        # a plain accusative reading of a dictionary stem (kent+i, çocuğ+u)
+        # rivals the P3sg+Nom izafet reading of the same surface — the
+        # consonant-final homograph class where -(s)I possessive and -(y)I
+        # accusative coincide
+        has_acc_rival = any(
+            sfx and not isinstance(tags, str) and tags
+            and tags[0] == "Noun" and "DB" not in tags
+            and "Acc" in tags and "Pnon" in tags
+            and self._in_stems(root)
+            for root, sfx, tags in cands
+        )
         best, best_score = 0, float("-inf")
         for ci, (root, suffix, tags) in enumerate(cands):
             sc = self.score(
@@ -820,6 +887,7 @@ class HeuristicDisambiguator:
                 has_adj_whole_rival,
                 has_seg_rival_nonp1,
                 has_any_rival=len(cands) > 1,
+                has_acc_rival=has_acc_rival,
             )
             # tie-break WITHIN nominal readings: prefer the longer root
             # (inflection over derivation — ağaç+P3sg over ağa+Agt), the
@@ -1043,6 +1111,29 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
             # possessed-Nom is its own context class: it heads izafet
             # chains rather than feeding them (ekibi TARİHİ konağı ...)
             prev_case = "NomP"
+    # LVC-nominal repair (needs RIGHT context the per-token pass lacks):
+    # a chosen finite-verb reading directly before a light-verb finite
+    # (tahliyesine KARAR verdi = karar the noun + ver-, never kar+Aor +
+    # ver-: Turkish finite verbs do not stack) flips back to the token's
+    # whole-word noun reading when the lexicon has one.  Scoped to the
+    # light-verb family so -Ar -mAz reduplication converbs stay finite
+    # (çıkar çıkmaz).
+    gen, _dis = _engine()
+    for idx in range(len(out) - 1):
+        tags_i = set(_TAG_SEP.split(out[idx]))
+        if "Verb" not in tags_i or not tags_i & {"Aor", "Past", "Prog1",
+                                                 "Fut", "Narr"}:
+            continue
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if "Verb" not in nxt or nxt[0] not in ("ver", "et", "yap", "ol",
+                                               "al", "kıl", "bulun"):
+            continue
+        if not {"Aor", "Past", "Prog1", "Fut", "Narr", "Imp"} & set(nxt):
+            continue
+        low = to_lower(tokens[idx])
+        if low != out[idx].split("+", 1)[0] and "Noun" in gen.stem_dic.get(
+                low, ()):
+            out[idx] = low + "+Noun+A3sg+Pnon+Nom"
     return out
 
 

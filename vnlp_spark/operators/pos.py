@@ -24,6 +24,14 @@ from pyspark.sql.types import ArrayType, StringType
 
 from .morphology import py_analyze_tokens
 
+# lexicalized terrain/ground -lIk ADJECTIVES (dictionary adjectives, not
+# productive abstract -lIk nouns like işsizlik/kuraklık): attributive
+# before an unpossessed nominal (ormanlık ALANDA, kayalık BÖLGEDE)
+_TERRAIN_LIK_ADJS = {
+    "ormanlık", "kayalık", "çamlık", "sazlık", "kumluk", "taşlık",
+    "çalılık", "ağaçlık", "fundalık", "makilik", "bataklık", "yeşillik",
+}
+
 _MORPH_TO_UPOS = {
     "Noun": "NOUN",
     "Adj": "ADJ",
@@ -494,6 +502,20 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         elif low == "hiç":
             out[i] = "ADV"
         elif (
+            low in _TERRAIN_LIK_ADJS
+            and out[i] == "NOUN"
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and not ("P3sg" in analyses[i + 1] or "P3pl" in analyses[i + 1])
+        ):
+            # lexicalized terrain/ground -lIk adjectives: before an
+            # UNPOSSESSED nominal they are attributive (ORMANLIK alanda,
+            # KAYALIK bölgede); a possessed next nominal keeps the noun
+            # as izafet modifier, and abstract -lIk nouns (işsizlik,
+            # kuraklık) are not in the closed class so subject uses are
+            # untouched
+            out[i] = "ADJ"
+        elif (
             low in ("neden", "niçin", "niye", "nasıl")
             and out[i] in ("NOUN", "ADJ")
             and any(t == "?" for t in tokens[i + 1:])
@@ -667,6 +689,22 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and not (i + 1 < n and out[i + 1] in ("ADJ", "DET", "NUM")
                      or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
                          and _case_of(analyses[i + 1]) in ("Nom", "")))
+            # before a CASE-MARKED noun the -lI word is attributive when
+            # the clause subject is already filled to its left
+            # (Teknisyenler ARIZALI hattı onardı); with no earlier
+            # subject candidate it is the zero-derived subject itself
+            # (MAHALLELİ yolu kapattı)
+            and not (
+                i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
+                and _case_of(analyses[i + 1]) not in ("Nom", "")
+                and any(
+                    out[j] in ("NOUN", "PROPN", "PRON")
+                    and _case_of(analyses[j]) in ("Nom", "")
+                    and analyses[j].split("+", 1)[0]
+                    not in _TEMPORAL_ROOTS_POS
+                    for j in range(0, i)
+                )
+            )
             and not all(out[j] == "PUNCT" for j in range(i + 1, n))
             and not (i + 1 < n
                      and (out[i + 1] == "VERB"

@@ -2691,6 +2691,73 @@ UD_GOLD: List[dict] = [
         heads=[4, 4, 4, 0, 4],
         deprels=['nsubj', 'obj', 'advmod', 'root', 'punct'],
     ),
+    # --- round-4 probe pins: Acc/P3sg homograph after a case-less word
+    # (no izafet possessor -> accusative object), with an izafet-oblique
+    # phrase intervening (rehber eşliğinde)
+    dict(
+        text='Turistler antik kenti rehber eşliğinde gezdi.',
+        tokens=['Turistler', 'antik', 'kenti', 'rehber', 'eşliğinde',
+                'gezdi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=['nsubj', 'amod', 'obj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # terrain -lIk adjective inside a locative phrase (ormanlık alanda)
+    dict(
+        text='Polis kayıp çocuğu ormanlık alanda buldu.',
+        tokens=['Polis', 'kayıp', 'çocuğu', 'ormanlık', 'alanda',
+                'buldu', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=['nsubj', 'amod', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # possessed-plural -mA after a bare noun is the izafet compound
+    # (öğretmen atamaları), not a verbal Inf2 clause
+    dict(
+        text='Bakanlık öğretmen atamalarını eylül ayına erteledi.',
+        tokens=['Bakanlık', 'öğretmen', 'atamalarını', 'eylül', 'ayına',
+                'erteledi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=['nsubj', 'nmod', 'obj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # drop+voicing stem (kayıp -> kaybı) as experiencer-verb object
+    dict(
+        text='Çiftçiler kuraklık nedeniyle ürün kaybı yaşadı.',
+        tokens=['Çiftçiler', 'kuraklık', 'nedeniyle', 'ürün', 'kaybı',
+                'yaşadı', '.'],
+        upos=['NOUN', 'NOUN', 'ADP', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 6, 2, 5, 6, 0, 6],
+        deprels=['nsubj', 'obl', 'case', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # LVC nominal stays the noun before ver- (karar verdi), per the
+    # frozen light-verb obj convention
+    dict(
+        text='Mahkeme sanığın tahliyesine karar verdi.',
+        tokens=['Mahkeme', 'sanığın', 'tahliyesine', 'karar', 'verdi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obl', 'obj', 'root', 'punct'],
+    ),
+    # attributive -lI before a case-marked noun with the subject filled
+    dict(
+        text='Teknisyenler arızalı hattı gece boyunca onardı.',
+        tokens=['Teknisyenler', 'arızalı', 'hattı', 'gece', 'boyunca',
+                'onardı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'ADP', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 6, 4, 0, 6],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'case', 'root', 'punct'],
+    ),
+    # lexicalized -Ar causative as a dictionary verb (çıkar- Fut)
+    dict(
+        text='Sanatçı yeni albümünü gelecek ay çıkaracak.',
+        tokens=['Sanatçı', 'yeni', 'albümünü', 'gelecek', 'ay',
+                'çıkaracak', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=['nsubj', 'amod', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
