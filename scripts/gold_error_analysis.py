@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind32" in sys.argv:
+    if "--blind33" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind33 import BLIND33 as entries
+    elif "--blind32" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind32 import BLIND32 as entries
     elif "--blind31" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind31 import BLIND31 as entries

@@ -50,6 +50,7 @@ SPLITS = [
     ("blind30", "vnlp_spark.plans.gold_ud_blind30", "BLIND30"),
     ("blind31", "vnlp_spark.plans.gold_ud_blind31", "BLIND31"),
     ("blind32", "vnlp_spark.plans.gold_ud_blind32", "BLIND32"),
+    ("blind33", "vnlp_spark.plans.gold_ud_blind33", "BLIND33"),
 ]
 
 
