@@ -51,6 +51,7 @@ SPLITS = [
     ("blind31", "vnlp_spark.plans.gold_ud_blind31", "BLIND31"),
     ("blind32", "vnlp_spark.plans.gold_ud_blind32", "BLIND32"),
     ("blind33", "vnlp_spark.plans.gold_ud_blind33", "BLIND33"),
+    ("blind34", "vnlp_spark.plans.gold_ud_blind34", "BLIND34"),
 ]
 
 
