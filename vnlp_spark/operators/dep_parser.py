@@ -130,6 +130,7 @@ _CONVERB_TAGS = {"When", "AfterDoingSo", "ByDoingSo", "While", "AsLongAs",
 # Orhan -> flat); they are never themselves proper nouns.  Shared with the
 # disambiguator's whole-word title prior (morphology.TITLE_ROLES).
 from .morphology import SPATIAL_ROOTS as _SPATIAL_ROOTS
+from .morphology import _PL_IZAFET_HEADS
 from .morphology import TITLE_ROLES as _TITLES
 
 # transitive verb roots: used ONLY to resolve the Acc / P3sg+Nom surface
@@ -200,7 +201,19 @@ _INTRANSITIVE_ROOTS = {
     "azal", "art", "yüksel", "çoğal", "ısın", "soğu", "daral",
     "genişle", "hızlan", "yavaşla", "ucuzla", "zayıfla", "güçlen",
     "yaygınlaş",
+    # completion / phase / state-change members of the same class:
+    # none can take an Acc object (YARIŞ bittikten sonra — the
+    # preverbal Nom is the subject, never an incorporated object)
+    "bit", "başla", "sön", "eri", "kuru", "çürü", "gecik", "uyan",
+    "doy",
 }
+
+# verbs with a conventionalized INTRANSITIVE weather/celestial sense
+# next to a weather-noun subject (güneş AÇINCA, hava AÇTI, gün DOĞDU),
+# even though the same root is transitive elsewhere (kapıyı açtı)
+_WEATHER_INTRANS_VERBS = {"aç", "kapa", "boz", "tut"}
+_WEATHER_NOUNS = {"hava", "güneş", "gök", "gökyüzü", "gün", "ay",
+                  "yıldız", "sis", "kar", "yağmur", "fırtına", "ayaz"}
 
 # light-verb nominals whose et-complex is INTRANSITIVE (istifa etti,
 # şikayet etti take no Acc object; their complements are Dat/Abl
@@ -996,7 +1009,10 @@ def py_parse_tokens(
             and upos[i - 1] in ("NOUN", "PROPN")
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
-            and "A3pl" not in tagsets[i - 1]
+            # a plural modifier licenses izafet only for the closed
+            # institutional-head class (Bakanlar KURULU görüştü)
+            and ("A3pl" not in tagsets[i - 1]
+                 or roots_of[i] in _PL_IZAFET_HEADS)
             and not (roots_of[i - 1] in _TEMPORAL_ROOTS
                      and i > 1 and upos[i - 2] == "DET")
             # the name of a title run is not a compound modifier
@@ -1129,6 +1145,25 @@ def py_parse_tokens(
                 # it objectless, so the fronted-object reading wins even
                 # across an adjunct phrase (Takım ANTRENMANI yağmur
                 # nedeniyle iptal etti)
+                eff_case[i], eff_poss[i] = "Acc", False
+            elif (
+                transitive_v
+                and not prev_bare_mod
+                and not obj_later
+                and any(
+                    upos[j] in ("PROPN", "PRON")
+                    or (upos[j] in _NOMINAL
+                        and eff_case[j] in ("Nom", "")
+                        and not eff_poss[j]
+                        and roots_of[j] not in _TEMPORAL_ROOTS)
+                    for j in range(cl_start, i)
+                )
+            ):
+                # no bare-singular modifier on the left to license
+                # izafet, the subject slot already claimed further left,
+                # and a transitive predicate waiting for its object: the
+                # Acc reading wins (Organizatörler ETKİNLİĞİ kötü hava
+                # koşulları yüzünden erteledi)
                 eff_case[i], eff_poss[i] = "Acc", False
             else:
                 eff_case[i], eff_poss[i] = "Nom", True
@@ -1353,9 +1388,18 @@ def py_parse_tokens(
                  or any(upos[j] in ("NOUN", "PROPN", "PRON")
                         for j in range(i)))
             and not (nom + 2 < n
-                     and (upos[nom + 2] == "ADP"
-                          or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
-                              and _case_of(analyses[nom + 1]) == "Abl")))
+                     and (
+                         # an ADP blocks the walk only onto a RELATIONAL
+                         # target (hafta SONUNA kadar, oda İÇİNE doğru):
+                         # an ordinary possessed head before a
+                         # grammaticalized ADP still takes the adnominal
+                         # (kötü hava KOŞULLARI yüzünden)
+                         (upos[nom + 2] == "ADP"
+                          and (roots_of[nom + 1] in _SPATIAL_ROOTS
+                               or roots_of[nom + 1] in _TEMPORAL_ROOTS
+                               or roots_of[nom + 1] == "son"))
+                         or (to_lower(tokens[nom + 2]) in _DEGREE_ADVS
+                             and _case_of(analyses[nom + 1]) == "Abl")))
         ):
             nom += 1
         return nom
@@ -1838,6 +1882,9 @@ def py_parse_tokens(
                 # mühendisler TARAFINDAN inşa edildi); elsewhere a bare
                 # plural is a clause argument, not a compound modifier
                 and ("A3pl" not in tagsets[i]
+                     # ... and inside the institutional izafet class
+                     # (Bakanlar KURULU, öğretmenler ODASI)
+                     or roots_of[i + 1] in _PL_IZAFET_HEADS
                      or (roots_of[i + 1] in _SPATIAL_ROOTS
                          and eff_case[i + 1] in ("Dat", "Loc", "Abl"))
                      or (roots_of[i + 1] == "taraf"
@@ -2100,10 +2147,20 @@ def py_parse_tokens(
                         subjish is not None
                         and vt != p
                         and upos[vt] == "VERB"
-                        and converb[vt]
+                        and (converb[vt]
+                             # the -DIktAn sonra/önce temporal frame is a
+                             # subject-hosting adverbial clause the same
+                             # way (YARIŞ bittikten sonra ...)
+                             or ("PastPart" in tagsets[vt]
+                                 and _case_of(analyses[vt]) == "Abl"
+                                 and vt + 1 < n
+                                 and to_lower(tokens[vt + 1])
+                                 in ("sonra", "önce")))
                         and ((roots_of[vt] in _INTRANSITIVE_ROOTS
                               and "Caus" not in tagsets[vt])
-                             or "Pass" in tagsets[vt])
+                             or "Pass" in tagsets[vt]
+                             or (roots_of[vt] in _WEATHER_INTRANS_VERBS
+                                 and roots_of[i] in _WEATHER_NOUNS))
                     ):
                         # an INTRANSITIVE or PASSIVE converb cannot take
                         # the bare nominal as object: it is the converb's
@@ -2119,6 +2176,13 @@ def py_parse_tokens(
                         vt == p
                         and ((roots_of[vt] not in _TRANSITIVE_ROOTS
                               and "Caus" not in tagsets[vt])
+                             # a weather noun before an otherwise
+                             # transitive verb with an intransitive
+                             # weather sense is its subject (GÜNEŞ
+                             # açınca, HAVA açtı)
+                             or (roots_of[vt] in _WEATHER_INTRANS_VERBS
+                                 and roots_of[i] in _WEATHER_NOUNS
+                                 and "Caus" not in tagsets[vt])
                              # an INTRANSITIVE light-verb complex cannot
                              # take the bare nominal as object either
                              # (festival DEVAM etti -> festival subject)
@@ -2144,6 +2208,34 @@ def py_parse_tokens(
                         subj_of[p] = i
                     else:
                         heads[i], rels[i] = vt + 1, "obj"
+                elif (
+                    converb[p] and tagsets[p] & {"When", "AsLongAs"}
+                    and any(
+                        upos[j] in _NOMINAL
+                        and eff_case[j] in ("Nom", "")
+                        and not eff_poss[j]
+                        and roots_of[j] not in _TEMPORAL_ROOTS
+                        for j in range(i + 1, p)
+                    )
+                    and (mp := next((pp for pp in preds if pp > p),
+                                    None)) is not None
+                    and mp not in subj_of
+                    and not any(
+                        upos[j] in ("PROPN", "PRON")
+                        or (upos[j] in _NOMINAL
+                            and eff_case[j] in ("Nom", "")
+                            and roots_of[j] not in _TEMPORAL_ROOTS)
+                        for j in range(p + 1, mp)
+                    )
+                ):
+                    # TWO bare nominals before an own-subject converb
+                    # with a subjectless matrix: the nominal adjacent to
+                    # the converb is the converb's own argument (subject
+                    # or object by its transitivity), and the
+                    # clause-initial one is the MATRIX subject
+                    # (TURİSTLER güneş açınca plaja indi)
+                    heads[i], rels[i] = mp + 1, "nsubj"
+                    subj_of[mp] = i
                 else:
                     heads[i], rels[i] = p + 1, "nsubj"
                     subj_of[p] = i

@@ -115,6 +115,17 @@ SPATIAL_ROOTS = {
     "üzeri", "üzer", "karşı", "çevre",
 }
 
+# izafet heads whose possessor is conventionally a bare PLURAL noun —
+# the closed institutional class (Bakanlar KURULU, öğretmenler ODASI,
+# Milletler CEMİYETİ, işçiler SENDİKASI).  Outside this class a plural
+# bare-Nom next to an Acc/P3sg homograph is a subject next to an
+# object (Organizatörler ETKİNLİĞİ erteledi), not an izafet possessor.
+_PL_IZAFET_HEADS = {
+    "kurul", "oda", "cemiyet", "sendika", "birlik", "meclis", "derneğ",
+    "dernek", "federasyon", "konfederasyon", "topluluk", "topluluğ",
+    "ligi", "lig",
+}
+
 
 # Turkish lowering differs from str.lower() only on dotted/dotless I;
 # the other uppercase letters lower correctly via unicode.  One
@@ -505,7 +516,7 @@ class HeuristicDisambiguator:
                 # a possessed-Nom izafet group licenses the frame the
                 # same way a bare nominal does (rüzgar santrali KURMAYI
                 # planlıyor)
-                and prev_case in ("Nom", "NomP")
+                and prev_case in ("Nom", "NomP", "NomPl")
                 # the frame's verbal noun is UNPOSSESSED (ödemeyi,
                 # kurmayı): a possessed -mA plural after a bare-Nom is
                 # the izafet compound instead (öğretmen ATAMALARINI
@@ -592,7 +603,8 @@ class HeuristicDisambiguator:
                 # dative governors also take bare-Nom complements in the
                 # equative use (okul KADAR kalabalık, çocuk GİBİ) — only
                 # a non-Nom mismatched case kills the reading
-                s += 6.0 if prev_case in ("Dat", "Nom", "NomP") else -6.0
+                s += 6.0 if prev_case in ("Dat", "Nom", "NomP",
+                                          "NomPl") else -6.0
             else:
                 s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
@@ -700,7 +712,7 @@ class HeuristicDisambiguator:
             first == "Noun"
             and suffix
             and "P3sg" in tag_set
-            and prev_case == "Nom"
+            and prev_case in ("Nom", "NomPl")
             and has_adj_whole_rival
             # the loan-î homograph class (merkez+i/merkezî, tarih+i/
             # tarihî, asker+i/askerî) has substantial noun stems; short
@@ -718,12 +730,25 @@ class HeuristicDisambiguator:
         # kayıp ÇOCUĞU buldu — vs kar YAĞIŞI with its bare-Nom possessor,
         # which keeps the izafet reading via prev_case == "Nom".
         if (
-            first == "Noun"
+            # derived P3sg+Nom twins (etkin+Ness+P3sg+Nom, first tag
+            # Adj) join the class alongside plain stems: whenever an
+            # Acc rival of the same surface exists, the izafet reading
+            # needs its left possessor regardless of derivation depth
+            (first == "Noun"
+             or ("DB" in tag_set and "Noun" in tag_set))
             and "P3sg" in tag_set
             and "Nom" in tag_set
-            and "DB" not in tag_set
             and has_acc_rival
-            and prev_case not in ("Nom", "NomP", "Gen")
+            and (
+                prev_case not in ("Nom", "NomP", "Gen", "NomPl")
+                # a PLURAL bare-Nom licenses izafet only for the closed
+                # institutional-head class (Bakanlar KURULU, öğretmenler
+                # ODASI); an open-class plural (Organizatörler
+                # ETKİNLİĞİ erteledi) is a subject next to an object,
+                # so the Acc reading wins
+                or (prev_case == "NomPl"
+                    and root not in _PL_IZAFET_HEADS)
+            )
         ):
             s -= 2.5
         # nominal priors: unmarked possessive > P3sg > other
@@ -867,6 +892,21 @@ class HeuristicDisambiguator:
             and tags[0] == "Noun" and "DB" not in tags
             and "Acc" in tags and "Pnon" in tags
             and self._in_stems(root)
+            for root, sfx, tags in cands
+        ) or any(
+            # the same rivalry holds between DERIVED twins of one root:
+            # etkin+Ness+P3sg+Nom ('its etkinlik') vs etkin+Ness+Pnon+Acc
+            # — the -(s)I/-(y)I homograph carries over to -lIk/-mA
+            # nominalizations wholesale
+            sfx and not isinstance(tags, str) and tags
+            and "DB" in tags and "Acc" in tags and "Pnon" in tags
+            and tags[-3:] == ["A3sg", "Pnon", "Acc"]
+            and self._in_stems(root)
+            and any(
+                r2 == root and s2 == sfx and not isinstance(t2, str)
+                and t2 and "P3sg" in t2 and "Nom" in t2
+                for r2, s2, t2 in cands
+            )
             for root, sfx, tags in cands
         )
         best, best_score = 0, float("-inf")
@@ -1111,6 +1151,11 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
             # possessed-Nom is its own context class: it heads izafet
             # chains rather than feeding them (ekibi TARİHİ konağı ...)
             prev_case = "NomP"
+        elif prev_case == "Nom" and "A3pl" in tags and "Pnon" in tags:
+            # a PLURAL bare-Nom is its own class too: it licenses izafet
+            # only for institutional heads (Bakanlar Kurulu), not the
+            # open class — see the P3sg+Nom demotion in score()
+            prev_case = "NomPl"
     # LVC-nominal repair (needs RIGHT context the per-token pass lacks):
     # a chosen finite-verb reading directly before a light-verb finite
     # (tahliyesine KARAR verdi = karar the noun + ver-, never kar+Aor +

@@ -748,6 +748,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # need possessed heads, so the homograph stays the noun
             and not _is_possessed(tokens[i + 1], analyses[i + 1])
             and not (i + 2 < n and out[i + 2] in ("NOUN", "PROPN")
+                     # a grammaticalized postposition surface is no
+                     # nominal-chain member — it will be rewritten ADP
+                     # over the host, which keeps the homograph
+                     # attributive (KAÇAK avlanma nedeniyle)
+                     and to_lower(tokens[i + 2]) not in _GRAMMAT_ADPS
                      and (_case_of(analyses[i + 2]) in ("Nom", "")
                           or _is_possessed(tokens[i + 2], analyses[i + 2]))
                      # ... unless that third nominal is a light-verb

@@ -2758,6 +2758,69 @@ UD_GOLD: List[dict] = [
         heads=[6, 3, 6, 5, 6, 0, 6],
         deprels=['nsubj', 'amod', 'obj', 'amod', 'obl', 'root', 'punct'],
     ),
+    # ---- blind-34 miss categories, pinned with fresh lexemes -----------
+    # open-class plural is a subject, not an izafet possessor: the Acc
+    # homograph after it is the object
+    dict(
+        text='Öğretmenler sınavı ileri bir tarihe erteledi.',
+        tokens=['Öğretmenler', 'sınavı', 'ileri', 'bir', 'tarihe',
+                'erteledi', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'DET', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 6, 5, 5, 6, 0, 6],
+        deprels=['nsubj', 'obj', 'amod', 'det', 'obl', 'root', 'punct'],
+    ),
+    # ... while the closed institutional class keeps the plural izafet
+    dict(
+        text='Bakanlar kurulu ekonomik önlemleri görüştü.',
+        tokens=['Bakanlar', 'kurulu', 'ekonomik', 'önlemleri',
+                'görüştü', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    # completion-class unaccusative hosts its -DIktAn sonra subject
+    dict(
+        text='Konser bittikten sonra kalabalık dağıldı.',
+        tokens=['Konser', 'bittikten', 'sonra', 'kalabalık', 'dağıldı',
+                '.'],
+        upos=['NOUN', 'VERB', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=['nsubj', 'advcl', 'case', 'nsubj', 'root', 'punct'],
+    ),
+    # weather-intransitive aç with a two-nominal converb clause: the
+    # adjacent weather noun is the converb's subject, the clause-initial
+    # plural the matrix subject
+    dict(
+        text='Yolcular hava açınca güverteye çıktı.',
+        tokens=['Yolcular', 'hava', 'açınca', 'güverteye', 'çıktı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nsubj', 'advcl', 'obl', 'root', 'punct'],
+    ),
+    # noun/adjective homograph stays attributive before a deverbal host
+    # governed by a grammaticalized ADP
+    dict(
+        text='Kaçak kullanım nedeniyle elektrik kesintileri arttı.',
+        tokens=['Kaçak', 'kullanım', 'nedeniyle', 'elektrik',
+                'kesintileri', 'arttı', '.'],
+        upos=['ADJ', 'NOUN', 'ADP', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 2, 5, 6, 0, 6],
+        deprels=['amod', 'obl', 'case', 'nmod', 'nsubj', 'root',
+                 'punct'],
+    ),
+    # amod lands on the izafet compound HEAD even under a following
+    # grammaticalized ADP
+    dict(
+        text='Ekipler şiddetli kar yağışı yüzünden yola çıkamadı.',
+        tokens=['Ekipler', 'şiddetli', 'kar', 'yağışı', 'yüzünden',
+                'yola', 'çıkamadı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'ADP', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[7, 4, 4, 7, 4, 7, 0, 7],
+        deprels=['nsubj', 'amod', 'nmod', 'obl', 'case', 'obl', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
