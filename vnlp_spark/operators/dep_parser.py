@@ -730,6 +730,10 @@ def py_parse_tokens(
             and analyses[i].endswith("+Adj")
             and "p3nom" in _readings(tokens[i])
             and to_lower(tokens[i]) not in _CORE_ADJS
+            # the asker/resim/din loan-î trio reads attributive before a
+            # nominal (resmi RAKAMLARI açıkladı) — adjust_upos's mirror
+            # carries the same exclusion
+            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini")
             and upos[i - 1] == "NOUN"
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
@@ -1098,7 +1102,22 @@ def py_parse_tokens(
             and not (j + 1 < n and upos[j + 1] == "ADP")
             for j in range(cl_start, i - 1)
         )
-        if prev_bare_mod and (
+        if (
+            i + 2 < n
+            and upos[i + 1] == "CCONJ"
+            and to_lower(tokens[i + 1]) in ("ve", "veya", "ya")
+            and upos[i + 2] in _NOMINAL
+            and _case_of(analyses[i + 2]) == "Acc"
+            and transitive_v
+            and "Pass" not in tagsets[v]
+        ):
+            # an ambiguous nominal coordinated with an overt/resolved
+            # Acc conjunct shares its case: both are the transitive
+            # verb's objects (Belediye PARKLARI ve yolları yeniledi);
+            # the izafet-subject reading would leave the verb objectless
+            # while claiming only half the coordination
+            eff_case[i], eff_poss[i] = "Acc", False
+        elif prev_bare_mod and (
             not transitive_v
             or obj_later
             or (not strict_adj and not obligate_v)
@@ -1590,6 +1609,17 @@ def py_parse_tokens(
         p = next_pred(i)
         v = next_verbish(i)
         vt = v if v is not None else p  # local attachment for obj/obl
+        if (
+            to_lower(tokens[i]) == "yüzde"
+            and i + 2 < n and upos[i + 1] == "NUM"
+            and upos[i + 2] in ("NOUN", "PROPN")
+        ):
+            # adnominal percentage: yüzde+NUM before a nominal modifies
+            # that nominal (yüzde beş ARTIŞ bekleniyor); directly before
+            # the verb the frame stays the clause-level measure oblique
+            # (yüzde on arttı)
+            heads[i], rels[i] = i + 3, "nmod"
+            continue
         case = eff_case[i]
         low_root = roots_of[i]
         prev_upos = upos[i - 1] if i > 0 else ""
@@ -2013,6 +2043,35 @@ def py_parse_tokens(
                 # a bare time noun DIRECTLY before a subject-hosting
                 # converb is that converb's subject (GÜN ilerledikçe)
                 heads[i], rels[i] = v + 1, "nsubj"
+            elif (
+                low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN"
+                and eff_case[i] in ("Nom", "")
+                and not eff_poss[i]
+                # only the SENTENCE-initial time noun can be the subject
+                # (a mid-sentence or second-conjunct bare time noun is a
+                # shared-subject clause's adjunct: ... ,AKŞAM köye
+                # ulaştı), and frequency nouns never are (üç KERE
+                # dinledi)
+                and not any(upos[k] != "PUNCT" for k in range(i))
+                and low_root not in ("kez", "kere", "defa", "sefer")
+                and p not in subj_of
+                and not verb_person_12(p)
+                and upos[p] == "VERB"
+                and not any(
+                    upos[j] in ("PROPN", "PRON")
+                    or (upos[j] in _NOMINAL
+                        and eff_case[j] in ("Nom", "")
+                        and roots_of[j] not in _TEMPORAL_ROOTS)
+                    for j in range(i + 1, p)
+                )
+            ):
+                # a clause-initial bare time noun that is the clause's
+                # ONLY subject candidate is the subject, not a time
+                # adjunct (HAFTA yoğun geçti, SEZON erken bitti, GÜN
+                # erken başladı); with any other nominal candidate the
+                # adjunct reading stands (SABAH toplantı yapıldı)
+                heads[i], rels[i] = p + 1, "nsubj"
+                subj_of[p] = i
             elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
                 # a bare time noun inside a subordinate clause modifies
                 # THAT clause, not the matrix predicate (enflasyonun

@@ -120,6 +120,13 @@ SPATIAL_ROOTS = {
 # Milletler CEMİYETİ, işçiler SENDİKASI).  Outside this class a plural
 # bare-Nom next to an Acc/P3sg homograph is a subject next to an
 # object (Organizatörler ETKİNLİĞİ erteledi), not an izafet possessor.
+# loan-î citation adjectives whose surface doubles as a true Acc/P3sg
+# segmentation of a dictionary noun (merkez+i/merkezî, tarih+i/tarihî,
+# asker+i, resim+i, din+i, ilim+i): the only adjective class where an
+# "Adj before finite verb" configuration hides an accusative object
+_LOAN_I_ACC_ADJS = {"merkezi", "tarihi", "askeri", "resmi", "dini",
+                    "ilmi"}
+
 _PL_IZAFET_HEADS = {
     "kurul", "oda", "cemiyet", "sendika", "birlik", "meclis", "derneğ",
     "dernek", "federasyon", "konfederasyon", "topluluk", "topluluğ",
@@ -1179,6 +1186,88 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
         if low != out[idx].split("+", 1)[0] and "Noun" in gen.stem_dic.get(
                 low, ()):
             out[idx] = low + "+Noun+A3sg+Pnon+Nom"
+    # the same repair for the frozen son-LVC frames: the Adj reading of
+    # "son" directly before ver-/bul- finite is the lexicalized event
+    # nominal (çalışmaya SON verdi, tartışma SON buldu), never the
+    # adjective 'last' (which needs a nominal host)
+    for idx in range(len(out) - 1):
+        if out[idx] != "son+Adj":
+            continue
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if ("Verb" in nxt and nxt[0] in ("ver", "bul")
+                and {"Aor", "Past", "Prog1", "Fut", "Narr",
+                     "Imp"} & set(nxt)):
+            out[idx] = "son+Noun+A3sg+Pnon+Nom"
+    # a loan-î citation adjective directly before a plain finite verb is
+    # the Acc-object segmentation when the clause already has a subject
+    # (Yetkililer MERKEZİ kapattı; Rehber TARİHİ anlatıyor): an
+    # adjective cannot modify a finite verb, and the manner-adverb
+    # reading does not exist for this closed class.  Copular/light verbs
+    # keep the predicative adjective (resmi OLDU).
+    for idx in range(1, len(out) - 1):
+        low = to_lower(tokens[idx])
+        if low not in _LOAN_I_ACC_ADJS or out[idx] != low + "+Adj":
+            continue
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if ("Verb" not in nxt
+                or nxt[0] in ("et", "ol", "kıl", "bulun", "gel",
+                              "görün", "dur", "kal", "say", "ver",
+                              "yap", "al")
+                # zero-copula predicates are not verb hosts for an
+                # object; voice/causative derivations (kapattı) are
+                or "Zero" in nxt
+                or not {"Aor", "Past", "Prog1", "Fut",
+                        "Narr"} & set(nxt)):
+            continue
+        if not any(
+            "Noun" in _TAG_SEP.split(o) and "Nom" in _TAG_SEP.split(o)
+            for o in out[:idx]
+        ):
+            continue
+        acc = next(
+            (f"{root}+" + "+".join(tags)
+             for root, _sfx, tags in gen.get_analysis_candidates(
+                 tokens[idx])
+             if not isinstance(tags, str) and tags
+             and tags[0] == "Noun" and "Acc" in tags
+             and "Pnon" in tags and "DB" not in tags),
+            None,
+        )
+        if acc:
+            out[idx] = acc
+    # the asker/resim/din sub-class of loan-î homographs is attributive
+    # before a nominal host: their P3sg izafet readings are rare in web
+    # prose (Bina ASKERİ birliklere devredildi -> askerî birlikler),
+    # unlike tarih/merkez, whose possessed readings are everyday izafet
+    # heads (ülke tarihi, şehir merkezi) and stay untouched
+    for idx in range(len(out) - 1):
+        low = to_lower(tokens[idx])
+        if low not in ("askeri", "resmi", "dini"):
+            continue
+        parts = _TAG_SEP.split(out[idx])
+        if parts[0] not in ("asker", "resim", "din") \
+                or "P3sg" not in parts:
+            continue
+        nxt_parts = _TAG_SEP.split(out[idx + 1])
+        if "Noun" in nxt_parts and "Verb" not in nxt_parts:
+            out[idx] = low + "+Adj"
+    # clock-time frame: a numeral-Loc reading directly after bare "saat"
+    # beats the pronoun homograph (Tören saat ONDA başladı != 'in it')
+    for idx in range(1, len(out)):
+        if to_lower(tokens[idx - 1]) != "saat":
+            continue
+        if "Pron" not in _TAG_SEP.split(out[idx]):
+            continue
+        num_loc = next(
+            (f"{root}+" + "+".join(tags).replace("+DB+", "^DB+")
+             for root, _sfx, tags in gen.get_analysis_candidates(
+                 tokens[idx])
+             if not isinstance(tags, str) and tags
+             and tags[0] == "Num" and "Loc" in tags),
+            None,
+        )
+        if num_loc:
+            out[idx] = num_loc
     return out
 
 

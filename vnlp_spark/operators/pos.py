@@ -976,6 +976,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and analyses[i].endswith("+Adj")
             and "p3nom" in _readings(tokens[i])
             and to_lower(tokens[i]) not in _CORE_ADJS
+            # the asker/resim/din loan-î trio reads attributive before a
+            # nominal (resmi RAKAMLARI açıkladı): their izafet-head uses
+            # are rare, unlike kurul/oda/tarih/merkez (morphology.py's
+            # sub-class rule chose the Adj deliberately)
+            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini")
             and out[i - 1] == "NOUN"
             and _case_of(analyses[i - 1]) in ("Nom", "")
             and not _is_possessed(tokens[i - 1], analyses[i - 1])

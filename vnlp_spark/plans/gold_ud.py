@@ -2821,6 +2821,87 @@ UD_GOLD: List[dict] = [
         deprels=['nsubj', 'amod', 'nmod', 'obl', 'case', 'obl', 'root',
                  'punct'],
     ),
+    # ---- pre-blind-35 probe-sweep categories, pinned ------------------
+    # sentence-initial bare time noun as the ONLY subject candidate
+    dict(
+        text='Sezon bu yıl erken bitti.',
+        tokens=['Sezon', 'bu', 'yıl', 'erken', 'bitti', '.'],
+        upos=['NOUN', 'DET', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'det', 'obl', 'advmod', 'root', 'punct'],
+    ),
+    dict(
+        text='Hafta yoğun geçti.',
+        tokens=['Hafta', 'yoğun', 'geçti', '.'],
+        upos=['NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[3, 3, 0, 3],
+        deprels=['nsubj', 'advmod', 'root', 'punct'],
+    ),
+    # son-LVC frames: the nominal, not the adjective 'last'
+    dict(
+        text='Ekip çalışmaya son verdi.',
+        tokens=['Ekip', 'çalışmaya', 'son', 'verdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obl', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Tartışma kısa sürede son buldu.',
+        tokens=['Tartışma', 'kısa', 'sürede', 'son', 'buldu', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obl', 'obj', 'root', 'punct'],
+    ),
+    # loan-î citation adjective before a plain finite verb is the Acc
+    # object
+    dict(
+        text='Yetkililer merkezi kapattı.',
+        tokens=['Yetkililer', 'merkezi', 'kapattı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 0, 3],
+        deprels=['nsubj', 'obj', 'root', 'punct'],
+    ),
+    # the asker/resim/din loan-î trio reads attributive before nominal
+    # hosts
+    dict(
+        text='Bina askeri birliklere devredildi.',
+        tokens=['Bina', 'askeri', 'birliklere', 'devredildi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    dict(
+        text='Bakanlık resmi rakamları açıkladı.',
+        tokens=['Bakanlık', 'resmi', 'rakamları', 'açıkladı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Dernek dini bayramlarda yardım dağıttı.',
+        tokens=['Dernek', 'dini', 'bayramlarda', 'yardım', 'dağıttı',
+                '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obl', 'obj', 'root', 'punct'],
+    ),
+    # adnominal percentage frame modifies its nominal
+    dict(
+        text='Yüzde beş artış bekleniyor.',
+        tokens=['Yüzde', 'beş', 'artış', 'bekleniyor', '.'],
+        upos=['NOUN', 'NUM', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 1, 4, 0, 4],
+        deprels=['nmod', 'nummod', 'nsubj', 'root', 'punct'],
+    ),
+    # a conjunct shares its partner's Acc: both are objects
+    dict(
+        text='Belediye parkları ve yolları yeniledi.',
+        tokens=['Belediye', 'parkları', 've', 'yolları', 'yeniledi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'CCONJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 2, 0, 5],
+        deprels=['nsubj', 'obj', 'cc', 'conj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
