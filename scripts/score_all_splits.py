@@ -52,6 +52,7 @@ SPLITS = [
     ("blind32", "vnlp_spark.plans.gold_ud_blind32", "BLIND32"),
     ("blind33", "vnlp_spark.plans.gold_ud_blind33", "BLIND33"),
     ("blind34", "vnlp_spark.plans.gold_ud_blind34", "BLIND34"),
+    ("blind35", "vnlp_spark.plans.gold_ud_blind35", "BLIND35"),
 ]
 
 
