@@ -176,6 +176,11 @@ _TRANSITIVE_ROOTS = {
     "öv", "kirala", "onayla", "imzala", "yükle", "indir", "sakla",
     "boya", "dik", "yık", "sök", "tak", "as", "ser", "katla", "ütüle",
     "bas", "yay", "tart", "ölç", "say", "karıştır", "tara",
+    # denominal -lA transitives (care/maintenance class: fidanları
+    # SULADI) — the -lA verbalizer is near-uniformly transitive
+    "sula", "yağla", "tuzla", "cilala", "parlat", "süsle", "paketle",
+    "kilitle", "etiketle", "damgala", "mühürle", "listele", "besle",
+    "törpüle", "fırçala", "süpür", "sil",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -1558,6 +1563,19 @@ def py_parse_tokens(
                 # adverb scoped inside a participial/converb clause stays
                 # there (YENİ açılan restoran -> yeni modifies açılan)
                 heads[i], rels[i] = i + 2, "advmod"
+            elif (
+                (nv := next((j for j in range(i + 1, n)
+                             if upos[j] == "VERB"), None)) is not None
+                and (subord[nv] or converb[nv])
+                and not any(f < i for f in finite)
+                and all(upos[k] in _NOMINAL or upos[k] == "ADJ"
+                        for k in range(i + 1, nv))
+            ):
+                # adverb scoped over a subordinate clause's own oblique
+                # material stays in that clause (ürünleri DOĞRUDAN
+                # tüketiciye ulaştırmayı hedefliyor -> doğrudan modifies
+                # ulaştırmayı)
+                heads[i], rels[i] = nv + 1, "advmod"
             else:
                 heads[i], rels[i] = next_pred(i) + 1, "advmod"
         elif u == "ADJ":

@@ -1248,8 +1248,17 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
         if parts[0] not in ("asker", "resim", "din") \
                 or "P3sg" not in parts:
             continue
+        # the HOST test reads the final derivation group's PoS, so a
+        # deverbal noun host counts (resmi AÇILIŞLA başladı: açılış =
+        # aç+Pass+Inf3 ends Noun)
         nxt_parts = _TAG_SEP.split(out[idx + 1])
-        if "Noun" in nxt_parts and "Verb" not in nxt_parts:
+        if "DB" in nxt_parts:
+            last_db = len(nxt_parts) - 1 - nxt_parts[::-1].index("DB")
+            nxt_pos = nxt_parts[last_db + 1] \
+                if last_db + 1 < len(nxt_parts) else ""
+        else:
+            nxt_pos = nxt_parts[1] if len(nxt_parts) > 1 else ""
+        if nxt_pos == "Noun":
             out[idx] = low + "+Adj"
     # clock-time frame: a numeral-Loc reading directly after bare "saat"
     # beats the pronoun homograph (Tören saat ONDA başladı != 'in it')

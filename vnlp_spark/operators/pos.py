@@ -502,6 +502,17 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         elif low == "hiç":
             out[i] = "ADV"
         elif (
+            low == "doğrudan"
+            and out[i] == "ADJ"
+            and i + 1 < n
+            and not (out[i + 1] in ("NOUN", "PROPN")
+                     and _case_of(analyses[i + 1]) in ("Nom", ""))
+        ):
+            # 'doğrudan' is the lexicalized adverb 'directly' except in
+            # the attributive frame before a bare nominal (doğrudan
+            # UÇUŞ vs ürünleri DOĞRUDAN tüketiciye ulaştırmak)
+            out[i] = "ADV"
+        elif (
             low in _TERRAIN_LIK_ADJS
             and out[i] == "NOUN"
             and i + 1 < n

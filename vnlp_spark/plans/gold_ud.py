@@ -2902,6 +2902,43 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 4, 2, 0, 5],
         deprels=['nsubj', 'obj', 'cc', 'conj', 'root', 'punct'],
     ),
+    # ---- blind-35 miss categories, pinned with fresh lexemes -----------
+    # denominal -lA transitive with coordinated Acc homographs, under an
+    # izafet subject
+    dict(
+        text='Temizlik ekibi camları ve zeminleri sildi.',
+        tokens=['Temizlik', 'ekibi', 'camları', 've', 'zeminleri',
+                'sildi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'CCONJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 6, 5, 3, 0, 6],
+        deprels=['nmod', 'nsubj', 'obj', 'cc', 'conj', 'root', 'punct'],
+    ),
+    # the resmi sub-class stays attributive before a DEVERBAL noun host
+    dict(
+        text='Heyet resmi görüşmelere katıldı.',
+        tokens=['Heyet', 'resmi', 'görüşmelere', 'katıldı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # doğrudan: lexicalized adverb before case-marked material ...
+    dict(
+        text='Üretici sebzeleri doğrudan pazara getiriyor.',
+        tokens=['Üretici', 'sebzeleri', 'doğrudan', 'pazara',
+                'getiriyor', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'advmod', 'obl', 'root', 'punct'],
+    ),
+    # ... and attributive before a bare nominal
+    dict(
+        text='Şirket doğrudan satış modeline geçti.',
+        tokens=['Şirket', 'doğrudan', 'satış', 'modeline', 'geçti',
+                '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'nmod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
