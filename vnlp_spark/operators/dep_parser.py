@@ -181,6 +181,17 @@ _TRANSITIVE_ROOTS = {
     "sula", "yağla", "tuzla", "cilala", "parlat", "süsle", "paketle",
     "kilitle", "etiketle", "damgala", "mühürle", "listele", "besle",
     "törpüle", "fırçala", "süpür", "sil",
+    # round-4 inventory sweep: perception/cognition, evaluation, and
+    # everyday news-register transitives missing from the curated list
+    # "işle" deliberately absent: dual valency (veriyi işledi vs faiz
+    # işleyecek) keeps it in the unlisted middle class
+    "belirt", "benimse", "değerlendir", "yakala", "boşalt",
+    "anla", "duy", "hisset", "başar", "öngör", "planla", "amaçla",
+    "yargıla", "görüntüle", "belgele", "ayır", "parçala", "fırlat",
+    "ört", "kapla", "giy", "öp", "kına", "çiğne", "yut", "em",
+    "derle", "özetle", "çevir", "tüket", "harca", "biriktir",
+    "devral", "uğurla", "selamla", "alkışla", "arşivle", "depola",
+    "sars",
     # bare-object activity verbs (top oynuyor, ders çalışıyor): take obj;
     # motion/stative intransitives (git, gel, koş, ulaş) stay out so a
     # bare preverbal nominal before them parses oblique (parka gidemedi)
@@ -211,6 +222,13 @@ _INTRANSITIVE_ROOTS = {
     # preverbal Nom is the subject, never an incorporated object)
     "bit", "başla", "sön", "eri", "kuru", "çürü", "gecik", "uyan",
     "doy",
+    # physical-process unaccusatives (round-4 inventory sweep): burn,
+    # collapse, burst, fade, freeze, leak, boil-over, tremble, slip —
+    # none take Acc objects; -lAş 'Become' derivations are handled
+    # structurally by _intrans()
+    "çök", "patla", "sol", "don", "kok", "şiş", "parla", "titre",
+    "kay", "zıpla", "sıçra", "tüken", "yan", "piş", "kop", "sız",
+    "düzel",
 }
 
 # verbs with a conventionalized INTRANSITIVE weather/celestial sense
@@ -370,6 +388,14 @@ def py_parse_tokens(
 
     tagsets = [set(a.replace("^", "+").split("+")) for a in analyses]
     roots_of = [a.split("+", 1)[0] for a in analyses]
+
+    def _intrans(x: int) -> bool:
+        # curated unaccusative inventory + the -lAş 'Become' derivation,
+        # which is uniformly intransitive (yaygınlaştı, sertleşti,
+        # güzelleşti) — unless re-causativized (-lAştIr)
+        return ((roots_of[x] in _INTRANSITIVE_ROOTS
+                 or "Become" in tagsets[x])
+                and "Caus" not in tagsets[x])
 
     # --- lexicalized -mA nominalizations in argument slots ---------------
     # An Inf2 verbal noun carrying an argument case with no left argument
@@ -982,8 +1008,7 @@ def py_parse_tokens(
         if (
             (light_nom_v and roots_of[v - 1] in _INTRANS_LIGHT_NOMINALS)
             or (not light_nom_v
-                and roots_of[v] in _INTRANSITIVE_ROOTS
-                and "Caus" not in tagsets[v]
+                and _intrans(v)
                 # path-capable motion verbs still take Acc routes
                 # (bütün yolu yürüdü); stative intransitives cannot
                 and roots_of[v] not in ("yürü", "yüz", "koş", "uç", "gez"))
@@ -1998,8 +2023,7 @@ def py_parse_tokens(
                     # that nominal takes the subject slot and the first
                     # stays the izafet modifier (ŞEHİR merkezinde trafik
                     # yoğunluğu azaldı -> nmod)
-                    and not (roots_of[p] in _INTRANSITIVE_ROOTS
-                             and "Caus" not in tagsets[p]
+                    and not (_intrans(p)
                              and any(
                                  upos[j] in _NOMINAL
                                  and eff_case[j] in ("Nom", "")
@@ -2233,8 +2257,7 @@ def py_parse_tokens(
                                  and vt + 1 < n
                                  and to_lower(tokens[vt + 1])
                                  in ("sonra", "önce")))
-                        and ((roots_of[vt] in _INTRANSITIVE_ROOTS
-                              and "Caus" not in tagsets[vt])
+                        and (_intrans(vt)
                              or "Pass" in tagsets[vt]
                              or (roots_of[vt] in _WEATHER_INTRANS_VERBS
                                  and roots_of[i] in _WEATHER_NOUNS))
@@ -2326,8 +2349,7 @@ def py_parse_tokens(
                 # (parka gidemedi); a light-verb complex (tavsiye et) is
                 # transitive for the nominal standing before it
                 intransitive = (
-                    roots_of[vt] in _INTRANSITIVE_ROOTS
-                    and "Caus" not in tagsets[vt]
+                    _intrans(vt)
                     and not lv_nominal
                 ) or "Pass" in tagsets[vt]
                 # a possessed temporal before "ol" is an adjunct, not a

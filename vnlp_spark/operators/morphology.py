@@ -208,6 +208,8 @@ _STEM_PATCH: dict = {
     "çıkar": ["Verb"],     # çıkarmak 'take out / release / publish'
     "atama": ["Noun"],     # 'appointment (to a post)'
     "eşlik": ["Noun"],     # 'accompaniment' (eşliğinde frames)
+    "pahalı": ["Adj"],     # lexicalized paha+lI; its absence left
+                           # pahalılaştı (-lAş Become chain) Unknown
 }
 
 

@@ -2939,6 +2939,39 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 4, 5, 0, 5],
         deprels=['nsubj', 'amod', 'nmod', 'obl', 'root', 'punct'],
     ),
+    # ---- round-4 valency-inventory sweep, pinned -----------------------
+    # physical-process unaccusative (yan-)
+    dict(
+        text='Depo yangında tamamen yandı.',
+        tokens=['Depo', 'yangında', 'tamamen', 'yandı', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obl', 'advmod', 'root', 'punct'],
+    ),
+    # -lAş 'Become' derivation is structurally intransitive: the izafet
+    # subject survives even for an unlisted -lAş verb
+    dict(
+        text='Ev fiyatları pahalılaştı.',
+        tokens=['Ev', 'fiyatları', 'pahalılaştı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 0, 3],
+        deprels=['nmod', 'nsubj', 'root', 'punct'],
+    ),
+    # sweep transitives take the Acc-homograph object
+    dict(
+        text='Kriz sektörü sarstı.',
+        tokens=['Kriz', 'sektörü', 'sarstı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 0, 3],
+        deprels=['nsubj', 'obj', 'root', 'punct'],
+    ),
+    dict(
+        text='Uzmanlar durumu değerlendirdi.',
+        tokens=['Uzmanlar', 'durumu', 'değerlendirdi', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 0, 3],
+        deprels=['nsubj', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
