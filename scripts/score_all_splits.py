@@ -53,6 +53,7 @@ SPLITS = [
     ("blind33", "vnlp_spark.plans.gold_ud_blind33", "BLIND33"),
     ("blind34", "vnlp_spark.plans.gold_ud_blind34", "BLIND34"),
     ("blind35", "vnlp_spark.plans.gold_ud_blind35", "BLIND35"),
+    ("blind36", "vnlp_spark.plans.gold_ud_blind36", "BLIND36"),
 ]
 
 
