@@ -56,7 +56,7 @@ from pyspark.sql.types import (
 )
 
 from .morphology import py_analyze_tokens, to_lower
-from .pos import upos_from_analysis
+from .pos import _MATERIAL_NOUNS, upos_from_analysis
 
 MAX_TOKENS = 40  # reference hard cap (spu_context_dp.py:159-162)
 
@@ -485,6 +485,7 @@ def py_parse_tokens(
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
     narr_acl0 = False
+    narr_acl_mid: list = []
     cop_aux = None
 
     if finite:
@@ -512,6 +513,29 @@ def py_parse_tokens(
             narr_acl0 = True
             preds = preds[1:]
             root = preds[0]
+        # the same participle reading MID-sentence, for PASSIVE Narr/Fut
+        # verbs directly before a Nom/Acc nominal with another finite
+        # predicate later (Aktarlar KURUTULMUŞ bitkileri ... saklıyor):
+        # the productive prenominal class is the passive participle
+        for q in list(preds):
+            if (
+                q > 0 and q != preds[-1]
+                and any(f > q for f in preds)
+                and upos[q] == "VERB"
+                and "Pass" in tagsets[q]
+                and tagsets[q] & {"Narr", "Fut"} and "A3sg" in tagsets[q]
+                and not tagsets[q] & {"Past", "Cond", "Neg"}
+                and q + 1 < n
+                and upos[q + 1] in ("NOUN", "PROPN")
+                and _case_of(analyses[q + 1]) in ("Nom", "", "Acc")
+            ):
+                preds.remove(q)
+                if q in finite:
+                    # an adnominal participle is no clause boundary
+                    finite.remove(q)
+                narr_acl_mid.append(q)
+                if root == q:
+                    root = preds[0]
         # -HncA converbs host their own subject: treat them as clause
         # predicates for argument attachment (Yağmur yağınca maç
         # ertelendi -> Yağmur is yağınca's nsubj); other converbs share
@@ -586,6 +610,8 @@ def py_parse_tokens(
     rels = [""] * n
     if narr_acl0:
         heads[0], rels[0] = 2, "acl"
+    for q in narr_acl_mid:
+        heads[q], rels[q] = q + 2, "acl"
     if cop_aux is not None:
         heads[cop_aux], rels[cop_aux] = root + 1, "cop"
 
@@ -723,6 +749,11 @@ def py_parse_tokens(
         # attach to the finite predicate (Başbakan ... söyledi)
         for j in range(i + 1, n):
             if upos[j] == "VERB":
+                # a PASSIVE verb already attached as a prenominal acl
+                # (KURUTULMUŞ bitkileri) has no argument slots: the
+                # clause-initial nominal belongs to the matrix
+                if rels[j] == "acl" and "Pass" in tagsets[j]:
+                    continue
                 return j
             if upos[j] == "ADJ" and tagsets[j] & {"PresPart"}:
                 return j
@@ -1653,6 +1684,29 @@ def py_parse_tokens(
         v = next_verbish(i)
         vt = v if v is not None else p  # local attachment for obj/obl
         if (
+            roots_of[i] in _MATERIAL_NOUNS
+            and upos[i] == "NOUN"
+            and eff_case[i] in ("Nom", "")
+            and not eff_poss[i]
+            and i + 1 < n
+            and upos[i + 1] in ("NOUN", "PROPN")
+            and i + 1 != vt
+            # only with the subject slot already claimed further left —
+            # a clause-initial material noun is its own argument (Bu
+            # İPEK diğerinden daha parlak)
+            and any(
+                upos[j] in ("PROPN", "PRON")
+                or (upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and roots_of[j] not in _TEMPORAL_ROOTS)
+                for j in range(i)
+            )
+        ):
+            # material nouns modify the following nominal directly,
+            # without izafet agreement (CAM kavanozlarda, DEMİR kapıya)
+            heads[i], rels[i] = i + 2, "nmod"
+            continue
+        if (
             to_lower(tokens[i]) == "yüzde"
             and i + 2 < n and upos[i + 1] == "NUM"
             and upos[i + 2] in ("NOUN", "PROPN")
@@ -1786,6 +1840,12 @@ def py_parse_tokens(
                              and eff_case[nom] in ("Loc", "Abl", "Ins")
                              and not any(eff_case[k] == "Gen"
                                          for k in range(i + 1, sub_v)))
+                         # fossilized P3sg compounds (yurtdışı, yurtiçi)
+                         # never take a genitive possessor: the genitive
+                         # is the nominalization's subject
+                         # (akademisyenlerin YURTDIŞINA gitmesini)
+                         or (nom < sub_v
+                             and roots_of[nom] in ("yurtdış", "yurtiç"))
                          # a possessed landing nominal whose P3sg agreement
                          # is already saturated by its own bare compound
                          # modifier (the walk advanced over it) cannot also
@@ -2114,7 +2174,14 @@ def py_parse_tokens(
                 # adjunct reading stands (SABAH toplantı yapıldı)
                 heads[i], rels[i] = p + 1, "nsubj"
                 subj_of[p] = i
-            elif low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN":
+            elif (
+                low_root in _TEMPORAL_ROOTS and upos[i] == "NOUN"
+                # a POSSESSED-Nom temporal izafet head is a referential
+                # NP, not a bare time adjunct (Kayak SEZONU açıldı,
+                # Kasaba PAZARI kuruluyor): fall through to the normal
+                # nominal machinery instead
+                and not (eff_poss[i] and eff_case[i] in ("Nom", ""))
+            ):
                 # a bare time noun inside a subordinate clause modifies
                 # THAT clause, not the matrix predicate (enflasyonun
                 # gelecek YIL düşeceğini öngörüyor)

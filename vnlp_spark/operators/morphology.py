@@ -81,6 +81,9 @@ TITLE_ROLES = {
     "akademisyen", "astsubay", "teğmen", "yüzbaşı", "binbaşı", "yarbay",
     "korgeneral", "tuğgeneral", "amiral", "büyükelçi", "konsolos",
     "milletvekili", "muhtar", "imam", "müezzin", "vaiz", "papaz",
+    # deputy/spokesperson roles select persons the same way (Başkan
+    # yardımcısı TUNÇ, kulüp sözcüsü AK, başkan vekili UZ)
+    "yardımcı", "sözcü", "vekil", "temsilci",
 }
 
 # coordinating conjunctions that can conjoin finite clauses (shared with
@@ -210,6 +213,11 @@ _STEM_PATCH: dict = {
     "eşlik": ["Noun"],     # 'accompaniment' (eşliğinde frames)
     "pahalı": ["Adj"],     # lexicalized paha+lI; its absence left
                            # pahalılaştı (-lAş Become chain) Unknown
+    # fossilized -evi institution compounds: without the whole-word
+    # stem, Aşevi falls to a bogus aşev+Acc cut and becomes an object
+    "aşevi": ["Noun"], "huzurevi": ["Noun"], "bakımevi": ["Noun"],
+    "doğumevi": ["Noun"], "orduevi": ["Noun"], "öğretmenevi": ["Noun"],
+    "basımevi": ["Noun"], "yayınevi": ["Noun"],
 }
 
 
@@ -557,7 +565,10 @@ class HeuristicDisambiguator:
             # ... except when the "underived" rival is itself a rare -Hn
             # lexicalization of the passive's base verb: karar alındı is
             # al+Pass 'was taken', almost never alın 'take offense'
-            if root in ("alın",) and has_pass_rival:
+            # ... or a rare -lA denominal shadowing an everyday passive:
+            # pazar kuruluyor is kur+Pass 'is being set up', almost
+            # never kurula- 'towel-dry'
+            if root in ("alın", "kurula") and has_pass_rival:
                 s -= 15.0
         if "Acquire" in tag_set and has_pass_rival:
             # when a denominal Acquire and a passive of the longer verb

@@ -32,6 +32,15 @@ _TERRAIN_LIK_ADJS = {
     "çalılık", "ağaçlık", "fundalık", "makilik", "bataklık", "yeşillik",
 }
 
+# material nouns modify as NOUN+nmod in UD (cam kavanoz, ahşap ev,
+# demir kapı) even where the lexicon also lists an Adj reading — keep
+# them out of the noun->ADJ attributive rewrites
+_MATERIAL_NOUNS = {
+    "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
+    "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
+    "kağıt", "naylon", "porselen", "kadife",
+}
+
 _MORPH_TO_UPOS = {
     "Noun": "NOUN",
     "Adj": "ADJ",
@@ -428,6 +437,31 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # görüştü — pro-drop subject)
             out[i] = "NOUN"
         elif (
+            out[i] == "ADJ"
+            and i == 0
+            and analyses[i].count("+") == 1
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) == "Gen"
+            and not any(
+                out[j] in ("NOUN", "PROPN", "PRON")
+                and _case_of(analyses[j]) in ("Nom", "")
+                for j in range(i + 2, n)
+            )
+            and any(
+                out[j] == "VERB"
+                and not set(analyses[j].replace("^", "+").split("+"))
+                & {"A1sg", "A2sg", "A1pl", "A2pl"}
+                for j in range(i + 1, n)
+            )
+        ):
+            # sentence-initial citation adjective before a GENITIVE
+            # possessor, with NO other subject candidate in the clause
+            # and a 3rd-person predicate, is the clause subject —
+            # the attributive reading would leave it subjectless
+            # (BELGESEL yönetmenin uzun uğraşlarıyla tamamlandı)
+            out[i] = "NOUN"
+        elif (
             out[i] == "VERB"
             and "Zero" in tags
             and _zero_cop_class(analyses[i]) == "Adj"
@@ -501,6 +535,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             out[i] = "ADJ"
         elif low == "hiç":
             out[i] = "ADV"
+        elif (
+            low in ("yasak", "serbest")
+            and out[i] == "NOUN"
+            and all(out[j] == "PUNCT" for j in range(i + 1, n))
+            and any(out[j] == "VERB"
+                    and "Inf" in set(analyses[j].replace("^", "+")
+                                     .split("+"))
+                    for j in range(i))
+        ):
+            # zero-copula prohibition/permission predicate over an
+            # infinitive csubj is the adjective (ateş yakmak YASAK)
+            out[i] = "ADJ"
         elif (
             low == "doğrudan"
             and out[i] == "ADJ"
@@ -773,13 +819,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                               and analyses[i + 3].split("+", 1)[0]
                               in ("et", "yap", "ol")))
             and "bare_adj" in _readings(tokens[i])
+            and low not in _MATERIAL_NOUNS
             and not (low in _TITLES and _CAP_RE.match(tokens[i]))
         ):
             # noun/adjective homograph directly before a BARE nominal is
             # the adjective (taze balık); before a case-marked nominal
             # (Bakan projenin ... söyledi) or a longer nominal chain
             # (Karar kurul tarafından ...) the noun reading stands;
-            # capitalized titles stay nominal (Bakan Ege ... inceledi)
+            # capitalized titles stay nominal (Bakan Ege ... inceledi);
+            # material nouns modify as NOUN+nmod (cam kavanoz)
             out[i] = "ADJ"
         elif (
             out[i] == "NOUN"
@@ -789,6 +837,7 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i + 1] in ("NOUN", "PROPN")
             and _case_of(analyses[i + 1]) not in ("Nom", "")
             and "bare_adj" in _readings(tokens[i])
+            and low not in _MATERIAL_NOUNS
             # mid-sentence capitals are names; a SENTENCE-INITIAL capital
             # is attributive when a later bare nominal can be the subject
             # (YABANCI yatırımcılarla görüşmeler sürüyor), the subject

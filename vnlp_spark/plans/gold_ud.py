@@ -2972,6 +2972,96 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 0, 3],
         deprels=['nsubj', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-36 miss categories, pinned with fresh lexemes -----------
+    # agentive -CI plural via the productive suffix paradigm
+    dict(
+        text='Oduncular kütükleri ambara taşıdı.',
+        tokens=['Oduncular', 'kütükleri', 'ambara', 'taşıdı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # possessed-Nom temporal izafet head is a subject, not a time adjunct
+    dict(
+        text='Av sezonu yarın başlıyor.',
+        tokens=['Av', 'sezonu', 'yarın', 'başlıyor', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'advmod', 'root', 'punct'],
+    ),
+    # kuruluyor is kur+Pass, not the rare kurula- 'towel-dry'
+    dict(
+        text='Sahne konser için yeniden kuruluyor.',
+        tokens=['Sahne', 'konser', 'için', 'yeniden', 'kuruluyor',
+                '.'],
+        upos=['NOUN', 'NOUN', 'ADP', 'ADV', 'VERB', 'PUNCT'],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'case', 'advmod', 'root', 'punct'],
+    ),
+    # fossilized -evi compound stems
+    dict(
+        text='Huzurevi yeni sakinlerini ağırladı.',
+        tokens=['Huzurevi', 'yeni', 'sakinlerini', 'ağırladı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    # fossilized yurtdışı P3sg never hosts a genitive: the Gen is the
+    # nominalization's subject
+    dict(
+        text='Şirket mühendislerin yurtdışına taşınmasını önledi.',
+        tokens=['Şirket', 'mühendislerin', 'yurtdışına',
+                'taşınmasını', 'önledi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'VERB', 'PUNCT'],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=['nsubj', 'nsubj', 'obl', 'ccomp', 'root', 'punct'],
+    ),
+    # deputy/agent role nouns select persons (possessed-title flat)
+    dict(
+        text='Başkan vekili Arıkan projeyi tanıttı.',
+        tokens=['Başkan', 'vekili', 'Arıkan', 'projeyi', 'tanıttı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'PROPN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 2, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'flat', 'obj', 'root', 'punct'],
+        ner=['O', 'O', 'PER', 'O', 'O', 'O'],
+    ),
+    # zero-copula prohibition predicate over an infinitive csubj
+    dict(
+        text='Parkta mangal yakmak yasak.',
+        tokens=['Parkta', 'mangal', 'yakmak', 'yasak', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'ADJ', 'PUNCT'],
+        heads=[3, 3, 4, 0, 4],
+        deprels=['obl', 'obj', 'csubj', 'root', 'punct'],
+    ),
+    # sentence-initial citation adjective before a genitive with no
+    # other subject candidate is the subject
+    dict(
+        text='Müzikal seyircinin yoğun ilgisiyle uzatıldı.',
+        tokens=['Müzikal', 'seyircinin', 'yoğun', 'ilgisiyle',
+                'uzatıldı', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # mid-sentence passive Narr participle heads a relative
+    dict(
+        text='Manav dondurulmuş ürünleri ayrı dolapta tutuyor.',
+        tokens=['Manav', 'dondurulmuş', 'ürünleri', 'ayrı', 'dolapta',
+                'tutuyor', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=['nsubj', 'acl', 'obj', 'amod', 'obl', 'root',
+                 'punct'],
+    ),
+    # material nouns modify as NOUN+nmod
+    dict(
+        text='Kaynakçı demir kapıları yeniledi.',
+        tokens=['Kaynakçı', 'demir', 'kapıları', 'yeniledi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
