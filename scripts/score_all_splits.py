@@ -54,6 +54,7 @@ SPLITS = [
     ("blind34", "vnlp_spark.plans.gold_ud_blind34", "BLIND34"),
     ("blind35", "vnlp_spark.plans.gold_ud_blind35", "BLIND35"),
     ("blind36", "vnlp_spark.plans.gold_ud_blind36", "BLIND36"),
+    ("blind37", "vnlp_spark.plans.gold_ud_blind37", "BLIND37"),
 ]
 
 
