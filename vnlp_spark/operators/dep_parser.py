@@ -2028,7 +2028,22 @@ def py_parse_tokens(
                 # is itself possessed-Nom: then this is the middle link of
                 # a zincirleme chain (yönetim kurulu ÜYELERİ)
                 and (not eff_poss[i]
-                     or (eff_poss[i + 1] and eff_case[i + 1] in ("Nom", "")))
+                     or (eff_poss[i + 1] and eff_case[i + 1] in ("Nom", ""))
+                     # an overtly possessed ACC continuation is the
+                     # chain head too, when a subject already stands
+                     # LEFT of the chain (Banka konut KREDİSİ
+                     # faizlerini düşürdü); with no left subject the
+                     # possessed-Nom link is itself the subject
+                     # (şirket MÜDÜRÜ çalışanlarını topladı)
+                     or (eff_poss[i + 1] and eff_case[i + 1] == "Acc"
+                         and any(
+                             upos[j] in ("PROPN", "PRON")
+                             or (upos[j] in _NOMINAL
+                                 and eff_case[j] in ("Nom", "")
+                                 and not eff_poss[j]
+                                 and roots_of[j] not in _TEMPORAL_ROOTS)
+                             for j in range(0, i - 1)
+                         )))
                 and not (i + 1 in run_member and i not in run_member)
             )
             if (compoundable and i + 2 < n and upos[i + 2] == "ADP"

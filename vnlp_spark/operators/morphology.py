@@ -218,6 +218,10 @@ _STEM_PATCH: dict = {
     "aşevi": ["Noun"], "huzurevi": ["Noun"], "bakımevi": ["Noun"],
     "doğumevi": ["Noun"], "orduevi": ["Noun"], "öğretmenevi": ["Noun"],
     "basımevi": ["Noun"], "yayınevi": ["Noun"],
+    # same fossil class, household/geography compounds (Buzdolabı fell
+    # to a bogus buzdolab+Acc cut and became a fronted object)
+    "buzdolabı": ["Noun"], "denizaltı": ["Noun"], "hanımeli": ["Noun"],
+    "ayakkabı": ["Noun"],
 }
 
 

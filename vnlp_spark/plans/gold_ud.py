@@ -3062,6 +3062,33 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-37 miss categories, pinned with fresh lexemes -----------
+    # zincirleme chain into an overtly possessed Acc, subject on the left
+    dict(
+        text='Devlet tarım sigortası primlerini artırdı.',
+        tokens=['Devlet', 'tarım', 'sigortası', 'primlerini',
+                'artırdı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # deverbal -mAlI adjective beats the necessitative before a nominal
+    dict(
+        text='Takım anlaşmalı ayrılığı duyurdu.',
+        tokens=['Takım', 'anlaşmalı', 'ayrılığı', 'duyurdu', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    # fossilized P3sg compound stems as izafet modifiers
+    dict(
+        text='Ayakkabı mağazası sezon indirimini başlattı.',
+        tokens=['Ayakkabı', 'mağazası', 'sezon', 'indirimini',
+                'başlattı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
