@@ -228,8 +228,12 @@ _INTRANSITIVE_ROOTS = {
     # structurally by _intrans()
     "çök", "patla", "sol", "don", "kok", "şiş", "parla", "titre",
     "kay", "zıpla", "sıçra", "tüken", "yan", "piş", "kop", "sız",
-    "düzel",
+    "düzel", "dol",
 }
+
+# nominal halves of gel-support constructions (GALİP geldi, denk
+# geldi): compound, never the subject/oblique of motion gel-
+_GEL_SUPPORT_NOMINALS = {"galip", "mağlup", "denk", "rast", "üstün"}
 
 # verbs with a conventionalized INTRANSITIVE weather/celestial sense
 # next to a weather-noun subject (güneş AÇINCA, hava AÇTI, gün DOĞDU),
@@ -2349,10 +2353,15 @@ def py_parse_tokens(
                         # own subject (YAĞMUR yağarken maç durdu; KARAR
                         # verilmeden önce taraflar dinlendi)
                         heads[i], rels[i] = vt + 1, "nsubj"
-                    elif (roots_of[vt] in ("ol", "et") and not lv_nominal
+                    elif ((roots_of[vt] in ("ol", "et")
+                           or (roots_of[vt] == "gel"
+                               and to_lower(tokens[i])
+                               in _GEL_SUPPORT_NOMINALS))
+                          and not lv_nominal
                           and not eff_poss[i]):
-                        # support-verb construction: üye oldu, ikamet etti
-                        # (yap/gör light verbs keep their obj per UD-BOUN)
+                        # support-verb construction: üye oldu, ikamet
+                        # etti, GALİP geldi (yap/gör light verbs keep
+                        # their obj per UD-BOUN)
                         heads[i], rels[i] = vt + 1, "compound"
                     elif (
                         vt == p
@@ -2421,7 +2430,11 @@ def py_parse_tokens(
                 else:
                     heads[i], rels[i] = p + 1, "nsubj"
                     subj_of[p] = i
-            elif (preverbal and roots_of[vt] in ("ol", "et")
+            elif (preverbal
+                  and (roots_of[vt] in ("ol", "et")
+                       or (roots_of[vt] == "gel"
+                           and to_lower(tokens[i])
+                           in _GEL_SUPPORT_NOMINALS))
                   and not lv_nominal and not eff_poss[i]):
                 heads[i], rels[i] = vt + 1, "compound"
             elif preverbal:

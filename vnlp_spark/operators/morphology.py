@@ -574,6 +574,11 @@ class HeuristicDisambiguator:
             # never kurula- 'towel-dry'
             if root in ("alın", "kurula") and has_pass_rival:
                 s -= 15.0
+            # rare a-final stems whose a-drop -Iyor surface shadows an
+            # everyday consonant-final verb: doluyor = dol- 'fill up',
+            # almost never dola- 'wrap around'
+            if root == "dola" and tag_set & {"Prog1", "Prog2"}:
+                s -= 8.0
         if "Acquire" in tag_set and has_pass_rival:
             # when a denominal Acquire and a passive of the longer verb
             # stem spell the SAME surface (imza+lan- vs imzala+n-), the
@@ -1276,6 +1281,22 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
         else:
             nxt_pos = nxt_parts[1] if len(nxt_parts) > 1 else ""
         if nxt_pos == "Noun":
+            out[idx] = low + "+Adj"
+    # an Adverb/Adj dual stem (açık, yalnız, geri) directly before a
+    # bare unpossessed nominal is the attributive adjective (AÇIK hava
+    # sineması, YALNIZ kadın); the adverb reading needs a verb or
+    # clause-level scope
+    for idx in range(len(out) - 1):
+        low = to_lower(tokens[idx])
+        if out[idx] != low + "+Adverb":
+            continue
+        if "Adj" not in gen.stem_dic.get(low, ()):
+            continue
+        nxt_parts = _TAG_SEP.split(out[idx + 1])
+        if ("Noun" in nxt_parts and "Verb" not in nxt_parts
+                and "Pnon" in nxt_parts
+                and ("Nom" in nxt_parts
+                     or not any(c in nxt_parts for c in _CASE_TAGS))):
             out[idx] = low + "+Adj"
     # clock-time frame: a numeral-Loc reading directly after bare "saat"
     # beats the pronoun homograph (Tören saat ONDA başladı != 'in it')

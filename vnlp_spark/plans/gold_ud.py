@@ -3089,6 +3089,33 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 4, 5, 0, 5],
         deprels=['nmod', 'nsubj', 'nmod', 'obj', 'root', 'punct'],
     ),
+    # ---- pre-blind-38 probe-sweep categories, pinned -------------------
+    # gel-support construction keeps its nominal as compound
+    dict(
+        text='Voleybol takımı deplasmanda galip geldi.',
+        tokens=['Voleybol', 'takımı', 'deplasmanda', 'galip', 'geldi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'obl', 'compound', 'root', 'punct'],
+    ),
+    # doluyor is dol- 'fill up', not dola- 'wrap'; possessed time
+    # izafet stays the oblique
+    dict(
+        text='Düğün salonu hafta sonları doluyor.',
+        tokens=['Düğün', 'salonu', 'hafta', 'sonları', 'doluyor', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # Adverb/Adj dual stem is attributive before a bare nominal
+    dict(
+        text='Açık hava sineması sahilde kuruldu.',
+        tokens=['Açık', 'hava', 'sineması', 'sahilde', 'kuruldu', '.'],
+        upos=['ADJ', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=['amod', 'nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
