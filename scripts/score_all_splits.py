@@ -55,6 +55,7 @@ SPLITS = [
     ("blind35", "vnlp_spark.plans.gold_ud_blind35", "BLIND35"),
     ("blind36", "vnlp_spark.plans.gold_ud_blind36", "BLIND36"),
     ("blind37", "vnlp_spark.plans.gold_ud_blind37", "BLIND37"),
+    ("blind38", "vnlp_spark.plans.gold_ud_blind38", "BLIND38"),
 ]
 
 
