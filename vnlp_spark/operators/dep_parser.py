@@ -228,7 +228,7 @@ _INTRANSITIVE_ROOTS = {
     # structurally by _intrans()
     "çök", "patla", "sol", "don", "kok", "şiş", "parla", "titre",
     "kay", "zıpla", "sıçra", "tüken", "yan", "piş", "kop", "sız",
-    "düzel", "dol",
+    "düzel", "dol", "değiş",
 }
 
 # nominal halves of gel-support constructions (GALİP geldi, denk
@@ -960,6 +960,16 @@ def py_parse_tokens(
             return False
         return True
 
+    # lexicalized bare juxtaposition modifiers (SAĞANAK yağış): marked
+    # before the ambiguity re-read so they never count as subject
+    # candidates, and attached nmod later
+    juxt_mod = [False] * n
+    for j in range(n - 1):
+        if (to_lower(tokens[j]) == "sağanak"
+                and to_lower(tokens[j + 1]).startswith(("yağış",
+                                                        "yağmur"))):
+            juxt_mod[j] = True
+
     for i in range(n - 1, -1, -1):
         if upos[i] not in ("NOUN", "PRON") or eff_case[i] not in ("Acc", "Nom"):
             continue
@@ -1165,6 +1175,9 @@ def py_parse_tokens(
             # adjunct phrase, never a subject candidate (çocuklar İÇİN
             # oyun alanı kurdu)
             and not (j + 1 < n and upos[j + 1] == "ADP")
+            # a lexicalized juxtaposition modifier is no candidate
+            # (SAĞANAK yağış ... — sağanak is yağış's nmod)
+            and not juxt_mod[j]
             for j in range(cl_start, i - 1)
         )
         if (
@@ -1688,6 +1701,16 @@ def py_parse_tokens(
         v = next_verbish(i)
         vt = v if v is not None else p  # local attachment for obj/obl
         if (
+            to_lower(tokens[i]) == "sağanak"
+            and i + 1 < n
+            and to_lower(tokens[i + 1]).startswith(("yağış", "yağmur"))
+        ):
+            # lexicalized bare weather juxtaposition: sağanak modifies
+            # its precipitation head without possession (SAĞANAK yağış
+            # trafiği olumsuz etkiledi)
+            heads[i], rels[i] = i + 2, "nmod"
+            continue
+        if (
             roots_of[i] in _MATERIAL_NOUNS
             and upos[i] == "NOUN"
             and eff_case[i] in ("Nom", "")
@@ -2019,6 +2042,10 @@ def py_parse_tokens(
                 # mühendisler TARAFINDAN inşa edildi); elsewhere a bare
                 # plural is a clause argument, not a compound modifier
                 and ("A3pl" not in tagsets[i]
+                     # a POSSESSED plural is a legitimate chain link
+                     # (Şehir HATLARI vapurları); only bare plurals are
+                     # clause arguments
+                     or eff_poss[i]
                      # ... and inside the institutional izafet class
                      # (Bakanlar KURULU, öğretmenler ODASI)
                      or roots_of[i + 1] in _PL_IZAFET_HEADS

@@ -1238,6 +1238,20 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i + 1] == "VERB"
         ):
             out[i] = "ADV"
+    # temporal-manner adjectives directly before a LIGHT-VERB complex
+    # scope over the whole predicate, not the event nominal (erken FARK
+    # ETTİ, geç KARAR VERDİ): the nominal fills the verb's own slot and
+    # takes no adnominal in this frame
+    for i in range(n - 2):
+        if (
+            out[i] == "ADJ"
+            and to_lower(tokens[i]) in ("erken", "geç", "çabuk")
+            and out[i + 1] == "NOUN"
+            and out[i + 2] == "VERB"
+            and analyses[i + 2].split("+", 1)[0] in ("et", "yap", "ol",
+                                                     "ver", "kıl")
+        ):
+            out[i] = "ADV"
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]

@@ -3116,6 +3116,32 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 5, 5, 0, 5],
         deprels=['amod', 'nmod', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # ---- blind-38 miss categories, pinned with fresh lexemes -----------
+    # temporal-manner adjective scopes over the light-verb complex
+    dict(
+        text='Doktor hastalığı erken teşhis etti.',
+        tokens=['Doktor', 'hastalığı', 'erken', 'teşhis', 'etti', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'advmod', 'compound', 'root',
+                 'punct'],
+    ),
+    # a POSSESSED plural is a legitimate zincirleme link
+    dict(
+        text='Okul servisleri güzergahları değişti.',
+        tokens=['Okul', 'servisleri', 'güzergahları', 'değişti', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 4, 0, 4],
+        deprels=['nmod', 'nmod', 'nsubj', 'root', 'punct'],
+    ),
+    # lexicalized bare weather juxtaposition
+    dict(
+        text='Sağanak yağmur sürücüleri zorladı.',
+        tokens=['Sağanak', 'yağmur', 'sürücüleri', 'zorladı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
