@@ -2051,6 +2051,11 @@ def py_parse_tokens(
                      or roots_of[i + 1] in _PL_IZAFET_HEADS
                      or (roots_of[i + 1] in _SPATIAL_ROOTS
                          and eff_case[i + 1] in ("Dat", "Loc", "Abl"))
+                     # benefit/side relational heads take plural
+                     # possessors too (depremzedeler YARARINA konser)
+                     or (roots_of[i + 1] in ("yarar", "leh", "aleyh")
+                         and eff_case[i + 1] in ("Dat", "Loc")
+                         and eff_poss[i + 1])
                      or (roots_of[i + 1] == "taraf"
                          and eff_case[i + 1] == "Abl" and eff_poss[i + 1]))
                 # a possessed nominal heads its own phrase (Kitabın son

@@ -292,6 +292,13 @@ class CandidateGenerator:
                 for v in ("ı", "u"):
                     dropped.append(stem[:-1] + v + stem[-1])
             for cand in dropped:
+                # the vowel-drop noun class is short citation stems
+                # (alın, burun, oğul, şehir, akıl, ömür): a LONG
+                # restored form ending in the deverbal -Im is never a
+                # drop noun (aktarma != aktarım+a, yatırma != yatırım+a)
+                if len(cand) >= 6 and cand[-2:] in ("ım", "im", "um",
+                                                    "üm"):
+                    continue
                 roots.append(cand)
                 suffixes.append(suffix)
                 # drop + voicing combine in one stem class: kayb+ı has

@@ -3142,6 +3142,25 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=['nmod', 'nsubj', 'obj', 'root', 'punct'],
     ),
+    # ---- fourth probe sweep, pinned -------------------------------------
+    # -Im deverbal nouns never vowel-drop (aktarma != aktarım+a)
+    dict(
+        text='Yolcular aktarma istasyonunda bekliyor.',
+        tokens=['Yolcular', 'aktarma', 'istasyonunda', 'bekliyor',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # benefit relational heads take plural possessors
+    dict(
+        text='Sanatçılar depremzedeler yararına konser verdi.',
+        tokens=['Sanatçılar', 'depremzedeler', 'yararına', 'konser',
+                'verdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obl', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
