@@ -56,6 +56,7 @@ SPLITS = [
     ("blind36", "vnlp_spark.plans.gold_ud_blind36", "BLIND36"),
     ("blind37", "vnlp_spark.plans.gold_ud_blind37", "BLIND37"),
     ("blind38", "vnlp_spark.plans.gold_ud_blind38", "BLIND38"),
+    ("blind39", "vnlp_spark.plans.gold_ud_blind39", "BLIND39"),
 ]
 
 
