@@ -1711,6 +1711,37 @@ def py_parse_tokens(
             heads[i], rels[i] = i + 2, "nmod"
             continue
         if (
+            upos[i] == "NOUN"
+            and eff_case[i] in ("Nom", "")
+            and not eff_poss[i]
+            # chain modifiers are bare SINGULAR (köprü, geçiş); a bare
+            # plural is a clause argument (TARAFTARLAR stadyum
+            # çevresinde toplandı)
+            and "A3pl" not in tagsets[i]
+            and roots_of[i] not in _TEMPORAL_ROOTS
+            and i + 2 < n
+            and upos[i + 1] == "NOUN"
+            and eff_case[i + 1] in ("Nom", "")
+            and not eff_poss[i + 1]
+            and upos[i + 2] in _NOMINAL
+            and eff_poss[i + 2]
+            and i + 1 != vt and i + 2 != vt
+            and not (i + 2 < n and upos[i + 2] == "ADP")
+            and any(
+                upos[j] in ("PROPN", "PRON")
+                or (upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and roots_of[j] not in _TEMPORAL_ROOTS)
+                for j in range(i)
+            )
+        ):
+            # bare link into a TWO-step izafet chain with the subject
+            # already claimed further left (Sürücüler KÖPRÜ geçiş
+            # ücretlerine tepki gösterdi): the first bare noun modifies
+            # the second, which itself feeds the possessed head
+            heads[i], rels[i] = i + 2, "nmod"
+            continue
+        if (
             roots_of[i] in _MATERIAL_NOUNS
             and upos[i] == "NOUN"
             and eff_case[i] in ("Nom", "")

@@ -39,6 +39,9 @@ _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
     "kağıt", "naylon", "porselen", "kadife",
+    # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
+    # ağırladı, rekor katılım)
+    "rekor",
 }
 
 _MORPH_TO_UPOS = {

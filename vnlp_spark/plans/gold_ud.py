@@ -3161,6 +3161,25 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'nmod', 'obl', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-39 arc categories, pinned with fresh lexemes ------------
+    # bare singular link into a two-step izafet chain, subject on left
+    dict(
+        text='Üyeler aidat ödeme planına itiraz etti.',
+        tokens=['Üyeler', 'aidat', 'ödeme', 'planına', 'itiraz',
+                'etti', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 4, 6, 6, 0, 6],
+        deprels=['nsubj', 'nmod', 'nmod', 'obl', 'compound', 'root',
+                 'punct'],
+    ),
+    # degree-juxtaposition rekor modifies the following nominal
+    dict(
+        text='Festival rekor katılımla tamamlandı.',
+        tokens=['Festival', 'rekor', 'katılımla', 'tamamlandı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
