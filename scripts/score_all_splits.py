@@ -57,6 +57,7 @@ SPLITS = [
     ("blind37", "vnlp_spark.plans.gold_ud_blind37", "BLIND37"),
     ("blind38", "vnlp_spark.plans.gold_ud_blind38", "BLIND38"),
     ("blind39", "vnlp_spark.plans.gold_ud_blind39", "BLIND39"),
+    ("blind40", "vnlp_spark.plans.gold_ud_blind40", "BLIND40"),
 ]
 
 
