@@ -1466,8 +1466,16 @@ def py_parse_tokens(
             # the walk target must be a Nom/Acc compound head — a Loc/
             # Abl/Dat possessed nominal is its own oblique/spatial/agent
             # frame and never takes the adnominal (bir hafta İÇİNDE,
-            # uzman ekip TARAFINDAN)
-            and _case_of(analyses[nom + 1]) in ("Nom", "Acc")
+            # uzman ekip TARAFINDAN, geçen hafta üyelerine) — EXCEPT
+            # for the fossil -ArAsI adjectives, which scope over the
+            # whole compound (şehirlerarası otobüs BİLETLERİNE)
+            and (_case_of(analyses[nom + 1]) in ("Nom", "Acc")
+                 or (to_lower(tokens[i]).endswith("arası")
+                     and not (roots_of[nom + 1] in _SPATIAL_ROOTS
+                              or roots_of[nom + 1] in _TEMPORAL_ROOTS
+                              or roots_of[nom + 1] in ("son", "taraf",
+                                                       "yarar", "leh",
+                                                       "aleyh"))))
             and (eff_poss[nom + 1]
                  or (bool(tagsets[nom + 1] & {"P3sg", "P3pl"})
                      # a time noun heads its own adjunct (bu YAZ

@@ -222,6 +222,13 @@ _STEM_PATCH: dict = {
     # to a bogus buzdolab+Acc cut and became a fronted object)
     "buzdolabı": ["Noun"], "denizaltı": ["Noun"], "hanımeli": ["Noun"],
     "ayakkabı": ["Noun"],
+    # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
+    # bogus şehirleraras+P3sg cut and claimed the subject slot)
+    "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],
+    "milletlerarası": ["Adj"], "kıtalararası": ["Adj"],
+    # fossilized -yolu transport compounds (Havayolu = the airline, a
+    # citation stem, not hava+yol+Acc)
+    "havayolu": ["Noun"], "demiryolu": ["Noun"], "karayolu": ["Noun"],
 }
 
 
@@ -544,7 +551,7 @@ class HeuristicDisambiguator:
                 # a possessed-Nom izafet group licenses the frame the
                 # same way a bare nominal does (rüzgar santrali KURMAYI
                 # planlıyor)
-                and prev_case in ("Nom", "NomP", "NomPl")
+                and prev_case in ("Nom", "NomP", "NomPl", "NomD")
                 # the frame's verbal noun is UNPOSSESSED (ödemeyi,
                 # kurmayı): a possessed -mA plural after a bare-Nom is
                 # the izafet compound instead (öğretmen ATAMALARINI
@@ -640,7 +647,7 @@ class HeuristicDisambiguator:
                 # equative use (okul KADAR kalabalık, çocuk GİBİ) — only
                 # a non-Nom mismatched case kills the reading
                 s += 6.0 if prev_case in ("Dat", "Nom", "NomP",
-                                          "NomPl") else -6.0
+                                          "NomPl", "NomD") else -6.0
             else:
                 s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
@@ -748,7 +755,7 @@ class HeuristicDisambiguator:
             first == "Noun"
             and suffix
             and "P3sg" in tag_set
-            and prev_case in ("Nom", "NomPl")
+            and prev_case in ("Nom", "NomPl", "NomD")
             and has_adj_whole_rival
             # the loan-î homograph class (merkez+i/merkezî, tarih+i/
             # tarihî, asker+i/askerî) has substantial noun stems; short
@@ -776,7 +783,7 @@ class HeuristicDisambiguator:
             and "Nom" in tag_set
             and has_acc_rival
             and (
-                prev_case not in ("Nom", "NomP", "Gen", "NomPl")
+                prev_case not in ("Nom", "NomP", "Gen", "NomPl", "NomD")
                 # a PLURAL bare-Nom licenses izafet only for the closed
                 # institutional-head class (Bakanlar KURULU, öğretmenler
                 # ODASI); an open-class plural (Organizatörler
@@ -1192,6 +1199,16 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
             # only for institutional heads (Bakanlar Kurulu), not the
             # open class — see the P3sg+Nom demotion in score()
             prev_case = "NomPl"
+        elif (prev_case == "Nom" and "A3sg" in tags
+              and not _TAG_SEP.split(analysis)[1:2] == ["Adj"]
+              and "DB" not in analysis
+              and "Adj" in _engine()[0].stem_dic.get(
+                  analysis.split("+", 1)[0], ())):
+            # a bare Noun/Adj DUAL stem (kaçak, dolu) licenses singular
+            # izafet heads (dolu YAĞIŞI) but not PLURAL possessed ones
+            # (kaçak YAPILARI = the Acc object of a transitive, with
+            # kaçak attributive) — see the matching demotion in score()
+            prev_case = "NomD"
     # LVC-nominal repair (needs RIGHT context the per-token pass lacks):
     # a chosen finite-verb reading directly before a light-verb finite
     # (tahliyesine KARAR verdi = karar the noun + ver-, never kar+Aor +
@@ -1289,6 +1306,40 @@ def py_analyze_tokens(tokens: Sequence[str]) -> List[str]:
             nxt_pos = nxt_parts[1] if len(nxt_parts) > 1 else ""
         if nxt_pos == "Noun":
             out[idx] = low + "+Adj"
+    # a DUAL Noun/Adj stem before a PLURAL possessed-Nom with an Acc
+    # rival: when the clause already has a subject on the LEFT, the
+    # plural is the Acc object and the dual is attributive (Zabıta
+    # ekipleri kaçak YAPILARI mühürledi); sentence-initially the izafet
+    # stands (DOLU taneleri camları kırdı)
+    for idx in range(1, len(out) - 1):
+        low = to_lower(tokens[idx])
+        parts = _TAG_SEP.split(out[idx])
+        if (parts[0] == low
+                and parts[1:2] == ["Noun"] and "Pnon" in parts
+                and "Nom" in parts and "A3sg" in parts
+                and "Adj" in gen.stem_dic.get(low, ())):
+            nxt = _TAG_SEP.split(out[idx + 1])
+            if not ("A3pl" in nxt and "P3sg" in nxt and "Nom" in nxt
+                    and "Noun" in nxt):
+                continue
+            if not any(
+                "Noun" in _TAG_SEP.split(o) and "Nom" in _TAG_SEP.split(o)
+                for o in out[:idx]
+            ):
+                continue
+            acc = next(
+                (f"{root}+" + "+".join(tags)
+                 for root, _sfx, tags in gen.get_analysis_candidates(
+                     tokens[idx + 1])
+                 if not isinstance(tags, str) and tags
+                 and tags[0] == "Noun" and "Acc" in tags
+                 and "Pnon" in tags and "A3pl" in tags
+                 and "DB" not in tags),
+                None,
+            )
+            if acc:
+                out[idx + 1] = acc
+                out[idx] = low + "+Adj"
     # an Adverb/Adj dual stem (açık, yalnız, geri) directly before a
     # bare unpossessed nominal is the attributive adjective (AÇIK hava
     # sineması, YALNIZ kadın); the adverb reading needs a verb or

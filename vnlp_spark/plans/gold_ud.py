@@ -3180,6 +3180,26 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'nmod', 'obl', 'root', 'punct'],
     ),
+    # ---- blind-40 miss categories, pinned with fresh lexemes -----------
+    # fossilized -ArAsI adjectives and -yolu compound stems, with the
+    # amod walking onto a case-marked ordinary head
+    dict(
+        text='Havayolu uluslararası uçuş ağını genişletti.',
+        tokens=['Havayolu', 'uluslararası', 'uçuş', 'ağını',
+                'genişletti', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 4, 4, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # dual Noun/Adj stem before a plural possessed-Nom with a left
+    # subject: the plural is the Acc object, the dual attributive
+    dict(
+        text='Dernek yoksul aileleri giydirdi.',
+        tokens=['Dernek', 'yoksul', 'aileleri', 'giydirdi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
