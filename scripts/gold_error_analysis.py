@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind40" in sys.argv:
+    if "--blind41" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind41 import BLIND41 as entries
+    elif "--blind40" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind40 import BLIND40 as entries
     elif "--blind39" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind39 import BLIND39 as entries

@@ -58,6 +58,7 @@ SPLITS = [
     ("blind38", "vnlp_spark.plans.gold_ud_blind38", "BLIND38"),
     ("blind39", "vnlp_spark.plans.gold_ud_blind39", "BLIND39"),
     ("blind40", "vnlp_spark.plans.gold_ud_blind40", "BLIND40"),
+    ("blind41", "vnlp_spark.plans.gold_ud_blind41", "BLIND41"),
 ]
 
 
