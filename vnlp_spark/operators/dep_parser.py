@@ -1682,9 +1682,9 @@ def py_parse_tokens(
                 i + 1 < n
                 and upos[i + 1] == "VERB"
                 and roots_of[i + 1] in ("ol", "et", "gel", "görün", "dur",
-                                        "kal")
+                                        "kal", "tut")
             ):
-                # predicative complement of a copular/psych verb
+                # predicative complement of a copular/psych/keep verb
                 # (rahatsız oldu, mantıklı geldi)
                 heads[i], rels[i] = i + 2, "compound"
                 continue

@@ -1025,6 +1025,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and to_lower(tokens[i]) not in _TITLES
             and not (i == 0 and (to_lower(tokens[i]) in _TEMPORAL_ROOTS_POS
                                  or _agentive_common(to_lower(tokens[i]))))
+            # a SENTENCE-INITIAL gazetteer homograph whose common-noun
+            # reading feeds a lowercase izafet head keeps the common
+            # reading (ZİRAAT odası üreticilere fide dağıttı); the
+            # name reading needs a capitalized continuation (Ziraat
+            # Bankası) or a mid-sentence capital
+            and not (i == 0 and i + 1 < n
+                     and out[i + 1] == "NOUN"
+                     and not _CAP_RE.match(tokens[i + 1])
+                     and _is_possessed(tokens[i + 1], analyses[i + 1]))
         ):
             out[i] = "PROPN"
     # zincirleme izafet: a whole-word-Adj homograph with a live P3sg+Nom
@@ -1258,10 +1267,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
     for i in range(n - 1):
         if out[i] == "ADJ" and out[i + 1] == "VERB":
             nxt_root = analyses[i + 1].split("+", 1)[0]
-            if nxt_root in ("ol", "et", "kal", "görün"):
+            if nxt_root in ("ol", "et", "kal", "görün", "tut"):
                 continue  # predicative complement: rahatsız oldu,
-                # açık kaldı, modern görünüyor — appearance verbs take
-                # predicative adjectives, never manner adverbs
+                # açık kaldı, modern görünüyor, sabit tuttu — keep/
+                # appearance verbs take predicative adjectives, never
+                # manner adverbs
             if nxt_root in ("gel", "dur") and i > 0 and (
                 _case_of(analyses[i - 1]) == "Dat"
             ):

@@ -3200,6 +3200,24 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-41 residual categories, pinned with fresh lexemes -------
+    # keep-verb tut- takes a predicative adjective complement
+    dict(
+        text='Aile ortamı evi sıcak tutar.',
+        tokens=['Aile', 'ortamı', 'evi', 'sıcak', 'tutar', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADJ', 'VERB', 'PUNCT'],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'obj', 'compound', 'root', 'punct'],
+    ),
+    # sentence-initial gazetteer homograph feeding a lowercase izafet
+    # head keeps its common reading
+    dict(
+        text='Emlak ofisi yeni şube açtı.',
+        tokens=['Emlak', 'ofisi', 'yeni', 'şube', 'açtı', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
