@@ -76,19 +76,29 @@ def _pseudo_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """PNG payloads decode for REAL (pure-python codec, operators/png.py:
-    zlib IDAT + numpy unfilter) and featurize as an 8x8 block-mean
-    thumbnail.  Non-PNG formats (JPEG/WebP) still need a codec library
-    the container lacks — honest NotImplementedError unless fake=True
+    """PNG and baseline JPEG payloads decode for REAL (pure-python
+    codecs: operators/png.py zlib IDAT + numpy unfilter; operators/
+    jpeg.py Huffman + dequant + IDCT) and featurize as an 8x8 block-mean
+    thumbnail.  Progressive JPEG and WebP still need a codec library the
+    container lacks — honest NotImplementedError unless fake=True
     (deterministic pseudo-decode for tests)."""
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, image_features, is_png
 
     if payload and is_png(payload):
         return image_features(decode_png(payload), FEATURE_DIM)
+    if payload and is_jpeg(payload):
+        try:
+            return image_features(decode_jpeg(payload), FEATURE_DIM)
+        except NotImplementedError:
+            if not fake:
+                raise
+            return _pseudo_decode(payload)
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow; PNG decodes natively, "
-            "or run with fake=True for the deterministic pseudo-decode"
+            "non-PNG/JPEG image decode requires Pillow; PNG and baseline "
+            "JPEG decode natively, or run with fake=True for the "
+            "deterministic pseudo-decode"
         )
     return _pseudo_decode(payload)
 
