@@ -1,0 +1,148 @@
+"""Train + pin the full student stack (VERDICT r03 #4).
+
+Distills every deterministic annotator into its trained NumPy student
+over ALL frozen gold texts (labels always from the teachers, never from
+gold) and pins the weights to vnlp_spark/resources/students/*.npz —
+the same ship-trained-weights contract the reference uses for its
+pickled S3 weight lists.
+
+Run:  python scripts/distill_students.py [--quick]
+Writes per-student transductive agreement to
+bench_artifacts/students_agreement.json and prints a summary line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from vnlp_spark.operators import students as S
+from vnlp_spark.operators.spu_context import SPUContextModel
+
+QUICK = "--quick" in sys.argv
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "bench_artifacts", "students_agreement.json")
+
+
+def main() -> None:
+    t0 = time.time()
+    texts = S.all_gold_texts()
+    if QUICK:
+        texts = texts[:120]
+    print(f"training texts: {len(texts)}")
+    silver = S.silver_sets(texts)
+    n_sent = len(silver["tokens"])
+    n_tok = sum(len(t) for t in silver["tokens"])
+    print(f"silver: {n_sent} sentences / {n_tok} tokens "
+          f"({time.time() - t0:.0f}s teacher pass)")
+
+    vmap = S.build_vocab_map(silver["pieces"])
+    n_rows = int(vmap.max()) + 1
+    mapped = [np.asarray(S.remap_pieces(sent, vmap), dtype=np.int64)
+              for sent in silver["pieces"]]
+    print(f"vocab rows: {n_rows}")
+
+    summary = {"sentences": n_sent, "tokens": n_tok, "vocab_rows": n_rows}
+
+    # --- NER silver labels (teacher: operators/ner.py) ---------------------
+    from vnlp_spark.operators.ner import py_ner_tags
+    from vnlp_spark.operators.spu_context_train import NER_LABEL_IDS
+
+    ner_labels = [[NER_LABEL_IDS[t] for t in py_ner_tags(toks)]
+                  for toks in silver["tokens"]]
+
+    jobs = [
+        ("pos", silver["pos"], len(S.UPOS_LABELS) + 1, 0.995),
+        ("rel", silver["rel"], len(S.DEPREL_LABELS) + 1, 0.995),
+        ("arc", silver["arc"], S.ARC_CLASSES + 1, 0.995),
+        ("ner", ner_labels, 5, 0.998),
+    ]
+    epochs = 60 if QUICK else 400
+    for name, labels, n_labels, target in jobs:
+        print(f"== {name} student ({n_labels} labels) ==")
+        t1 = time.time()
+        model, agr = S.distill_sequence_student(
+            mapped, labels, n_labels, n_rows,
+            max_epochs=epochs, target=target, check_every=10,
+        )
+        S.save_payload(os.path.join(S.STUDENTS_DIR, f"{name}.npz"),
+                       model.arrays(), vmap=vmap,
+                       meta={"agreement": agr, "n_labels": n_labels})
+        # re-measure on the LOADED (f16-rounded) payload
+        arrays, vmap2, _ = S.load_payload(
+            os.path.join(S.STUDENTS_DIR, f"{name}.npz"))
+        loaded = SPUContextModel.from_arrays(arrays)
+        preds = loaded.tag_sentences(mapped, sentence_max_len=8)
+        ok = sum(a == b for p, l in zip(preds, labels)
+                 for a, b in zip(p, l))
+        agr_loaded = ok / max(1, n_tok)
+        print(f"  {name}: trained {agr:.4f} / loaded {agr_loaded:.4f} "
+              f"({time.time() - t1:.0f}s)")
+        summary[name] = {"trained": round(agr, 4),
+                         "loaded": round(agr_loaded, 4)}
+
+    # --- morph ranker ------------------------------------------------------
+    print("== morph ranker ==")
+    t1 = time.time()
+    rows, ys, groups = S.collect_morph_training(texts)
+    ranker = S.MorphRanker.surrogate(emb_dim=32, hidden=128)
+    # boosting rounds with lr decay: oversample currently-wrong groups
+    agr, lr = 0.0, 6e-3
+    for rnd in range(3 if QUICK else 10):
+        sc = ranker.scores(rows)
+        wrong = [g for g in groups
+                 if int(np.argmax(sc[g[0]: g[0] + g[1]])) != g[2]]
+        gtrain = list(groups) + wrong * 4
+        ranker.train(rows, ys, epochs=25, lr=lr, groups=gtrain,
+                     log=None, seed=rnd)
+        agr = S.ranker_agreement(ranker, rows, groups)
+        print(f"  boosting round {rnd}: agreement {agr:.4f} "
+              f"(was-wrong {len(wrong)})")
+        if agr >= 0.995:
+            break
+        lr *= 0.75
+    S.save_payload(os.path.join(S.STUDENTS_DIR, "morph.npz"),
+                   ranker.arrays(),
+                   meta={"agreement_ambiguous": agr,
+                         "decisions": len(groups)})
+    arrays, _, _ = S.load_payload(os.path.join(S.STUDENTS_DIR, "morph.npz"))
+    loaded_r = S.MorphRanker.from_arrays(arrays)
+    agr_loaded = S.ranker_agreement(loaded_r, rows, groups)
+    print(f"  morph: trained {agr:.4f} / loaded {agr_loaded:.4f} on "
+          f"{len(groups)} ambiguous decisions ({time.time() - t1:.0f}s)")
+    summary["morph"] = {"trained": round(agr, 4),
+                        "loaded": round(agr_loaded, 4),
+                        "ambiguous_decisions": len(groups)}
+
+    # --- whole-pipeline transductive agreement (token-level, all tokens) ---
+    payloads = S.load_students()
+    models = S.build_student_models(payloads)
+    from vnlp_spark.operators.morphology import py_analyze_tokens
+    from vnlp_spark.operators.subword import SpmUnigramEncoder, parse_spm_model
+
+    enc = SpmUnigramEncoder(parse_spm_model())
+    ok_m = tot = 0
+    for toks in silver["tokens"]:
+        teacher = py_analyze_tokens(toks)
+        student = py_analyze_tokens(toks, selector=models["selector"])
+        for a, b in zip(teacher, student):
+            tot += 1
+            ok_m += a == b
+    summary["morph_token_level"] = round(ok_m / max(1, tot), 4)
+    print(f"morph token-level agreement (incl. unambiguous): "
+          f"{summary['morph_token_level']:.4f}")
+
+    summary["wall_s"] = round(time.time() - t0, 1)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,10 @@ from pyspark.sql import functions as F
 from vnlp_spark.operators.entity_resolution import (
     build_entities,
     canonical_key,
+    initials_aliases,
     link_mentions,
 )
-from vnlp_spark.plans.gold_linking import GOLD_LINKS, KB
+from vnlp_spark.plans.gold_linking import GOLD_LINKS, KB, TUNING_LINKS
 
 
 def main() -> None:
@@ -39,12 +40,14 @@ def main() -> None:
         .withColumn("canon_key", canonical_key("mention"))
     entities = build_entities(seeds).cache()
 
+    rows = GOLD_LINKS + (TUNING_LINKS if "--tuning" in sys.argv else [])
     mentions = spark.createDataFrame(
-        [(i, m, l, g) for i, (m, l, g) in enumerate(GOLD_LINKS)],
+        [(i, m, l, g) for i, (m, l, g) in enumerate(rows)],
         "mid int, mention string, label string, gold string",
     ).withColumn("canon_key", canonical_key("mention"))
 
-    linked = link_mentions(mentions, entities)
+    linked = link_mentions(mentions, entities,
+                           aliases_df=initials_aliases(entities))
     result = (
         linked.join(
             entities.select(F.col("entity_id"), F.col("canon_key").alias("linked_key")),

@@ -23,6 +23,7 @@ on top of AQE's runtime skew-split, which is also enabled in session.py.
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +74,97 @@ def build_entities(mentions_df: DataFrame, key_col: str = "canon_key",
     )
 
 
+def fold_key(col: Column | str) -> Column:
+    """ASCII-fold a canon key for BLOCKING and n-gram similarity only
+    (linking identity stays on the true key): web text freely drops
+    Turkish diacritics (Istanbul, Turkiye, Besiktas), which otherwise
+    breaks both the prefix block and the gram overlap.  Native
+    ``translate`` — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, "çğıöşüâîû", "cgiosuaiu")
+
+
+def containment(cand: Column, mention: Column) -> Column:
+    """|cand ∩ mention| / |cand| — the asymmetric overlap that catches
+    FUSED suffixed surfaces (İzmirliler ⊇ izmir's grams) where Jaccard
+    is diluted by the suffix grams."""
+    inter = F.size(F.array_intersect(cand, mention))
+    return F.when(F.size(cand) > 0, inter / F.size(cand)).otherwise(F.lit(0.0))
+
+
+# conventional short forms of the big Turkish clubs — a tiny CLOSED
+# public set (same gazetteer argument as the reference's NER lists)
+TURKISH_CLUB_ABBREVIATIONS = {
+    "gs": "galatasaray",
+    "fb": "fenerbahçe",
+    "bjk": "beşiktaş",
+    "ts": "trabzonspor",
+}
+
+
+def initials_aliases(entities_df: DataFrame) -> DataFrame:
+    """entities -> (alias_key, type, entity_id) rows: folded initials of
+    multi-word canonicals (Türk Hava Yolları -> thy) plus the curated
+    club short forms.  Consulted as a second EXACT path in
+    link_mentions — broadcast-sized by construction."""
+    multi = entities_df.filter(F.size(F.split("canonical", " ")) >= 2)
+    initials = multi.select(
+        fold_key(turkish_lower(F.concat_ws(
+            "", F.transform(F.split("canonical", " "),
+                            lambda w: F.substring(w, 1, 1))
+        ))).alias("alias_key"),
+        F.col("type"),
+        F.col("entity_id"),
+    ).filter(F.length("alias_key") >= 2)
+    club_rows = F.array(*[
+        F.struct(F.lit(k).alias("alias_key"), F.lit(v).alias("canon_key"))
+        for k, v in TURKISH_CLUB_ABBREVIATIONS.items()
+    ])
+    clubs = (
+        entities_df.select("entity_id", "type", "canon_key")
+        .join(
+            entities_df.sparkSession.range(1).select(
+                F.explode(club_rows).alias("a"))
+            .select("a.alias_key", "a.canon_key"),
+            on="canon_key")
+        .select("alias_key", "type", "entity_id")
+    )
+    return initials.unionByName(clubs).distinct()
+
+
+from pyspark.sql.types import IntegerType as _IntegerType
+
+
+@F.pandas_udf(_IntegerType())
+def _damerau_levenshtein_udf(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    """Bounded Damerau-Levenshtein on BLOCKED candidate pairs — the
+    verify stage of the similarity join (runs only on the residual that
+    failed the gram thresholds, a tiny fraction of the block join)."""
+
+    def dl(x: str, y: str) -> int:
+        if x is None or y is None:
+            return 99
+        lx, ly = len(x), len(y)
+        if abs(lx - ly) > 2:
+            return 99
+        prev2: list = []
+        prev = list(range(ly + 1))
+        for i in range(1, lx + 1):
+            cur = [i] + [0] * ly
+            for j in range(1, ly + 1):
+                cost = 0 if x[i - 1] == y[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (i > 1 and j > 1 and x[i - 1] == y[j - 2]
+                        and x[i - 2] == y[j - 1]):
+                    cur[j] = min(cur[j], prev2[j - 2] + 1)
+            prev2, prev = prev, cur
+        return prev[ly]
+
+    import pandas as pd
+
+    return pd.Series([dl(x, y) for x, y in zip(a, b)], dtype="int32")
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of a string, natively (no UDF)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -113,15 +205,27 @@ def link_mentions(
     key_col: str = "canon_key",
     label_col: str = "label",
     min_jaccard: float = 0.4,
+    min_containment: float = 0.7,
+    max_edit: int = 1,
     n_salts: int = 8,
     block_prefix: int = 2,
+    aliases_df: DataFrame | None = None,
 ) -> DataFrame:
     """Link mentions whose key has NO exact entity to the nearest known
-    entity by blocked char-3-gram Jaccard.
+    entity by a blocked ASCII-folded char-3-gram join with a bounded
+    edit-distance verify.
 
-    Plan shape: exact hits resolve via broadcast/hash join on canon_key;
-    the residual joins on (type, key-prefix) blocks — salted — and keeps
-    argmax-similarity per mention via max_by aggregation (no sort)."""
+    Plan shape (all join sides explicit, nothing all-pairs):
+    1. exact hits resolve via hash join on (canon_key, type);
+    2. alias exact hits (initials / curated short forms) on the folded
+       key — broadcast-sized by construction;
+    3. the residual joins on (type, FOLDED-key prefix) blocks — salted —
+       and a candidate passes on folded-gram Jaccard >= ``min_jaccard``,
+       OR candidate-gram containment >= ``min_containment`` (fused
+       suffixed surfaces: İzmirliler ⊇ izmir), OR Damerau-Levenshtein
+       <= ``max_edit`` with matching first char (typos the gram overlap
+       dilutes: Ankra, Anakra).  Argmax by (score, -distance) via one
+       max_by aggregation — no sort, no window."""
     exact = mentions_df.join(
         entities_df.select(key_col, F.col("type").alias(label_col), "entity_id"),
         on=[key_col, label_col],
@@ -130,28 +234,62 @@ def link_mentions(
     resolved = exact.filter(F.col("entity_id").isNotNull())
     unresolved = exact.filter(F.col("entity_id").isNull()).drop("entity_id")
 
+    if aliases_df is not None:
+        ali = unresolved.withColumn("_fkey", fold_key(key_col)).join(
+            F.broadcast(aliases_df.select(
+                F.col("alias_key").alias("_fkey"),
+                F.col("type").alias(label_col),
+                F.col("entity_id"))),
+            on=["_fkey", label_col], how="left",
+        ).drop("_fkey")
+        resolved = resolved.unionByName(
+            ali.filter(F.col("entity_id").isNotNull()))
+        unresolved = ali.filter(F.col("entity_id").isNull()).drop("entity_id")
+
     blocked_entities = entities_df.select(
         F.col("entity_id").alias("cand_id"),
-        F.col("type").alias(label_col),
+        F.col("type").alias("_cand_label"),
         F.col(key_col).alias("cand_key"),
-        F.substring(key_col, 1, block_prefix).alias("_block"),
-        char_ngrams(key_col).alias("_cand_grams"),
-    )
-    blocked_mentions = unresolved.withColumn(
-        "_block", F.substring(key_col, 1, block_prefix)
-    ).withColumn("_grams", char_ngrams(key_col))
+        fold_key(key_col).alias("_cand_fkey"),
+    ).withColumn("_block", F.substring("_cand_fkey", 1, block_prefix)) \
+        .withColumn("_cand_grams", char_ngrams("_cand_fkey"))
+    blocked_mentions = unresolved.withColumn("_fkey", fold_key(key_col)) \
+        .withColumn("_block", F.substring("_fkey", 1, block_prefix)) \
+        .withColumn("_grams", char_ngrams("_fkey"))
 
     joined = salted_join(
-        blocked_mentions, blocked_entities.withColumnRenamed(label_col, "_cand_label"),
+        blocked_mentions, blocked_entities,
         key="_block", n_salts=n_salts,
     ).filter(F.col(label_col) == F.col("_cand_label"))
-    scored = joined.withColumn("_sim", jaccard(F.col("_grams"), F.col("_cand_grams"))).filter(
-        F.col("_sim") >= min_jaccard
+    scored = joined.withColumn(
+        "_jac", jaccard(F.col("_grams"), F.col("_cand_grams"))
+    ).withColumn(
+        "_cont", containment(F.col("_cand_grams"), F.col("_grams"))
+    ).withColumn(
+        # edit-verify only where the cheap gram gate failed but the pair
+        # is plausibly a typo (same first char, close length)
+        "_dl",
+        F.when(
+            (F.col("_jac") >= min_jaccard)
+            | (F.col("_cont") >= min_containment),
+            F.lit(0),
+        ).when(
+            (F.substring("_fkey", 1, 1) == F.substring("_cand_fkey", 1, 1))
+            & (F.abs(F.length("_fkey") - F.length("_cand_fkey")) <= 2),
+            _damerau_levenshtein_udf("_fkey", "_cand_fkey"),
+        ).otherwise(F.lit(99)),
+    ).filter(
+        (F.col("_jac") >= min_jaccard)
+        | (F.col("_cont") >= min_containment)
+        | (F.col("_dl") <= max_edit)
     )
     group_cols = [c for c in unresolved.columns]
     best = (
         scored.groupBy(*group_cols)
-        .agg(F.max_by("cand_id", "_sim").alias("entity_id"))
+        .agg(F.max_by(
+            "cand_id",
+            F.struct(F.greatest("_jac", "_cont"), -F.col("_dl")),
+        ).alias("entity_id"))
     )
     still_unlinked = unresolved.join(best.select(*group_cols), on=group_cols, how="left_anti").withColumn(
         "entity_id", F.lit(None).cast("long")

@@ -132,3 +132,21 @@ GOLD_LINKS = [
     # cross-type guards: same surface family, wrong label must not link
     ("Galatasaray Mahallesi", "LOC", None),  # LOC mention, ORG entity
 ]
+
+# --- tuning pins (added AFTER first scoring, fresh surfaces) -------------
+# Each fixed category gets a pin the gold never contained: the ASCII-fold
+# block rule, the containment rule for fused suffixes, the DL-verify rule
+# for typos, auto-initials and club short-form aliases, plus a distractor
+# that the looser thresholds must still leave unlinked.
+TUNING_LINKS = [
+    ("Izmirde", "LOC", "izmir"),            # fold + containment
+    ("Bursada", "LOC", "bursa"),            # containment
+    ("Eskisehir", "LOC", "eskişehir"),      # fold exact
+    ("Mersn", "LOC", "mersin"),             # DL=1 typo
+    ("Antalyya", "LOC", "antalya"),         # DL=1 typo
+    ("BJK", "ORG", "beşiktaş"),             # curated club short form
+    ("AA", "ORG", "ajansı"),                # auto-initials
+    ("Fenerbahceli", "ORG", "fenerbahçe"),  # fold + containment
+    ("Kayseri", "LOC", None),               # distractor stays unlinked
+    ("Denizlispor", "ORG", None),           # distractor stays unlinked
+]
