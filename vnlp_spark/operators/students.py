@@ -589,3 +589,19 @@ def pos_tags_students(tokens: List[str], models: dict, enc) -> List[str]:
                                                sentence_max_len=8)[0]
     return [UPOS_LABELS[i - 1] if 1 <= i <= len(UPOS_LABELS) else "X"
             for i in ids]
+
+
+_MODELS_CACHE: dict = {}
+
+
+def models_for_payloads(payloads: dict) -> dict:
+    """Worker-global built-model singleton: broadcast payload dict ->
+    built models, constructed once per Python worker process (keyed by
+    the payload object's identity — one broadcast, one build)."""
+    key = id(payloads)
+    hit = _MODELS_CACHE.get(key)
+    if hit is None:
+        _MODELS_CACHE.clear()  # one payload set per worker in practice
+        hit = build_student_models(payloads)
+        _MODELS_CACHE[key] = hit
+    return hit

@@ -224,6 +224,64 @@ def _make_gru_annotate(sentences: DataFrame, model: str = "gru",
     return annotate
 
 
+def _make_students_annotate(sentences: DataFrame):
+    """The TRAINED-student annotator (VERDICT r03 #4): morphology via
+    the char-GRU candidate ranker, NER via the distilled 4-branch
+    SPUContext, arcs via the arc+deprel SPUContext students — all four
+    weight payloads broadcast once, models rebuilt once per Python
+    worker, one fused ArrowEvalPython node (same plan shape as the
+    heuristic path).  Weights are the pinned npz trained by
+    scripts/distill_students.py — the ship-trained-weights contract the
+    reference uses for its pickled S3 arrays."""
+    from ..operators.students import load_students
+    from ..operators.subword import parse_spm_model
+
+    spark = sentences.sparkSession
+    payload_bc = spark.sparkContext.broadcast(load_students())
+    pieces_bc = spark.sparkContext.broadcast(parse_spm_model())
+
+    @_F.pandas_udf(_ANNOTATION_SCHEMA)
+    def _students_udf(sentences_s: pd.Series) -> pd.DataFrame:
+        from ..operators.students import (
+            models_for_payloads,
+            py_annotate_tokens_students,
+        )
+        from ..functions.tokenizer import py_treebank_tokenize
+        from ..operators.subword import SpmUnigramEncoder
+
+        # worker-global singletons: model objects + encoder built once
+        # per Python worker, shared across Arrow batches
+        models = models_for_payloads(payload_bc.value)
+        enc = models.setdefault(
+            "_enc", SpmUnigramEncoder(pieces_bc.value))
+        cache = models.setdefault("_cache", {})
+        rows = []
+        for s in sentences_s:
+            if s is None:
+                rows.append((None, None, None, None))
+                continue
+            hit = cache.get(s)
+            if hit is None:
+                toks = py_treebank_tokenize(s)
+                hit = (toks,) + py_annotate_tokens_students(
+                    toks, models, enc)
+                cache[s] = hit
+            rows.append(hit)
+        return pd.DataFrame(
+            rows, columns=["tokens", "analyses", "mentions", "arcs"])
+
+    def annotate(df: DataFrame) -> DataFrame:
+        return df.withColumn("_ann", _students_udf("sentence")).select(
+            *df.columns,
+            F.col("_ann.tokens").alias("tokens"),
+            F.col("_ann.analyses").alias("analyses"),
+            F.col("_ann.mentions").alias("mentions"),
+            F.col("_ann.arcs").alias("arcs"),
+        )
+
+    return annotate
+
+
 def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
                    model: str = "heuristic", weights=None,
                    sentence_max_len: int | None = None) -> DataFrame:
@@ -248,6 +306,8 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
     if model in ("gru", "spu_context"):
         annotate = _make_gru_annotate(sentences, model=model, weights=weights,
                                       sentence_max_len=sentence_max_len)
+    elif model == "students":
+        annotate = _make_students_annotate(sentences)
     elif model == "heuristic":
         def annotate(df: DataFrame) -> DataFrame:
             return df.withColumn("_ann", _annotate_fused_udf("sentence")).select(
@@ -259,7 +319,8 @@ def annotate_stage(sentences: DataFrame, dedup_sentences: bool = False,
             )
     else:
         raise ValueError(
-            f"unknown model {model!r}; use 'heuristic', 'gru' or 'spu_context'"
+            f"unknown model {model!r}; use 'heuristic', 'gru', "
+            f"'spu_context' or 'students'"
         )
 
     if not dedup_sentences:
