@@ -38,6 +38,9 @@ def main() -> None:
     if "--split2" in sys.argv:
         from vnlp_spark.plans.gold_sentiment2 import GOLD_SENTIMENT2
         GOLD_SENTIMENT, CATS = GOLD_SENTIMENT2, CATS2
+    elif "--split3" in sys.argv:
+        from vnlp_spark.plans.gold_sentiment3 import CATS3, GOLD_SENTIMENT3
+        GOLD_SENTIMENT, CATS = GOLD_SENTIMENT3, CATS3
     preds = [py_sentiment(t) for t, _ in GOLD_SENTIMENT]
     golds = [lbl for _, lbl in GOLD_SENTIMENT]
     n_ok = sum(p == g for p, g in zip(preds, golds))
