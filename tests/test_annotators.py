@@ -126,6 +126,21 @@ def test_sentiment_rule_categories_pinned():
         ("Hafta sonu güzel geçti.", 1),                   # free verb geç- not "late"
         ("Ekran ilk haftada çatladı.", 0),                # open-class lexicon growth
         ("Paket sapasağlam ulaştı.", 1),
+        # pins for the rules added after the split-3 first run
+        ("Temizleyici çok etkiliydi.", 1),                # agentive guard: no misfire
+        ("Montajcı vidaları gevşek bıraktı.", 0),         # open-class growth (neg)
+        ("Kask başıma tam oturdu, hiç zorlanmadan taktım.", 1),  # -mAdAn converb flip
+        ("Fiyatına fazlasıyla değiyor.", 1),              # değ- forms survive değiş- split
+        ("Randevuyu habersiz değiştirdiler, program iptal oldu.", 0),
+        # ^ değiş- no longer masks the negative (was +1 via "değ" prefix)
+        ("Kahve lekesi çıkmadı.", 0),                     # removal verb persists defect
+        ("Halıdaki izi tamamen çıkardılar.", 1),          # non-negated removal resolves
+        ("Performansı hiç düşmedi.", 1),                  # degrade verb: quality held
+        ("Titreme olmadı.", 1),                           # -mA nominal absence frame
+        ("Mesajlarımızı görmezden geldiler.", 0),         # -mAzdAn gel- ignore frame
+        ("Modem tekrar kapandı.", 0),                     # recurrence frame
+        ("Bu fiyatı gerçekten hak etti.", 1),             # hak etti form
+        ("Danışman tüm sorularımızı çözdü.", 1),          # bare resolution praise
     ]
     bad = [(t, g, py_sentiment(t)) for t, g in cases if py_sentiment(t) != g]
     assert not bad, bad

@@ -72,9 +72,16 @@ _POSITIVE = {
     "sağlam", "şık", "ferah", "pratik", "kullanışlı", "hesaplı", "uygun",
     "avantaj", "indirim", "konfor", "hijyen", "titiz", "samimi", "nazik",
     "kibar", "yardımsever", "yardım", "profesyonel", "güler", "sessiz",
-    "ilgi", "saygı", "sadık", "doğru", "bol", "değ", "fayda", "yarar",
+    # "değ" (be worth) is listed per-FORM above (değer/değdi/değiyor/
+    # değmiş) — the bare prefix also matched değiş- "change" (neutral)
+    "ilgi", "saygı", "sadık", "doğru", "bol", "fayda", "yarar",
     "makul", "verim", "sabır", "müthiş", "alkış", "sapasağlam", "bakımlı",
     "taptaze",
+    # split-3 open-class growth (review-register evaluatives)
+    "güçlü", "yetiş", "dakik", "becerikli", "hünerli", "cömert",
+    "şeffaf", "dürüst", "zarif", "düzenli", "masalsı", "özveri",
+    "vaktinde", "zamanında", "donanımlı", "ergonomik", "maharetli",
+    "değer", "değdi", "değiyor", "değmiş", "kıvamında", "pürüzsüz",
 }
 _NEGATIVE = {
     # core evaluatives
@@ -96,6 +103,12 @@ _NEGATIVE = {
     "bulan", "sinek", "haşere", "böcek", "batır", "erimiş", "acımış",
     "izbe", "darmadağın", "fahiş", "çatla", "koktu", "sürün", "uğraştır",
     "kop", "pes",
+    # split-3 open-class growth (review-register failure vocabulary)
+    "sert", "ters", "flu", "dağıl", "çatırda", "tüylen", "deşik",
+    "hasar", "geçiştir", "körel", "alelacele", "altüst", "değmez",
+    "pürüz", "çizik", "ezik", "yamuk", "buruş", "kırış", "aksa",
+    "sızdır", "tıka", "sallan", "gevşe", "gıcırda", "sars", "kopuk",
+    "ekşi", "yanık",
 }
 # longest stem first so "değer"-class stems beat shorter prefixes
 _STEMS: List[Tuple[str, int]] = sorted(
@@ -127,6 +140,18 @@ _CONTRAST_BIGRAMS = {("var", "ki"), ("gör", "ki"), ("olsa", "da"),
                      ("olsa", "bile")}
 # negated persistence verbs assert the anchor persists, not its absence
 _PERSIST_VERBS = ("kesil", "git", "din")
+# negated REMOVAL verbs beside a removable-defect anchor likewise assert
+# persistence ("leke çıkmamış" = the stain is still there)
+_REMOVABLE_ANCHORS = ("leke", "koku", "kir", "pas", "iz")
+# negated DEGRADATION verbs beside a positive anchor assert the quality
+# held ("kalitesi düşmemiş") — no flip either way.  çek- is excluded:
+# its dominant review sense is "shoot (photos)", where negation must
+# still flip ("kamera iyi çekmiyor")
+_DEGRADE_VERBS = ("düş", "sol", "at", "dağıl", "sök")
+# a deverbal -mA event nominal under an absence frame is a reported
+# NON-event: "sarkma olmadı", "renk kayması yok" -> positive
+_MA_NOMINAL_RE = re.compile(
+    r"[a-zçğıöşü]{2,}m[ae](?:sı|si|ları|leri)?$")
 # resolution verbs acting on a negative anchor flip it ("sorunu çözdüler")
 _RESOLUTION_VERBS = ("çöz", "hallet", "gider", "düzelt", "telafi")
 # bare "geç" is the ADJ/ADV "late" only in a verb frame ("geç kaldı");
@@ -137,9 +162,18 @@ _SIZE_ADJS = {"küçük", "büyük", "dar", "bol"}
 _YOK_FORMS = {"yok", "yoktu", "yokmuş", "yoktur"}
 
 
+_AGENTIVE_REMAINDER_RE = re.compile(
+    r"^(?:l[ae]m[ae]c[iı]|l[ae]y[ei]c[iı]|l[iı]kç[iı])")
+_MADAN_RE = re.compile(r"(?:m[ae]d[ae]n)$")
+
+
 def _stem_polarity(tok: str) -> Tuple[int, int]:
     """(polarity, stem_length) by longest-prefix match; privative -sIz
-    derivation flips the base stem's polarity and consumes the token."""
+    derivation flips the base stem's polarity and consumes the token;
+    an agentive derivation after the stem (temiz-lemeci "dry cleaner",
+    temiz-leyici "cleaning product") names an entity rather than
+    evaluating, so it carries no polarity; the -mAdAn converb ("without
+    X-ing") flips the stem it closes (zorlan-madan "effortlessly")."""
     m = _PRIVATIVE_RE.match(tok)
     if m:
         base = m.group(1)
@@ -148,6 +182,11 @@ def _stem_polarity(tok: str) -> Tuple[int, int]:
                 return -pol, len(tok)
     for stem, pol in _STEMS:
         if tok.startswith(stem):
+            rest = tok[len(stem):]
+            if _AGENTIVE_REMAINDER_RE.match(rest):
+                return 0, 0
+            if _MADAN_RE.search(rest):
+                return -pol, len(tok)
             return pol, len(stem)
     return 0, 0
 
@@ -188,6 +227,10 @@ def py_sentiment_proba(text: str) -> float:
                 window = 4 if tok in _YOK_FORMS else 2
                 if contribs and contribs[-1][0] >= i - window:
                     contribs[-1][1] *= -1.0
+                elif _MA_NOMINAL_RE.search(prev):
+                    # absence of a -mA event nominal = the defect did
+                    # NOT happen ("renk kayması yok")
+                    contribs.append([i, 1.0])
                 else:
                     score -= 0.5
                     post_contrast_contrib = post_contrast_contrib or any_contrast
@@ -210,13 +253,34 @@ def py_sentiment_proba(text: str) -> float:
                 # (kesil-/git-/din-) or negated resolution verb
                 # ("çözemediler") instead asserts that something
                 # undesirable persists — its own negative evidence.
+                near = contribs and contribs[-1][0] >= i - 2
                 if any(tok.startswith(p)
                        for p in _PERSIST_VERBS + _RESOLUTION_VERBS):
                     contribs.append([i, -1.0])
-                elif contribs and contribs[-1][0] >= i - 2:
+                elif (near and contribs[-1][1] < 0
+                      and tok.startswith("çık")
+                      and any(toks[contribs[-1][0]].startswith(a)
+                              for a in _REMOVABLE_ANCHORS)):
+                    # negated REMOVAL verb: the defect persists
+                    # ("leke çıkmamış") — anchor stays negative
+                    pass
+                elif (near and contribs[-1][1] > 0
+                      and any(tok.startswith(v) for v in _DEGRADE_VERBS)):
+                    # negated DEGRADATION verb: the quality held
+                    # ("kalitesi düşmemiş") — anchor stays positive
+                    pass
+                elif near:
                     contribs[-1][1] *= -1.0
+                elif _MA_NOMINAL_RE.search(prev) and tok.startswith(
+                        ("ol", "yaşan", "görül")):
+                    # "sarkma olmadı" / "gecikme yaşanmadı": absence of
+                    # the -mA event nominal is a reported non-defect
+                    contribs.append([i, 1.0])
                 elif not contribs and (has_hic or refusal_cue):
-                    contribs.append([i, -1.0])
+                    # "hiç düşmedi/solmadı": a negated DEGRADE verb under
+                    # emphatic hiç asserts stability — positive evidence
+                    stable = any(tok.startswith(v) for v in _DEGRADE_VERBS)
+                    contribs.append([i, 1.0 if stable else -1.0])
             elif tok == "geldi" and prev in _SIZE_ADJS:
                 # size-misfit frame: "küçük/büyük/dar geldi"
                 contribs.append([i, -1.0])
@@ -224,8 +288,14 @@ def py_sentiment_proba(text: str) -> float:
                 contribs.append([i, 1.0])  # "nefes kesici" = breathtaking
             elif tok.startswith("git") and prev == "servise":
                 contribs.append([i, -1.0])  # "servise gitti" = needed repair
-            elif tok.startswith("ed") and prev == "hak":
-                contribs.append([i, 1.0])  # "hak ediyor" = deserves it
+            elif tok.startswith(("ed", "et")) and prev == "hak":
+                contribs.append([i, 1.0])  # "hak ediyor/etti" = deserves it
+            elif tok.endswith(("mazdan", "mezden")) and nxt.startswith("gel"):
+                contribs.append([i, -1.0])  # "duymazdan geldi" = ignored
+            elif tok.startswith("kapan") and prev in ("yine", "tekrar",
+                                                      "gene"):
+                # recurrence frame: the device shut down AGAIN
+                contribs.append([i, -1.0])
             elif (tok.startswith("kapat")
                   and prev in ("yüzüme", "yüzümüze", "yüzüne",
                                "suratıma", "suratımıza")):
@@ -239,6 +309,23 @@ def py_sentiment_proba(text: str) -> float:
                 # anchor: "sorunumu anında çözdüler" (participle-form
                 # negations like "çözemediği" must not flip)
                 contribs[-1][1] *= -1.0
+            elif (contribs and contribs[-1][1] < 0
+                  and contribs[-1][0] >= i - 3
+                  and tok.startswith(("çıkar", "sil"))
+                  and not tok[5 if tok.startswith("çıkar") else 3:]
+                  .startswith(("ma", "me"))
+                  and any(toks[contribs[-1][0]].startswith(a)
+                          for a in _REMOVABLE_ANCHORS)):
+                # non-negated REMOVAL verb beside a removable defect is
+                # resolution praise ("lekeyi tamamen çıkarmış")
+                contribs[-1][1] *= -1.0
+            elif any(tok.startswith(v) and len(tok) > len(v)
+                     and not re.match(r"[ae]?m[aeıiuü]", tok[len(v):])
+                     for v in ("çöz", "hallet", "düzelt", "telafi")):
+                # bare resolution verb with NO pending anchor is itself
+                # praise ("danışman her şeyi çözdü") — gider- excluded,
+                # its noun homograph "gider" (expense) is too common
+                contribs.append([i, 1.0])
             prev = tok
         if any_contrast and contribs:
             post_contrast_contrib = True
