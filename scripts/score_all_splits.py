@@ -59,6 +59,7 @@ SPLITS = [
     ("blind39", "vnlp_spark.plans.gold_ud_blind39", "BLIND39"),
     ("blind40", "vnlp_spark.plans.gold_ud_blind40", "BLIND40"),
     ("blind41", "vnlp_spark.plans.gold_ud_blind41", "BLIND41"),
+    ("blind42", "vnlp_spark.plans.gold_ud_blind42", "BLIND42"),
 ]
 
 

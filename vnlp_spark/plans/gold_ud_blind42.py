@@ -1,0 +1,211 @@
+"""Forty-second BLIND gold split — round 4, extending the closed
+consecutive series (blind-39/40/41 met the gate at 1.000/0.950/1.000;
+this split tests whether the rolling-last-five aggregate can rise
+above the exact 0.950 it closed at).
+
+Protocol (same as gold_ud_blind{,2..41}.py): these 20 NEW sentences were
+written and UD-annotated by hand from the conventions list in
+gold_ud.py's docstring, and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.  Pre-freeze vetting was single-word lexicon
+coverage only (zero out-of-lexicon words); the parser was not run on
+any candidate sentence.
+
+Register: REPRESENTATIVE web-news prose, everyday vocabulary in fresh
+combinations across burned categories: kadar duration ADPs (sabaha
+kadar paketledi); Dat-goal objects (fidanları bahçesine dikti);
+et-complex with outside object (servis aracı tahsis etti); önce
+temporal ADPs (kalkıştan önce); Loc + amod-object finds (mağarada
+eski çanak parçaları buldu); genitive-possessor objects with Dat-goal
+(gelinliğin provasını cumartesiye erteledi); izafet objects with
+plural-Dat goals (kuyu suyunu tarlalara); amod-Loc obliques (kapalı
+salonda verdi); için benefactives (öğrenciler için düşürdü);
+izafet-Ins instruments (kar küreğiyle açtı); plural-Loc obliques
+(şubelerde alıyor); Dat + izafet objects (hastalara ilaç saatlerini);
+geçen-ay temporals; Dat-goal + amod objects (çorbaya taze nane
+ekledi); double obliques Dat+Ins comitative (açılışına bakanla
+geldi); Dat-recipient distributions (taraftarlara dağıttı); -evi
+fossil compound subjects with -lAştIr causative futures (Yayınevi ...
+kitaplaştıracak); izafet subjects before plural Acc objects (Sel
+suları ... mahalleleri bastı); possessed-Nom incorporated objects
+(iftar sofrası kurdu); hafta-sonu izafet obliques (hafta sonuna
+kaydırdı).
+
+Convention notes made BEFORE scoring, where the list is silent:
+'tahsis etti' is an et-complex whose outside object (servis aracı,
+possessed-Nom incorporated) takes obj and the nominal takes compound
+(the anons-etti precedent); 'eski çanak parçaları' reads eski as amod
+on çanak (shards of OLD POTS); 'geçen ay' is the burned amod temporal.
+"""
+from typing import List
+
+BLIND42: List[dict] = [
+    dict(
+        text="Kasaba fırını bayram şekerlerini sabaha kadar paketledi.",
+        tokens=["Kasaba", "fırını", "bayram", "şekerlerini", "sabaha",
+                "kadar", "paketledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "ADP", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 4, 7, 7, 5, 0, 7],
+        deprels=["nmod", "nsubj", "nmod", "obj", "obl", "case", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Gönüllüler fidanları okul bahçesine dikti.",
+        tokens=["Gönüllüler", "fidanları", "okul", "bahçesine", "dikti",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Şirket çalışanlarına servis aracı tahsis etti.",
+        tokens=["Şirket", "çalışanlarına", "servis", "aracı", "tahsis",
+                "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "obl", "nmod", "obj", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Kaptan yolcuları kalkıştan önce uyardı.",
+        tokens=["Kaptan", "yolcuları", "kalkıştan", "önce", "uyardı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "obj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Araştırmacılar mağarada eski çanak parçaları buldu.",
+        tokens=["Araştırmacılar", "mağarada", "eski", "çanak",
+                "parçaları", "buldu", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 4, 5, 6, 0, 6],
+        deprels=["nsubj", "obl", "amod", "nmod", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Terzi gelinliğin provasını cumartesiye erteledi.",
+        tokens=["Terzi", "gelinliğin", "provasını", "cumartesiye",
+                "erteledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Köylüler kuyu suyunu tarlalara taşıdı.",
+        tokens=["Köylüler", "kuyu", "suyunu", "tarlalara", "taşıdı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Orkestra açılış konserini kapalı salonda verdi.",
+        tokens=["Orkestra", "açılış", "konserini", "kapalı", "salonda",
+                "verdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Müze giriş ücretini öğrenciler için düşürdü.",
+        tokens=["Müze", "giriş", "ücretini", "öğrenciler", "için",
+                "düşürdü", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 6, 4, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "obl", "case", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ekip dağ yolunu kar küreğiyle açtı.",
+        tokens=["Ekip", "dağ", "yolunu", "kar", "küreğiyle", "açtı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "nmod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Banka kredi başvurularını şubelerde alıyor.",
+        tokens=["Banka", "kredi", "başvurularını", "şubelerde",
+                "alıyor", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Hemşire hastalara ilaç saatlerini hatırlattı.",
+        tokens=["Hemşire", "hastalara", "ilaç", "saatlerini",
+                "hatırlattı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Genç yüzücü kulaç rekorunu geçen ay kırdı.",
+        tokens=["Genç", "yüzücü", "kulaç", "rekorunu", "geçen", "ay",
+                "kırdı", "."],
+        upos=["ADJ", "NOUN", "NOUN", "NOUN", "ADJ", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 4, 7, 6, 7, 0, 7],
+        deprels=["amod", "nsubj", "nmod", "obj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Aşçı çorbaya taze nane ekledi.",
+        tokens=["Aşçı", "çorbaya", "taze", "nane", "ekledi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obl", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Vali köprü açılışına bakanla geldi.",
+        tokens=["Vali", "köprü", "açılışına", "bakanla", "geldi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kulüp deplasman biletlerini taraftarlara dağıttı.",
+        tokens=["Kulüp", "deplasman", "biletlerini", "taraftarlara",
+                "dağıttı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Yayınevi genç yazarların öykülerini kitaplaştıracak.",
+        tokens=["Yayınevi", "genç", "yazarların", "öykülerini",
+                "kitaplaştıracak", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Sel suları alçak mahalleleri bastı.",
+        tokens=["Sel", "suları", "alçak", "mahalleleri", "bastı", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "amod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Komşular site bahçesinde iftar sofrası kurdu.",
+        tokens=["Komşular", "site", "bahçesinde", "iftar", "sofrası",
+                "kurdu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obl", "nmod", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Doktor muayene saatlerini hafta sonuna kaydırdı.",
+        tokens=["Doktor", "muayene", "saatlerini", "hafta", "sonuna",
+                "kaydırdı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "nmod", "obl", "root",
+                 "punct"],
+    ),
+]
