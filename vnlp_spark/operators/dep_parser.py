@@ -167,6 +167,9 @@ _TRANSITIVE_ROOTS = {
     "kazandır", "kaybet", "programla", "gözlemle", "kopyala", "gizle",
     "reddet", "affet", "böl", "birleştir", "bağla", "yerleştir",
     "taşı", "karşılaştır",
+    # addressee-directed communication transitives (blind-42: the
+    # person-object frame KAPTAN yolcuları ... uyardı)
+    "uyar", "bilgilendir", "selamla", "davet",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
@@ -1138,7 +1141,14 @@ def py_parse_tokens(
                 upos[j] in _TRANSPARENT
                 or (upos[j] in _NOMINAL
                     and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
-                    and not (j + 1 < n and upos[j + 1] == "ADP"))
+                    # an ADP-governed phrase signals a clause-level
+                    # concessive frame (sakatlığına RAĞMEN) — except
+                    # TEMPORAL-ordering postpositions, whose frames are
+                    # ordinary time adjuncts compatible with the object
+                    # reading (KAPTAN yolcuları kalkıştan ÖNCE uyardı)
+                    and not (j + 1 < n and upos[j + 1] == "ADP"
+                             and to_lower(tokens[j + 1]) not in
+                             ("önce", "sonra", "itibaren", "beri")))
                 # bare time expressions are obliques here too (Belediye
                 # simitçileri SABAH denetledi), mirroring
                 # _adjacent_to_verb

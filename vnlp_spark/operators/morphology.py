@@ -1189,6 +1189,17 @@ def py_analyze_tokens(tokens: Sequence[str],
                                 next_coord, prev_is_punct,
                                 selector=selector)
         if (
+            analysis == "aracı+Noun+A3sg+Pnon+Nom"
+            and idx > 0
+            and prev_case == "Nom"
+        ):
+            # the lexicalized agent noun "aracı" (broker) collides with
+            # araç+P3sg; after a bare-Nom noun the izafet vehicle
+            # reading is the web-prose default (SERVİS aracı tahsis
+            # etti, belediye aracı) — the broker reading needs its own
+            # determiner/possessor frame
+            analysis = "araç+Noun+A3sg+P3sg+Nom"
+        if (
             analysis == "sonunda+Adverb"
             and idx > 0
             and prev_case == "Nom"

@@ -1132,7 +1132,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                  # argument, not a modifiable head (İZLEYİCİ finali
                  # beğendi)
                  or _case_of(analyses[i + 1]) not in ("Nom", "")
-                 or "acc" in _readings(tokens[i + 1]))
+                 or "acc" in _readings(tokens[i + 1])
+                 # a bare-Nom nominal already feeding its own izafet
+                 # head is saturated — the Agt word exits to the
+                 # profession-noun subject (GENÇ YÜZÜCÜ kulaç rekorunu)
+                 or (i + 2 < n and out[i + 2] in ("NOUN", "PROPN")
+                     and "Pnon" in analyses[i + 1]
+                     and "Nom" in analyses[i + 1]
+                     and {"P3sg", "P3pl"} & set(
+                         analyses[i + 2].replace("^", "+").split("+"))))
         ):
             # ... but a sentence-final zero-copula predicate keeps the
             # adjectival reading (çok ETKİLEYİCİ.) unless a determiner

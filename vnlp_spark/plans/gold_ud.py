@@ -3218,6 +3218,34 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 4, 5, 0, 5],
         deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-42 categories, pinned with fresh lexemes ----------------
+    # Agt-deverbal profession noun before a saturated izafet: NOUN subject
+    dict(
+        text='Yaşlı satıcı pazar tezgahını topladı.',
+        tokens=['Yaşlı', 'satıcı', 'pazar', 'tezgahını', 'topladı', '.'],
+        upos=['ADJ', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['amod', 'nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # the aracı/araç+P3sg homograph after a bare-Nom noun is the izafet
+    # vehicle reading
+    dict(
+        text='Belediye aracı dar sokakta ilerledi.',
+        tokens=['Belediye', 'aracı', 'dar', 'sokakta', 'ilerledi', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # temporal-ADP frames (X-dAn önce/sonra) are transparent for the
+    # transitive object resolution
+    dict(
+        text='Görevli odaları denetimden önce temizledi.',
+        tokens=['Görevli', 'odaları', 'denetimden', 'önce', 'temizledi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADP', 'VERB', 'PUNCT'],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=['nsubj', 'obj', 'obl', 'case', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:

