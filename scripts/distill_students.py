@@ -57,9 +57,9 @@ def main() -> None:
                   for toks in silver["tokens"]]
 
     jobs = [
-        ("pos", silver["pos"], len(S.UPOS_LABELS) + 1, 0.995),
-        ("rel", silver["rel"], len(S.DEPREL_LABELS) + 1, 0.995),
-        ("arc", silver["arc"], S.ARC_CLASSES + 1, 0.995),
+        ("pos", silver["pos"], len(S.UPOS_LABELS) + 1, 0.998),
+        ("rel", silver["rel"], len(S.DEPREL_LABELS) + 1, 0.9985),
+        ("arc", silver["arc"], S.ARC_CLASSES + 1, 0.9985),
         ("ner", ner_labels, 5, 0.998),
     ]
     epochs = 60 if QUICK else 400
