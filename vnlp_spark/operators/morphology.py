@@ -148,6 +148,19 @@ _TR_LOWER_FIX = str.maketrans({"İ": "i", "I": "ı"})
 def to_lower(text: str) -> str:
     if text.islower():
         return text
+    # token-sized inputs repeat massively across the annotation stack
+    # (~130 to_lower calls per sentence); memoize those, pass long
+    # texts (normalizer inputs) straight through
+    if len(text) <= 40:
+        return _to_lower_cached(text)
+    return text.translate(_TR_LOWER_FIX).lower()
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=65536)
+def _to_lower_cached(text: str) -> str:
     return text.translate(_TR_LOWER_FIX).lower()
 
 
