@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind42" in sys.argv:
+    if "--blind43" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind43 import BLIND43 as entries
+    elif "--blind42" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind42 import BLIND42 as entries
     elif "--blind41" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind41 import BLIND41 as entries

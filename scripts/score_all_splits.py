@@ -60,6 +60,7 @@ SPLITS = [
     ("blind40", "vnlp_spark.plans.gold_ud_blind40", "BLIND40"),
     ("blind41", "vnlp_spark.plans.gold_ud_blind41", "BLIND41"),
     ("blind42", "vnlp_spark.plans.gold_ud_blind42", "BLIND42"),
+    ("blind43", "vnlp_spark.plans.gold_ud_blind43", "BLIND43"),
 ]
 
 
