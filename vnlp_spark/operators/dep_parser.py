@@ -927,6 +927,20 @@ def py_parse_tokens(
             and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins")
         )
 
+    def _material_mod(j: int) -> bool:
+        # material/degree juxtaposition feeding a case-marked UNPOSSESSED
+        # host (taş FIRINDA pişirdi): one oblique phrase, transparent for
+        # object adjacency — mirrors the material-noun nmod arc rule
+        return (
+            upos[j] == "NOUN"
+            and eff_case[j] in ("Nom", "")
+            and roots_of[j] in _MATERIAL_NOUNS
+            and j + 1 < n
+            and upos[j + 1] in _NOMINAL
+            and eff_case[j + 1] in ("Dat", "Loc", "Abl", "Ins")
+            and not eff_poss[j + 1]
+        )
+
     def _adjacent_to_verb(i: int, v: int) -> bool:
         for j in range(i + 1, v):
             if upos[j] in _TRANSPARENT:
@@ -952,6 +966,8 @@ def py_parse_tokens(
                 continue  # attributive -lIk terrain nominal inside a
                 # locative phrase (çocuğu ORMANLIK alanda buldu)
             if _izafet_oblique_mod(j):
+                continue
+            if _material_mod(j):
                 continue
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
@@ -1035,8 +1051,39 @@ def py_parse_tokens(
         ):
             # a bare time noun to the left always modifies (hafta sonu,
             # akşam yemeği) -> compound-head reading; a det-marked time
-            # noun is a clause adjunct instead (bu yaz çiftçileri zorladı)
-            eff_case[i], eff_poss[i] = "Nom", True
+            # noun is a clause adjunct instead (bu yaz çiftçileri zorladı).
+            # The compound-head CASE still follows the clause: a
+            # possessed-Nom object must sit next to its verb, so when a
+            # case-marked argument separates the head from a TRANSITIVE
+            # verb with no other object, the overt -(s)InI possessed-Acc
+            # reading is the only grammatical one (Gazete pazar EKİNİ
+            # okurlara veriyor -> ek+P3sg+Acc, obj)
+            if (
+                roots_of[v] in _TRANSITIVE_ROOTS
+                and "Pass" not in tagsets[v]
+                # ... the compound must not itself be a TIME expression
+                # (hafta SONU deniz kenarında yürüyüş yaptık stays the
+                # clause-level time adjunct)
+                and roots_of[i] not in _TEMPORAL_ROOTS
+                and roots_of[i] not in ("son", "baş", "orta")
+                and not any("Acc" in tagsets[k] for k in range(n)
+                            if k != i)
+                # ... and no bare-Nom object candidate may stand closer
+                # to the verb (the light-verb nominal yürüyüş in the
+                # same sentence fills the object slot itself)
+                and not any(
+                    upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and not eff_poss[j]
+                    and roots_of[j] not in _TEMPORAL_ROOTS
+                    for j in range(i + 1, v))
+                and any(upos[j] in _NOMINAL
+                        and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
+                        for j in range(i + 1, v))
+            ):
+                eff_case[i], eff_poss[i] = "Acc", True
+            else:
+                eff_case[i], eff_poss[i] = "Nom", True
             continue
         if tagsets[v] & {"A1sg", "A2sg", "A1pl", "A2pl"}:
             # pro-dropped 1st/2nd-person subject: the nominal is the object
@@ -1168,6 +1215,8 @@ def py_parse_tokens(
                 # bare modifier of a possessed oblique izafet head
                 # (rehber EŞLİĞİNDE)
                 or _izafet_oblique_mod(j)
+                # material juxtaposition inside an oblique (taş FIRINDA)
+                or _material_mod(j)
             )
             for j in range(i + 1, v)
         )

@@ -1299,6 +1299,19 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             else:
                 # adjective used adverbially (yorgun döndüm)
                 out[i] = "ADV"
+    # a material/degree juxtaposition noun whose CHOSEN analysis is the
+    # bare citation adjective still modifies as NOUN+nmod before a
+    # nominal (blind-36 convention: cam kavanoz, DEMİR kapıları,
+    # rekor katılım) — the Adj reading is the lexicon's artifact
+    for i in range(n - 1):
+        if (
+            out[i] == "ADJ"
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and to_lower(tokens[i]) in _MATERIAL_NOUNS
+            and out[i + 1] in ("NOUN", "PROPN")
+        ):
+            out[i] = "NOUN"
     return out
 
 

@@ -3246,6 +3246,33 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 5, 3, 0, 5],
         deprels=['nsubj', 'obj', 'obl', 'case', 'root', 'punct'],
     ),
+    # ---- blind-43 categories, pinned with fresh lexemes ----------------
+    # temporal-compound possessed-Acc object separated by an oblique
+    dict(
+        text='Dergi yaz ekini abonelere gönderdi.',
+        tokens=['Dergi', 'yaz', 'ekini', 'abonelere', 'gönderdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # material juxtaposition inside an oblique is transparent for the
+    # ambiguous-object resolution
+    dict(
+        text='Aşçı pilavı bakır tencerede pişirdi.',
+        tokens=['Aşçı', 'pilavı', 'bakır', 'tencerede', 'pişirdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # a material noun whose chosen analysis is the citation adjective
+    # still modifies as NOUN+nmod (the repaired blind-36 convention)
+    dict(
+        text='Koleksiyoncu gümüş tepsileri sergiledi.',
+        tokens=['Koleksiyoncu', 'gümüş', 'tepsileri', 'sergiledi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
