@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind43" in sys.argv:
+    if "--blind44" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind44 import BLIND44 as entries
+    elif "--blind43" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind43 import BLIND43 as entries
     elif "--blind42" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind42 import BLIND42 as entries

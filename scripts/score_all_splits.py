@@ -61,6 +61,7 @@ SPLITS = [
     ("blind41", "vnlp_spark.plans.gold_ud_blind41", "BLIND41"),
     ("blind42", "vnlp_spark.plans.gold_ud_blind42", "BLIND42"),
     ("blind43", "vnlp_spark.plans.gold_ud_blind43", "BLIND43"),
+    ("blind44", "vnlp_spark.plans.gold_ud_blind44", "BLIND44"),
 ]
 
 

@@ -941,6 +941,23 @@ def py_parse_tokens(
             and not eff_poss[j + 1]
         )
 
+    def _gen_oblique_mod(j: int, v: int) -> bool:
+        # genitive possessor whose POSSESSED head follows in an oblique
+        # case before the verb (havuzun derin KULVARINDA tamamladı): the
+        # Gen+...+P3sg-oblique pair is one adjunct phrase — transparent
+        # for object adjacency.  A Gen whose head is Nom/Acc keeps its
+        # argument status (komşunun bahçesini suladı).
+        return (
+            upos[j] in _NOMINAL
+            and eff_case[j] == "Gen"
+            and any(
+                upos[k] in _NOMINAL
+                and eff_poss[k]
+                and eff_case[k] in ("Dat", "Loc", "Abl", "Ins")
+                for k in range(j + 1, v)
+            )
+        )
+
     def _adjacent_to_verb(i: int, v: int) -> bool:
         for j in range(i + 1, v):
             if upos[j] in _TRANSPARENT:
@@ -968,6 +985,8 @@ def py_parse_tokens(
             if _izafet_oblique_mod(j):
                 continue
             if _material_mod(j):
+                continue
+            if _gen_oblique_mod(j, v):
                 continue
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
@@ -1217,6 +1236,9 @@ def py_parse_tokens(
                 or _izafet_oblique_mod(j)
                 # material juxtaposition inside an oblique (taş FIRINDA)
                 or _material_mod(j)
+                # genitive possessor inside an oblique phrase (havuzun
+                # derin KULVARINDA)
+                or _gen_oblique_mod(j, v)
             )
             for j in range(i + 1, v)
         )
@@ -2584,6 +2606,32 @@ def py_parse_tokens(
                 # only a true VERB takes a bare object; copular/adjectival
                 # predicates take obliques (hafta sonu AÇIK -> obl)
                 if upos[vt] != "VERB":
+                    intransitive = True
+                # an Acc object elsewhere in the clause already fills the
+                # verb's object slot — Turkish has no double objects — so
+                # a NOM-case nominal is a duration/extent adjunct instead
+                # (antika saatleri UZUN SÜRE inceledi -> obl).  Guards:
+                # the subject must already stand assigned to this verb
+                # (a clause-initial bare nominal keeps its subject path:
+                # Kurye paketi komşuya bıraktı), the Acc must not belong
+                # to an intervening participle/converb (Yarışı kazanan
+                # sporcu MADALYA aldı keeps obj), and an Acc nominal here
+                # is a conjunct object, never demoted (hem yolları hem
+                # parkları yeniledi)
+                if (eff_case[i] in ("Nom", "")
+                        and any(rels[k] == "nsubj" and heads[k] == vt + 1
+                                for k in range(i))
+                        and any(
+                            eff_case[j] == "Acc" and upos[j] in _NOMINAL
+                            and not any(upos[k] == "VERB"
+                                        for k in range(j + 1, vt))
+                            # a CCONJ between the two nominals makes them
+                            # conjuncts sharing the object slot (hem
+                            # ÜRETİMİ hem ihracatı artırdı) — no demotion
+                            and not any(upos[c] == "CCONJ"
+                                        for c in range(min(i, j) + 1,
+                                                       max(i, j)))
+                            for j in range(vt) if j != i)):
                     intransitive = True
                 heads[i], rels[i] = vt + 1, "obl" if intransitive else "obj"
             else:

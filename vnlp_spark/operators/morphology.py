@@ -234,7 +234,11 @@ _STEM_PATCH: dict = {
     # same fossil class, household/geography compounds (Buzdolabı fell
     # to a bogus buzdolab+Acc cut and became a fronted object)
     "buzdolabı": ["Noun"], "denizaltı": ["Noun"], "hanımeli": ["Noun"],
-    "ayakkabı": ["Noun"],
+    "ayakkabı": ["Noun"], "anaokulu": ["Noun"],
+    # dual Noun/Adj citation stems the lexicon lists as Noun only:
+    # attributive uses (ANTİKA saatleri topladı) need the Adj twin for
+    # the NomD dual-stem machinery, same class as kaçak/dolu
+    "antika": ["Adj"],
     # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
     # bogus şehirleraras+P3sg cut and claimed the subject slot)
     "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],

@@ -3273,6 +3273,47 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
     ),
+    # ---- blind-44 miss categories, pinned with fresh lexemes ---------
+    # antika joins the dual Noun/Adj stem patch: attributive before an
+    # ambiguous plural resolved to Acc by the left subject (NomD path)
+    dict(
+        text='Koleksiyoncu antika vazoları müzayedede sattı.',
+        tokens=['Koleksiyoncu', 'antika', 'vazoları', 'müzayedede',
+                'sattı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # anaokulu joins the fossil -U compound stems: the citation form is
+    # a bare-Nom izafet modifier, not a fronted anaokul+Acc
+    dict(
+        text='Anaokulu müdürü yeni oyuncaklar aldı.',
+        tokens=['Anaokulu', 'müdürü', 'yeni', 'oyuncaklar', 'aldı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    # a genitive possessor inside an oblique phrase (Gen + ... +
+    # P3sg-Loc) is transparent for ambiguous-object adjacency
+    dict(
+        text='Usta dolabı atölyenin geniş bölümünde onardı.',
+        tokens=['Usta', 'dolabı', 'atölyenin', 'geniş', 'bölümünde',
+                'onardı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 6, 5, 5, 6, 0, 6],
+        deprels=['nsubj', 'obj', 'nmod', 'amod', 'obl', 'root',
+                 'punct'],
+    ),
+    # with the object slot filled by an Acc, a bare preverbal nominal
+    # is a duration adjunct, not a second object
+    dict(
+        text='Avukat dosyayı uzun süre inceledi.',
+        tokens=['Avukat', 'dosyayı', 'uzun', 'süre', 'inceledi', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
