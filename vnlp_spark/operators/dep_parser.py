@@ -2232,8 +2232,30 @@ def py_parse_tokens(
                 # a bare nominal before a possessed GENITIVE is the
                 # zincirleme chain's modifier outright (OKUL müdürünün
                 # odası): the genitive cannot be a clause argument, so
-                # the subject-viability test does not apply
-                pass
+                # the subject-viability test does not apply — EXCEPT
+                # when the genitive's own possessed head is the clause
+                # OBJECT (Acc) and no other subject candidate exists for
+                # a transitive 3rd-person predicate: then the bare
+                # nominal exits to subject and the genitive's P3sg
+                # refers back to it (KUAFÖR müşterisinin saçını kesti).
+                # A Nom-chain head keeps the modifier (Okul müdürünün
+                # AÇIKLAMASI tartışma yarattı — the chain IS the subject)
+                gen_head = next((k for k in range(i + 2, p)
+                                 if upos[k] in _NOMINAL and eff_poss[k]),
+                                None)
+                if (gen_head is not None
+                        and eff_case[gen_head] == "Acc"
+                        and "Pass" not in tagsets[p]
+                        and not verb_person_12(p)
+                        and p not in subj_of
+                        and not any(
+                            (upos[j] in ("PROPN", "PRON")
+                             or (upos[j] in _NOMINAL
+                                 and eff_case[j] in ("Nom", "")
+                                 and not eff_poss[j]
+                                 and roots_of[j] not in _TEMPORAL_ROOTS))
+                            for j in range(0, p) if j != i)):
+                    compoundable = False
             elif (compoundable and eff_case[i + 1] not in ("Nom", "")
                     and not tagsets[i + 1] & {"P1sg", "P2sg", "P1pl", "P2pl"}):
                 viable_subject = (

@@ -38,7 +38,7 @@ _TERRAIN_LIK_ADJS = {
 _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
-    "kağıt", "naylon", "porselen", "kadife",
+    "kağıt", "naylon", "porselen", "kadife", "kömür",
     # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
     # ağırladı, rekor katılım)
     "rekor",
@@ -229,6 +229,9 @@ _CORE_ADJS = {
     "kısa", "yüksek", "düşük", "genç", "yaşlı", "hızlı", "yavaş",
     "kolay", "zor", "önemli", "ciddi", "boş", "temiz", "sıcak", "soğuk",
     "taze", "geniş", "dar", "ağır", "hafif", "ucuz", "pahalı",
+    # kuru's p3nom homograph (kur+u 'its exchange rate') must never turn
+    # an attributive use into a chain link (Bahçıvan KURU dalları kesti)
+    "kuru",
 }
 
 

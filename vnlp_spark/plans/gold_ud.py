@@ -3314,6 +3314,35 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 4, 5, 0, 5],
         deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
     ),
+    # ---- fifth probe sweep (pre-blind-45), pinned fresh --------------
+    # kuru joins _CORE_ADJS: the kur+u p3nom homograph must not turn an
+    # attributive use into a kurul-style chain link
+    dict(
+        text='Manav kuru kayısıları tezgaha dizdi.',
+        tokens=['Manav', 'kuru', 'kayısıları', 'tezgaha', 'dizdi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # a bare nominal before a possessed GENITIVE whose chain head is the
+    # Acc object, with no other subject candidate, exits to subject
+    dict(
+        text='Berber çırağının önlüğünü akşam yıkadı.',
+        tokens=['Berber', 'çırağının', 'önlüğünü', 'akşam', 'yıkadı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # kömür joins the material-noun class: NOUN+nmod, never amod
+    dict(
+        text='İşçiler kömür vagonlarını istasyonda boşalttı.',
+        tokens=['İşçiler', 'kömür', 'vagonlarını', 'istasyonda',
+                'boşalttı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
