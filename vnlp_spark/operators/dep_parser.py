@@ -170,6 +170,11 @@ _TRANSITIVE_ROOTS = {
     # addressee-directed communication transitives (blind-42: the
     # person-object frame KAPTAN yolcuları ... uyardı)
     "uyar", "bilgilendir", "selamla", "davet",
+    # fifth-probe-sweep hardening: frequent news transitives still
+    # unlisted (Kurum ... burs ve ücretsiz yemek SAĞLADI), plus the
+    # blind-44 probe verbs that resolved only via adjacency
+    "sağla", "oluştur", "gerçekleştir", "değerlendir", "imzala",
+    "daralt", "geçir", "ilaçla", "ulaştır",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
@@ -1756,7 +1761,15 @@ def py_parse_tokens(
                 verb_between = prev_c is not None and any(
                     upos[k] == "VERB" for k in range(prev_c + 1, i)
                 )
-                if prev_c is not None and not verb_between:
+                if (prev_c is not None and not verb_between
+                        # NOUN ve ADJ NOUN: the adjective is attributive
+                        # on the following nominal, and the coordination
+                        # lands on that nominal instead (ikramiye ve EK
+                        # izin verdi); adjective pairs still coordinate
+                        # (güzel ve güneşli)
+                        and not (upos[prev_c] in ("NOUN", "PROPN")
+                                 and i + 1 < n
+                                 and upos[i + 1] in ("NOUN", "PROPN"))):
                     heads[i], rels[i] = prev_c + 1, "conj"
                     continue
             if (
@@ -1886,13 +1899,26 @@ def py_parse_tokens(
         # the conjuncts -- otherwise the CCONJ coordinates clauses).
         # The FIRST conjunct of a correlative pair has no left conjunct
         # and keeps its clause role (hem ÜRETİMİ hem ihracatı artırdı)
-        if (prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da")
+        conj_via_amod = (
+            # the CCONJ may be separated from its nominal conjunct by
+            # that nominal's own attributive adjective (ikramiye ve EK
+            # İZİN verdi; parka ve YENİ müzeye): the coordination still
+            # lands on the nominal
+            prev_upos == "ADJ"
+            and rels[i - 1] == "amod" and heads[i - 1] == i + 1
+            and i - 2 >= 0 and upos[i - 2] == "CCONJ"
+            and to_lower(tokens[i - 2]) not in ("de", "da")
+            and i - 2 not in corr_cc_idx
+        )
+        if ((prev_upos == "CCONJ" and to_lower(tokens[i - 1]) not in ("de", "da")
                 and i not in corr_first
                 # a nominal fronted by a CLAUSAL correlative particle is
                 # its own clause's argument, not a conjunct of an earlier
                 # nominal (hem üretimi artırdı hem MALİYETLERİ düşürdü)
-                and i - 1 not in corr_cc_idx):
-            first = next((j for j in range(i - 2, -1, -1) if upos[j] in _NOMINAL), None)
+                and i - 1 not in corr_cc_idx)
+                or conj_via_amod):
+            cc_at = i - 2 if conj_via_amod else i - 1
+            first = next((j for j in range(cc_at - 1, -1, -1) if upos[j] in _NOMINAL), None)
             verb_between = first is not None and any(
                 upos[j] == "VERB" for j in range(first + 1, i)
             )
@@ -2686,6 +2712,24 @@ def py_parse_tokens(
             and i + 1 < n and rels[i + 1] == "conj"
         ):
             heads[i], rels[i] = i + 2, "punct"
+
+    # the FIRST conjunct carries the coordination's clause role: when a
+    # bare conj child sits in object position directly before a
+    # transitive verb, a first conjunct that fell to obl is the shared
+    # object (ikramiye ve ek İZİN verdi -> ikramiye obj)
+    for k in range(n):
+        if rels[k] != "conj" or heads[k] <= 0:
+            continue
+        f = heads[k] - 1
+        if (rels[f] == "obl" and eff_case[f] in ("Nom", "")
+                and not eff_poss[f]
+                and eff_case[k] in ("Nom", "")
+                and k + 1 < n and k + 1 == heads[f] - 1
+                and upos[k + 1] == "VERB"
+                and (roots_of[k + 1] in _TRANSITIVE_ROOTS
+                     or roots_of[k + 1] in ("ver", "et", "yap"))
+                and "Pass" not in tagsets[k + 1]):
+            rels[f] = "obj"
 
     # --- leftovers -------------------------------------------------------
     for i in range(n):

@@ -774,10 +774,18 @@ class HeuristicDisambiguator:
             and "P3sg" in tag_set
             and prev_case in ("Nom", "NomPl", "NomD")
             and has_adj_whole_rival
-            # the loan-î homograph class (merkez+i/merkezî, tarih+i/
-            # tarihî, asker+i/askerî) has substantial noun stems; short
-            # accidental splits of true adjectives (yen+i) stay out
-            and len(root) >= 4
+            # scoped to the CLOSED loan-î homograph class (merkez+i/
+            # merkezî, tarih+i/tarihî, asker+i/askerî), where noun and
+            # adjective are separate lexemes split by circumflex loss.
+            # The earlier len-based guard over-fired on everyday
+            # adjectives whose accidental noun split is archaic (Sürücü
+            # KIRMIZI ışıkta durmayınca: kırmız+ı 'its crimson dye'
+            # must not beat kırmızı+Adj)
+            and (to_lower(token) in _LOAN_I_ACC_ADJS
+                 # ... plus the institutional izafet heads, whose
+                 # adjective twin is a participle homograph (Bakanlar
+                 # KURULU = kurul+P3sg, never kurulu 'assembled')
+                 or root in _PL_IZAFET_HEADS)
         ):
             # strong enough to override both the whole-word-rival demotion
             # (-5) and the citation-adjective bonus (+4)
@@ -1273,6 +1281,30 @@ def py_analyze_tokens(tokens: Sequence[str],
         if low != out[idx].split("+", 1)[0] and "Noun" in gen.stem_dic.get(
                 low, ()):
             out[idx] = low + "+Noun+A3sg+Pnon+Nom"
+    # the mirror repair: a NOUN reading chosen for an et/ol/yap surface
+    # directly AFTER a bare-Nom noun is the light-verb complex's verb
+    # (kulüp başkanı istifa EDİNCE = et+When, never edinç+Dat 'to the
+    # acquisition'): the bare nominal demands its support verb, and the
+    # rival noun stems in this surface class are archaic
+    for idx in range(1, len(out)):
+        tags_i = _TAG_SEP.split(out[idx])
+        if "Verb" in tags_i:
+            continue
+        prv = _TAG_SEP.split(out[idx - 1])
+        if not (prv[0:1] and "Noun" in prv and "Pnon" in prv
+                and "Nom" in prv):
+            continue
+        for root, sfx, tags in gen.get_analysis_candidates(tokens[idx]):
+            if (not isinstance(tags, str) and tags[0] == "Verb"
+                    and root in ("et", "ol", "yap", "kıl", "bulun")
+                    # only UNDERIVED verb forms (edince, ederek, etti):
+                    # a multiply-derived candidate is an artifact of the
+                    # generator, not the support verb (taze ETTEN çekti
+                    # must keep et+Abl 'from meat')
+                    and "DB" not in tags):
+                out[idx] = root + "+" + "+".join(tags).replace(
+                    "+DB", "^DB")
+                break
     # the same repair for the frozen son-LVC frames: the Adj reading of
     # "son" directly before ver-/bul- finite is the lexicalized event
     # nominal (çalışmaya SON verdi, tartışma SON buldu), never the

@@ -3343,6 +3343,40 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
     ),
+    # mirror LVC repair: an et-converb surface after a bare-Nom nominal
+    # is the support verb (istifa EDİNCE = et+When, never edinç+Dat)
+    dict(
+        text='Başkan istifa edince kongre toplandı.',
+        tokens=['Başkan', 'istifa', 'edince', 'kongre', 'toplandı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'compound', 'advcl', 'nsubj', 'root',
+                 'punct'],
+    ),
+    # the izafet-over-adjective boost is scoped to the loan-î class and
+    # institutional heads: everyday adjectives keep their reading
+    # (kırmız+ı 'its crimson dye' never beats kırmızı+Adj)
+    dict(
+        text='Ressam kırmızı boyayı tuvale sürdü.',
+        tokens=['Ressam', 'kırmızı', 'boyayı', 'tuvale', 'sürdü', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # a CCONJ separated from its nominal conjunct by an attributive
+    # adjective still coordinates the nominals, and the first conjunct
+    # carries the shared object role
+    dict(
+        text='Kurum öğrencilere burs ve ücretsiz yemek sağladı.',
+        tokens=['Kurum', 'öğrencilere', 'burs', 've', 'ücretsiz',
+                'yemek', 'sağladı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'CCONJ', 'ADJ', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[7, 7, 7, 6, 6, 3, 0, 7],
+        deprels=['nsubj', 'obl', 'obj', 'cc', 'amod', 'conj', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
