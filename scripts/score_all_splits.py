@@ -62,6 +62,7 @@ SPLITS = [
     ("blind42", "vnlp_spark.plans.gold_ud_blind42", "BLIND42"),
     ("blind43", "vnlp_spark.plans.gold_ud_blind43", "BLIND43"),
     ("blind44", "vnlp_spark.plans.gold_ud_blind44", "BLIND44"),
+    ("blind45", "vnlp_spark.plans.gold_ud_blind45", "BLIND45"),
 ]
 
 

@@ -175,6 +175,9 @@ _TRANSITIVE_ROOTS = {
     # blind-44 probe verbs that resolved only via adjacency
     "sağla", "oluştur", "gerçekleştir", "değerlendir", "imzala",
     "daralt", "geçir", "ilaçla", "ulaştır",
+    # blind-45: arrange/lay-out class (Gözlükçü çerçeveleri cam rafa
+    # DİZDİ — the izafet-subject reading left the verb objectless)
+    "diz",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
@@ -1893,6 +1896,23 @@ def py_parse_tokens(
             and eff_case[i] in ("Nom", "")
         ):
             heads[i], rels[i] = v + 1, "compound"
+            continue
+
+        # a bare nominal directly before a light-verb PARTICIPLE is that
+        # complex's compound, mirroring the finite LVC rule (iade EDİLEN
+        # kitapları, yardım EDEN gönüllüler): the participle heads the
+        # relative clause, the nominal stays inside it.  Checked at i+1
+        # directly — next_verbish deliberately skips acl-attached
+        # passives, which is exactly this shape
+        if (
+            i + 1 < n
+            and upos[i + 1] == "VERB"
+            and roots_of[i + 1] in ("et", "ol", "yap", "kıl", "bulun")
+            and tagsets[i + 1] & {"PresPart", "PastPart", "FutPart"}
+            and eff_case[i] in ("Nom", "")
+            and not eff_poss[i]
+        ):
+            heads[i], rels[i] = i + 2, "compound"
             continue
 
         # nominal conjunct: X ve Y (only when no verb intervenes between

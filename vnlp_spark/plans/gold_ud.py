@@ -3377,6 +3377,27 @@ UD_GOLD: List[dict] = [
         deprels=['nsubj', 'obl', 'obj', 'cc', 'amod', 'conj', 'root',
                  'punct'],
     ),
+    # ---- blind-45 fix categories, pinned with fresh lexemes ----------
+    # diz joins the arrange/lay-out transitives: the izafet-subject
+    # reading would leave the verb objectless
+    dict(
+        text='Kuyumcu yüzükleri kadife kutuya dizdi.',
+        tokens=['Kuyumcu', 'yüzükleri', 'kadife', 'kutuya', 'dizdi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # a bare nominal directly before a light-verb PARTICIPLE is the
+    # complex's compound (mirror of the finite LVC rule)
+    dict(
+        text='Komisyon iptal edilen seferleri duyurdu.',
+        tokens=['Komisyon', 'iptal', 'edilen', 'seferleri', 'duyurdu',
+                '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'compound', 'acl', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
