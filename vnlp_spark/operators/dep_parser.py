@@ -1907,7 +1907,12 @@ def py_parse_tokens(
         if (
             i + 1 < n
             and upos[i + 1] == "VERB"
-            and roots_of[i + 1] in ("et", "ol", "yap", "kıl", "bulun")
+            # kal- joins for its copular-complement participles (miras
+            # KALAN evi, öksüz KALAN çocuklar): inside the participle
+            # frame the subject role is filled by the relativized head,
+            # so the bare nominal is the predicative complement
+            and roots_of[i + 1] in ("et", "ol", "yap", "kıl", "bulun",
+                                    "kal")
             and tagsets[i + 1] & {"PresPart", "PastPart", "FutPart"}
             and eff_case[i] in ("Nom", "")
             and not eff_poss[i]

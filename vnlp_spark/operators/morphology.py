@@ -1281,6 +1281,20 @@ def py_analyze_tokens(tokens: Sequence[str],
         if low != out[idx].split("+", 1)[0] and "Noun" in gen.stem_dic.get(
                 low, ()):
             out[idx] = low + "+Noun+A3sg+Pnon+Nom"
+    # a lexicalized deverbal-noun homograph of the kal-participle
+    # (kalan 'the remainder') directly after a bare-Nom noun and before
+    # a nominal is the participle in its idiomatic collocation (miras
+    # KALAN evi, yadigar KALAN saat): the left nominal is the
+    # participle's own argument.  Scoped to kal- — open agentive nouns
+    # (çalışan sayısı 'employee count') keep their izafet reading.
+    for idx in range(1, len(out) - 1):
+        if out[idx] != "kalan+Noun+A3sg+Pnon+Nom":
+            continue
+        prv = _TAG_SEP.split(out[idx - 1])
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if ("Noun" in prv and "Pnon" in prv and "Nom" in prv
+                and "Noun" in nxt):
+            out[idx] = "kal+Verb+Pos^DB+Adj+PresPart"
     # the mirror repair: a NOUN reading chosen for an et/ol/yap surface
     # directly AFTER a bare-Nom noun is the light-verb complex's verb
     # (kulüp başkanı istifa EDİNCE = et+When, never edinç+Dat 'to the

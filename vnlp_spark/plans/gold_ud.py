@@ -3398,6 +3398,17 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 4, 5, 0, 5],
         deprels=['nsubj', 'compound', 'acl', 'obj', 'root', 'punct'],
     ),
+    # ---- seventh probe sweep, pinned fresh ---------------------------
+    # kalan's lexicalized-noun homograph yields to the participle in
+    # the idiomatic collocation, and kal-'s copular complement inside
+    # the participle frame is compound
+    dict(
+        text='Aileye yadigar kalan saati sakladı.',
+        tokens=['Aileye', 'yadigar', 'kalan', 'saati', 'sakladı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 4, 5, 0, 5],
+        deprels=['obl', 'compound', 'acl', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
