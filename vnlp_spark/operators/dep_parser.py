@@ -1907,15 +1907,19 @@ def py_parse_tokens(
         if (
             i + 1 < n
             and upos[i + 1] == "VERB"
-            # kal- joins for its copular-complement participles (miras
-            # KALAN evi, öksüz KALAN çocuklar): inside the participle
-            # frame the subject role is filled by the relativized head,
-            # so the bare nominal is the predicative complement
+            # kal- joins for its copular-complement participles, scoped
+            # to the closed bequest-noun class that idiomatically
+            # collocates with kal- (miras KALAN evi, yadigar KALAN
+            # saati): any other bare nominal before kalan keeps its
+            # clause role (AŞÇI kalan yemekleri kaldırdı -> subject)
             and roots_of[i + 1] in ("et", "ol", "yap", "kıl", "bulun",
                                     "kal")
             and tagsets[i + 1] & {"PresPart", "PastPart", "FutPart"}
             and eff_case[i] in ("Nom", "")
             and not eff_poss[i]
+            and (roots_of[i + 1] != "kal"
+                 or low_root in ("miras", "yadigar", "emanet",
+                                 "armağan", "hatıra"))
         ):
             heads[i], rels[i] = i + 2, "compound"
             continue
