@@ -1,0 +1,208 @@
+"""Forty-sixth BLIND gold split — round 4, after the seventh probe
+sweep (blind-45 scored 0.950 first-run, gate met; rolling-last-five
+aggregate 0.920 — consecutive ≥0.95 splits rebuild the series).
+
+Protocol (same as gold_ud_blind{,2..45}.py): these 20 NEW sentences were
+written and UD-annotated by hand from the conventions list in
+gold_ud.py's docstring, and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.  Pre-freeze vetting was single-word lexicon
+coverage only (zero out-of-lexicon words); the parser was not run on
+any candidate sentence.
+
+Register: REPRESENTATIVE web-news prose, fresh vocabulary across
+burned categories: postpositional frames (renklerine göre, sergi
+için); izafet chains with Gen (derginin kapak yazısını, taraftarların
+isteklerini); time-izafet obliques (gece yarısı); kal-participles in
+both readings (AŞÇI kalan yemekleri — subject; miras kalan eşyaları —
+bequest complement); ilgili-frames (kazayla ilgili haberi); passive
+nominalizations (sözleşmenin uzatılmasını); LVC predicates (kontrol
+etti, kabul etti, şikayet etti); dual Noun/Adj attributives (batık
+tekneyi, ek kasa); loan-î attributive before a GENITIVE (Mimarlar
+TARİHİ konağın restorasyonunu — a deliberate hard homograph probe);
+participle acl (yıkılan duvarı); bare-time + erken (sabah erken);
+relational-temporal ardından.  Natural inventory probes: yetiştirdi,
+ördü.
+
+Convention notes made BEFORE scoring, where the list is silent:
+'itirazın ardından' is the relational-temporal NOUN obl with a Gen
+nmod (arasında class); 'yenileriyle' is the pronominalized adjective
+as NOUN obl; 'miras' is compound on its kal-participle per the
+blind-45-era copular convention; 'kazayla ilgili' is obl + amod on
+the following nominal.
+"""
+from typing import List
+
+BLIND46: List[dict] = [
+    dict(
+        text="Terzi kumaşları renklerine göre ayırdı.",
+        tokens=["Terzi", "kumaşları", "renklerine", "göre", "ayırdı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "obj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Fotoğrafçı sergi için elli kare seçti.",
+        tokens=["Fotoğrafçı", "sergi", "için", "elli", "kare",
+                "seçti", "."],
+        upos=["NOUN", "NOUN", "ADP", "NUM", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 2, 5, 6, 0, 6],
+        deprels=["nsubj", "obl", "case", "nummod", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Editör derginin kapak yazısını yeniden düzenledi.",
+        tokens=["Editör", "derginin", "kapak", "yazısını", "yeniden",
+                "düzenledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[6, 4, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "nmod", "nmod", "obj", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Bekçi depo kapılarını gece yarısı kontrol etti.",
+        tokens=["Bekçi", "depo", "kapılarını", "gece", "yarısı",
+                "kontrol", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 7, 5, 7, 7, 0, 7],
+        deprels=["nsubj", "nmod", "obj", "nmod", "obl", "compound",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Aşçı kalan yemekleri dolaba kaldırdı.",
+        tokens=["Aşçı", "kalan", "yemekleri", "dolaba", "kaldırdı",
+                "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "acl", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Aileler miras kalan eşyaları paylaştı.",
+        tokens=["Aileler", "miras", "kalan", "eşyaları", "paylaştı",
+                "."],
+        upos=["NOUN", "NOUN", "VERB", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "compound", "acl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Muhabir kazayla ilgili haberi akşam bültenine yetiştirdi.",
+        tokens=["Muhabir", "kazayla", "ilgili", "haberi", "akşam",
+                "bültenine", "yetiştirdi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 4, 7, 6, 7, 0, 7],
+        deprels=["nsubj", "obl", "amod", "obj", "nmod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Kulüp yönetimi taraftarların isteklerini kabul etti.",
+        tokens=["Kulüp", "yönetimi", "taraftarların", "isteklerini",
+                "kabul", "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "nmod", "obj", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Oyuncu sözleşmenin uzatılmasını istedi.",
+        tokens=["Oyuncu", "sözleşmenin", "uzatılmasını", "istedi",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[4, 3, 4, 0, 4],
+        deprels=["nsubj", "nsubj", "ccomp", "root", "punct"],
+    ),
+    dict(
+        text="Veliler kantinin fiyatlarından şikayet etti.",
+        tokens=["Veliler", "kantinin", "fiyatlarından", "şikayet",
+                "etti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "compound", "root", "punct"],
+    ),
+    dict(
+        text="Zabıta seyyar tezgahları meydandan kaldırdı.",
+        tokens=["Zabıta", "seyyar", "tezgahları", "meydandan",
+                "kaldırdı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Dalgıçlar batık tekneyi kıyıya çekti.",
+        tokens=["Dalgıçlar", "batık", "tekneyi", "kıyıya", "çekti",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Rektör yeni akademik yılı konuşmayla açtı.",
+        tokens=["Rektör", "yeni", "akademik", "yılı", "konuşmayla",
+                "açtı", "."],
+        upos=["NOUN", "ADJ", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 4, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "amod", "amod", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Esnaf kepenkleri sabah erken açtı.",
+        tokens=["Esnaf", "kepenkleri", "sabah", "erken", "açtı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "obl", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Hakemler itirazın ardından pozisyonu yeniden izledi.",
+        tokens=["Hakemler", "itirazın", "ardından", "pozisyonu",
+                "yeniden", "izledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 6, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obl", "obj", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Kasiyerler yoğun saatlerde ek kasa açtı.",
+        tokens=["Kasiyerler", "yoğun", "saatlerde", "ek", "kasa",
+                "açtı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "amod", "obl", "amod", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Belediye yıkılan duvarı iki günde ördü.",
+        tokens=["Belediye", "yıkılan", "duvarı", "iki", "günde",
+                "ördü", "."],
+        upos=["NOUN", "VERB", "NOUN", "NUM", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "acl", "obj", "nummod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Gemi personeli yükleri vinçle güverteye indirdi.",
+        tokens=["Gemi", "personeli", "yükleri", "vinçle", "güverteye",
+                "indirdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 6, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "obj", "obl", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Sanayici eski makineleri yenileriyle değiştirdi.",
+        tokens=["Sanayici", "eski", "makineleri", "yenileriyle",
+                "değiştirdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Mimarlar tarihi konağın restorasyonunu üstlendi.",
+        tokens=["Mimarlar", "tarihi", "konağın", "restorasyonunu",
+                "üstlendi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "amod", "nmod", "obj", "root", "punct"],
+    ),
+]
