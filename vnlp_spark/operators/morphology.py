@@ -764,6 +764,19 @@ class HeuristicDisambiguator:
             and root not in ("his", "hak", "zan", "af", "ret", "şık", "sır")
         ):
             s -= 6.0
+        # t/d suffix-initial voicing assimilation is exceptionless for
+        # the D-initial case morphemes: -DA/-DAn surface with t ONLY
+        # after a voiceless final (kitap+tan, sanat+ta); after a vowel
+        # or voiced consonant the t-initial segmentation is illegal
+        # (üre+ten 'from the urea' is not a word — üreden would be —
+        # so the rival üre+t+en Caus+PresPart must win)
+        if (
+            first == "Noun"
+            and suffix[:1] == "t"
+            and tag_set & {"Loc", "Abl"}
+            and root[-1:] not in "fstkçşhp"
+        ):
+            s -= 1000.0
         # a possessed segmentation directly after a bare-Nom noun is the
         # izafet compound head; against a whole-word citation-adjective
         # homograph the compound reading wins (şehir MERKEZİ oldukça

@@ -3409,6 +3409,19 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 4, 5, 0, 5],
         deprels=['obl', 'compound', 'acl', 'obj', 'root', 'punct'],
     ),
+    # ---- eighth probe sweep, pinned fresh ----------------------------
+    # t-initial D-case segmentations after vowel/voiced finals are
+    # phonologically illegal (üre+ten 'from the urea' is not a word),
+    # so the Caus+PresPart rival wins the relative-clause frame
+    dict(
+        text='Fabrika süt ürünleri üreten tesisi genişletti.',
+        tokens=['Fabrika', 'süt', 'ürünleri', 'üreten', 'tesisi',
+                'genişletti', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 4, 5, 6, 0, 6],
+        deprels=['nsubj', 'nmod', 'obj', 'acl', 'obj', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
