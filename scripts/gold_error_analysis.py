@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind46" in sys.argv:
+    if "--blind47" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind47 import BLIND47 as entries
+    elif "--blind46" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind46 import BLIND46 as entries
     elif "--blind45" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind45 import BLIND45 as entries

@@ -64,6 +64,7 @@ SPLITS = [
     ("blind44", "vnlp_spark.plans.gold_ud_blind44", "BLIND44"),
     ("blind45", "vnlp_spark.plans.gold_ud_blind45", "BLIND45"),
     ("blind46", "vnlp_spark.plans.gold_ud_blind46", "BLIND46"),
+    ("blind47", "vnlp_spark.plans.gold_ud_blind47", "BLIND47"),
 ]
 
 

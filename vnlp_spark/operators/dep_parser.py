@@ -765,9 +765,12 @@ def py_parse_tokens(
         for j in range(i + 1, n):
             if upos[j] == "VERB":
                 # a PASSIVE verb already attached as a prenominal acl
-                # (KURUTULMUŞ bitkileri) has no argument slots: the
-                # clause-initial nominal belongs to the matrix
-                if rels[j] == "acl" and "Pass" in tagsets[j]:
+                # (KURUTULMUŞ bitkileri) has no OBJECT slot: a Nom/Acc
+                # nominal belongs to the matrix — but its OBLIQUE frame
+                # is real (kazıda BULUNAN sikkeleri), so case-marked
+                # nominals attach locally
+                if (rels[j] == "acl" and "Pass" in tagsets[j]
+                        and eff_case[i] in ("Nom", "", "Acc")):
                     continue
                 return j
             if upos[j] == "ADJ" and tagsets[j] & {"PresPart"}:

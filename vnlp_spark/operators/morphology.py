@@ -764,6 +764,25 @@ class HeuristicDisambiguator:
             and root not in ("his", "hak", "zan", "af", "ret", "şık", "sır")
         ):
             s -= 6.0
+        # the reference's 78k stem list contains some INFLECTED forms as
+        # stems (durumun, listed as a Noun): a P3sg+Nom reading over such
+        # a genitive-shaped root steals the whole-paradigm surface from
+        # its base stem (oyuncunun DURUMUNU = durum+P3sg+Acc, never
+        # durumun+u 'its durumun').  Penalize when the base is itself a
+        # substantial stem; short bases (bas+ın, koy+un, alt+ın) are
+        # real lexemes and stay out
+        if (
+            first == "Noun"
+            and suffix
+            and root[-2:] in ("ın", "in", "un", "ün")
+            and len(root) - 2 >= 4
+            and self._in_stems(root[:-2])
+        ):
+            # every suffixed reading over the junk root competes with
+            # the base-stem paradigm (durumun+u / durumun+a / ...);
+            # vowel-final bases are safe by construction — their Gen is
+            # the 3-char -nIn, so the 2-char strip never finds a stem
+            s -= 12.0
         # t/d suffix-initial voicing assimilation is exceptionless for
         # the D-initial case morphemes: -DA/-DAn surface with t ONLY
         # after a voiceless final (kitap+tan, sanat+ta); after a vowel

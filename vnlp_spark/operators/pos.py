@@ -38,7 +38,7 @@ _TERRAIN_LIK_ADJS = {
 _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
-    "kağıt", "naylon", "porselen", "kadife", "kömür",
+    "kağıt", "naylon", "porselen", "kadife", "kömür", "maden",
     # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
     # ağırladı, rekor katılım)
     "rekor",
@@ -96,6 +96,16 @@ def _readings(token: str) -> frozenset:
     out = set()
     for _root, _suffix, tags in cands:
         if isinstance(tags, str):
+            continue
+        # genitive-shaped junk stems from the reference list (durumun):
+        # their suffixed readings shadow the base-stem paradigm and must
+        # not contribute reading classes (durumun+u would add a bogus
+        # p3nom to the overt-Acc surface durum+unu) — mirror of the
+        # disambiguator's junk-root penalty
+        if (_suffix and tags[0] == "Noun"
+                and _root[-2:] in ("ın", "in", "un", "ün")
+                and len(_root) - 2 >= 4
+                and _root[:-2] in gen.stem_dic):
             continue
         tset = set(tags)
         if tags[0] == "Adj" and len(tags) == 1:
@@ -608,6 +618,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                 and out[i] == "ADJ"
                 and i + 1 < n
                 and out[i + 1] in ("NOUN", "PROPN")
+                # ... only before a TEMPORAL host (erken SAATLERDE,
+                # erken yaşta) or a bare-Nom nominal (erken seçim); a
+                # case-marked NON-temporal noun is a verb argument and
+                # erken is the manner adverb (erken YOLA çıktı)
+                and (analyses[i + 1].split("+", 1)[0]
+                     in _TEMPORAL_ROOTS_POS
+                     or analyses[i + 1].split("+", 1)[0]
+                     in ("yaş", "saat", "dönem", "vakit", "tarih")
+                     or _case_of(analyses[i + 1]) in ("Nom", ""))
             ):
                 # adnominal use keeps the adjective (erken SAATLERDE)
                 pass

@@ -3422,6 +3422,44 @@ UD_GOLD: List[dict] = [
         deprels=['nsubj', 'nmod', 'obj', 'acl', 'obj', 'root',
                  'punct'],
     ),
+    # ---- blind-47 fix categories, pinned with fresh lexemes ----------
+    # genitive-shaped junk stems (sorunun, durumun) never shadow the
+    # base paradigm: Gen + possessed-Acc resolves as the object
+    dict(
+        text='Doktor hastanın sorununu dinledi.',
+        tokens=['Doktor', 'hastanın', 'sorununu', 'dinledi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # erken/geç before a case-marked NON-temporal noun is the manner
+    # adverb, not adnominal
+    dict(
+        text='Yolcular geç otobüse bindi.',
+        tokens=['Yolcular', 'geç', 'otobüse', 'bindi', '.'],
+        upos=['NOUN', 'ADV', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'advmod', 'obl', 'root', 'punct'],
+    ),
+    # a case-marked oblique before an acl-attached PASSIVE participle
+    # attaches locally (its oblique frame is real)
+    dict(
+        text='Dedektif olayda bulunan delilleri inceledi.',
+        tokens=['Dedektif', 'olayda', 'bulunan', 'delilleri',
+                'inceledi', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'acl', 'obj', 'root', 'punct'],
+    ),
+    # maden joins the material-noun class: NOUN+nmod izafet modifier
+    # even when the disambiguator picks its citation-Adj twin
+    dict(
+        text='Maden ocakları denetime kapatıldı.',
+        tokens=['Maden', 'ocakları', 'denetime', 'kapatıldı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
