@@ -1333,6 +1333,13 @@ def py_analyze_tokens(tokens: Sequence[str],
     # acquisition'): the bare nominal demands its support verb, and the
     # rival noun stems in this surface class are archaic
     for idx in range(1, len(out)):
+        # cheap surface pre-filter: an et/ol/yap/kıl/bulun-rooted
+        # candidate only exists for these prefixes — skipping the
+        # candidate-generator call for everything else keeps this pass
+        # out of the kernel's hot path
+        if not to_lower(tokens[idx]).startswith(
+                ("ed", "et", "ol", "yap", "kıl", "bulun")):
+            continue
         tags_i = _TAG_SEP.split(out[idx])
         if "Verb" in tags_i:
             continue
