@@ -1066,7 +1066,13 @@ def py_parse_tokens(
             # this gate)
             eff_case[i], eff_poss[i] = "Acc", False
             continue
-        if i > 0 and eff_case[i - 1] == "Gen":
+        # the genitive possessor may be separated from its possessed
+        # head by the head's own attributive material (Sanatçının SON
+        # albümü): look through ADJ/DET/NUM for the license
+        _pl = i - 1
+        while _pl >= 0 and upos[_pl] in ("ADJ", "DET", "NUM"):
+            _pl -= 1
+        if _pl >= 0 and eff_case[_pl] == "Gen":
             # a genitive possessor licenses the possessed-Nom reading
             # (Şirketin geliri ... arttı -> gelir+P3sg+Nom, subject)
             eff_case[i], eff_poss[i] = "Nom", True

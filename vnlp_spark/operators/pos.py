@@ -408,6 +408,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                 # adnominal frame
                 or (out[i + 1] == "DET" and i + 2 < n
                     and out[i + 2] in ("NOUN", "PROPN"))
+                # a GENITIVE host is a possessor needing its own head:
+                # the homograph modifies the possessor, not the clause
+                # (ÜNLÜ ressamın tabloları) — the noun-argument reading
+                # would leave the genitive chain adjective-less
+                or (out[i + 1] in ("NOUN", "PROPN")
+                    and _case_of(analyses[i + 1]) == "Gen"
+                    and i + 2 < n
+                    and out[i + 2] in ("NOUN", "PROPN")
+                    and {"P3sg", "P3pl"} & set(
+                        analyses[i + 2].replace("^", "+").split("+")))
             )
         ):
             # whole-word noun with a derivational-adjective homograph
@@ -863,6 +873,12 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and _case_of(analyses[i + 1]) not in ("Nom", "")
             and "bare_adj" in _readings(tokens[i])
             and low not in _MATERIAL_NOUNS
+            # the complement slot of the agentive-passive frame and the
+            # grammaticalized postpositions is NOMINAL: the homograph is
+            # the agent/complement, never attributive over the frame
+            # word itself (açılışı BAKAN tarafından yapıldı)
+            and to_lower(tokens[i + 1]) != "tarafından"
+            and to_lower(tokens[i + 1]) not in _GRAMMAT_ADPS
             # mid-sentence capitals are names; a SENTENCE-INITIAL capital
             # is attributive when a later bare nominal can be the subject
             # (YABANCI yatırımcılarla görüşmeler sürüyor), the subject

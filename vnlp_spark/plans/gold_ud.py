@@ -3460,6 +3460,37 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=['nmod', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # ---- ninth probe sweep, pinned fresh -----------------------------
+    # derivational-adjective homograph before a GENITIVE possessor is
+    # attributive on the possessor (the noun reading would leave the
+    # chain adjective-less)
+    dict(
+        text='Ünlü mimarın projeleri yurtdışında sergilendi.',
+        tokens=['Ünlü', 'mimarın', 'projeleri', 'yurtdışında',
+                'sergilendi', '.'],
+        upos=['ADJ', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=['amod', 'nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
+    # the agentive-passive frame's complement slot is nominal: the
+    # PresPart homograph before tarafından is the agent NOUN
+    dict(
+        text='Ödüller bakan tarafından dağıtıldı.',
+        tokens=['Ödüller', 'bakan', 'tarafından', 'dağıtıldı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # the genitive-possessor license looks through the head's own
+    # attributive material (Şirketin YENİ ürünü)
+    dict(
+        text='Şirketin yeni ürünü fuarda tanıtıldı.',
+        tokens=['Şirketin', 'yeni', 'ürünü', 'fuarda', 'tanıtıldı',
+                '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=['nmod', 'amod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
