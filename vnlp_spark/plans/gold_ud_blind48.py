@@ -1,0 +1,206 @@
+"""Forty-eighth BLIND gold split — round 4, after the ninth probe
+sweep (blind-45/46/47 closed the second gate series at 0.950 / 1.000 /
+0.950; a 1.000 here lifts the rolling-last-five to the 0.95 gate).
+
+Protocol (same as gold_ud_blind{,2..47}.py): these 20 NEW sentences were
+written and UD-annotated by hand from the conventions list in
+gold_ud.py's docstring, and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.  Pre-freeze vetting was single-word lexicon
+coverage only (zero out-of-lexicon words); the parser was not run on
+any candidate sentence.
+
+Register: REPRESENTATIVE web-news prose, fresh vocabulary across
+burned categories: material-noun modifiers (deri botları); -ki
+adjectives (vitrindeki rafa, Fuar alanındaki); ünlü-class
+derivational homographs before genitives (Ünlü şefin tarifleri);
+tarafından agents with izafet complements (okul müdürü tarafından);
+Gen-through-ADJ possessed subjects (Müdürün yeni kararı); participle
+acls (devrilen ağaçları, sızdıran boruyu); det-marked time adjuncts
+(her hafta, bu yıl); izafet-oblique frames (rehber eşliğinde);
+göre-ADPs (sözleşmeye göre); antika attributives (antika halıları);
+erken+VERB adverbs (erken kuruldu); one structurally denser closer
+(Okulun spor salonu velilerin bağışlarıyla yenilendi — Gen+izafet
+chain subject AND Gen+possessed-Ins oblique under a passive).
+Natural inventory probes: başlattı, fırlattı, döktü, gezdirdi.
+
+Convention notes made BEFORE scoring, where the list is silent:
+'dikkatle' is the manner adverb (başarıyla class, ADV+advmod);
+month names in lowercase are NOUN obls (eylülde); 'yenisiyle' is the
+pronominalized adjective as NOUN obl.
+"""
+from typing import List
+
+BLIND48: List[dict] = [
+    dict(
+        text="Ayakkabıcı deri botları vitrindeki rafa çıkardı.",
+        tokens=["Ayakkabıcı", "deri", "botları", "vitrindeki", "rafa",
+                "çıkardı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ünlü şefin tarifleri dergide yayımlandı.",
+        tokens=["Ünlü", "şefin", "tarifleri", "dergide", "yayımlandı",
+                "."],
+        upos=["ADJ", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["amod", "nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Hediyeler okul müdürü tarafından dağıtıldı.",
+        tokens=["Hediyeler", "okul", "müdürü", "tarafından",
+                "dağıtıldı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=["nsubj", "nmod", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Kunduracı eski çizmeleri atölyesinde onardı.",
+        tokens=["Kunduracı", "eski", "çizmeleri", "atölyesinde",
+                "onardı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Şarap firması bağların hasadını eylülde başlattı.",
+        tokens=["Şarap", "firması", "bağların", "hasadını",
+                "eylülde", "başlattı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "nmod", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Belediye ekipleri devrilen ağaçları yoldan kaldırdı.",
+        tokens=["Belediye", "ekipleri", "devrilen", "ağaçları",
+                "yoldan", "kaldırdı", "."],
+        upos=["NOUN", "NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "acl", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Hastane eczanesi ilaç stoklarını her hafta sayıyor.",
+        tokens=["Hastane", "eczanesi", "ilaç", "stoklarını", "her",
+                "hafta", "sayıyor", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "DET", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 4, 7, 6, 7, 0, 7],
+        deprels=["nmod", "nsubj", "nmod", "obj", "det", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Şoförler zamlı tarifeyi sabah öğrendi.",
+        tokens=["Şoförler", "zamlı", "tarifeyi", "sabah", "öğrendi",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Müdürün yeni kararı öğretmenleri sevindirdi.",
+        tokens=["Müdürün", "yeni", "kararı", "öğretmenleri",
+                "sevindirdi", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 5, 5, 0, 5],
+        deprels=["nmod", "amod", "nsubj", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Gençlik merkezi satranç turnuvasını salonda düzenledi.",
+        tokens=["Gençlik", "merkezi", "satranç", "turnuvasını",
+                "salonda", "düzenledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "nmod", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Aşçı yemek artıklarını çöp kutusuna döktü.",
+        tokens=["Aşçı", "yemek", "artıklarını", "çöp", "kutusuna",
+                "döktü", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "nmod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Emlak vergisi bu yıl yeniden değerlendi.",
+        tokens=["Emlak", "vergisi", "bu", "yıl", "yeniden",
+                "değerlendi", "."],
+        upos=["NOUN", "NOUN", "DET", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "det", "obl", "advmod", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Galerici sergiyi sanatseverlere rehber eşliğinde gezdirdi.",
+        tokens=["Galerici", "sergiyi", "sanatseverlere", "rehber",
+                "eşliğinde", "gezdirdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 6, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "obj", "obl", "nmod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Ev sahibi kirayı sözleşmeye göre artırdı.",
+        tokens=["Ev", "sahibi", "kirayı", "sözleşmeye", "göre",
+                "artırdı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[2, 6, 6, 6, 4, 0, 6],
+        deprels=["nmod", "nsubj", "obj", "obl", "case", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Öğrenciler mezuniyet töreninde kep fırlattı.",
+        tokens=["Öğrenciler", "mezuniyet", "töreninde", "kep",
+                "fırlattı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obl", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Tesisatçı sızdıran boruyu yenisiyle değiştirdi.",
+        tokens=["Tesisatçı", "sızdıran", "boruyu", "yenisiyle",
+                "değiştirdi", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "acl", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Gazeteciler valinin açıklamasını dikkatle dinledi.",
+        tokens=["Gazeteciler", "valinin", "açıklamasını", "dikkatle",
+                "dinledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Fuar alanındaki çadırlar erken kuruldu.",
+        tokens=["Fuar", "alanındaki", "çadırlar", "erken", "kuruldu",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADV", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["nmod", "amod", "nsubj", "advmod", "root", "punct"],
+    ),
+    dict(
+        text="Dernek antika halıları müzayedede sattı.",
+        tokens=["Dernek", "antika", "halıları", "müzayedede", "sattı",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Okulun spor salonu velilerin bağışlarıyla yenilendi.",
+        tokens=["Okulun", "spor", "salonu", "velilerin",
+                "bağışlarıyla", "yenilendi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 6, 5, 6, 0, 6],
+        deprels=["nmod", "nmod", "nsubj", "nmod", "obl", "root",
+                 "punct"],
+    ),
+]
