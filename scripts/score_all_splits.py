@@ -65,6 +65,7 @@ SPLITS = [
     ("blind45", "vnlp_spark.plans.gold_ud_blind45", "BLIND45"),
     ("blind46", "vnlp_spark.plans.gold_ud_blind46", "BLIND46"),
     ("blind47", "vnlp_spark.plans.gold_ud_blind47", "BLIND47"),
+    ("blind48", "vnlp_spark.plans.gold_ud_blind48", "BLIND48"),
 ]
 
 

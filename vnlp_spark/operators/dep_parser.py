@@ -178,6 +178,10 @@ _TRANSITIVE_ROOTS = {
     # blind-45: arrange/lay-out class (Gözlükçü çerçeveleri cam rafa
     # DİZDİ — the izafet-subject reading left the verb objectless)
     "diz",
+    # blind-48: the lexicalized -Ar causative çıkar- is transitive
+    # (deri botları rafa ÇIKARDI); the intransitive çık- is a separate
+    # stem and never reaches these rules
+    "çıkar",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
@@ -1174,6 +1178,11 @@ def py_parse_tokens(
             and upos[i - 1] in ("NOUN", "PROPN")
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
+            # material nouns modify BARE hosts directly (deri bot,
+            # never *deri botu): they cannot license a possessed-Nom
+            # izafet head, so the ambiguous plural resolves to the
+            # object (deri BOTLARI rafa çıkardı)
+            and roots_of[i - 1] not in _MATERIAL_NOUNS
             # a plural modifier licenses izafet only for the closed
             # institutional-head class (Bakanlar KURULU görüştü)
             and ("A3pl" not in tagsets[i - 1]
@@ -2263,7 +2272,12 @@ def py_parse_tokens(
                                  and not eff_poss[j]
                                  and roots_of[j] not in _TEMPORAL_ROOTS)
                              for j in range(0, i - 1)
-                         )))
+                         ))
+                     # a possessed chain head continues into the
+                     # agentive-passive frame as tarafından's nmod
+                     # complement (okul MÜDÜRÜ tarafından dağıtıldı)
+                     or (eff_poss[i + 1] and eff_case[i + 1] == "Abl"
+                         and roots_of[i + 1] == "taraf"))
                 and not (i + 1 in run_member and i not in run_member)
             )
             if (compoundable and i + 2 < n and upos[i + 2] == "ADP"

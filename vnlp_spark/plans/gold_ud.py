@@ -3491,6 +3491,36 @@ UD_GOLD: List[dict] = [
         heads=[3, 3, 5, 5, 0, 5],
         deprels=['nmod', 'amod', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # ---- blind-48 fix categories, pinned with fresh lexemes ----------
+    # material nouns never license possessed-Nom izafet heads, so the
+    # ambiguous plural after one resolves to the object
+    dict(
+        text='Marangoz ahşap oyuncakları fuarda tanıttı.',
+        tokens=['Marangoz', 'ahşap', 'oyuncakları', 'fuarda',
+                'tanıttı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # a possessed chain head continues into the agentive-passive frame
+    # as tarafından's complement
+    dict(
+        text='Davetiyeler dernek başkanı tarafından imzalandı.',
+        tokens=['Davetiyeler', 'dernek', 'başkanı', 'tarafından',
+                'imzalandı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 4, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # çıkar- joins the transitive inventory
+    dict(
+        text='Bekçi yedek anahtarları dolaptan çıkardı.',
+        tokens=['Bekçi', 'yedek', 'anahtarları', 'dolaptan', 'çıkardı',
+                '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:

