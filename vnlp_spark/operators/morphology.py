@@ -236,9 +236,10 @@ _STEM_PATCH: dict = {
     "buzdolabı": ["Noun"], "denizaltı": ["Noun"], "hanımeli": ["Noun"],
     "ayakkabı": ["Noun"], "anaokulu": ["Noun"],
     # dual Noun/Adj citation stems the lexicon lists as Noun only:
-    # attributive uses (ANTİKA saatleri topladı) need the Adj twin for
-    # the NomD dual-stem machinery, same class as kaçak/dolu
-    "antika": ["Adj"],
+    # attributive uses (ANTİKA saatleri topladı, KIŞLIK lastikleri
+    # çıkardı) need the Adj twin for the NomD dual-stem machinery,
+    # same class as kaçak/dolu
+    "antika": ["Adj"], "kışlık": ["Adj"], "yazlık": ["Adj"],
     # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
     # bogus şehirleraras+P3sg cut and claimed the subject slot)
     "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],
@@ -568,7 +569,7 @@ class HeuristicDisambiguator:
                 # a possessed-Nom izafet group licenses the frame the
                 # same way a bare nominal does (rüzgar santrali KURMAYI
                 # planlıyor)
-                and prev_case in ("Nom", "NomP", "NomPl", "NomD")
+                and prev_case in ("Nom", "NomP", "NomPl", "NomD", "NomDq")
                 # the frame's verbal noun is UNPOSSESSED (ödemeyi,
                 # kurmayı): a possessed -mA plural after a bare-Nom is
                 # the izafet compound instead (öğretmen ATAMALARINI
@@ -664,7 +665,8 @@ class HeuristicDisambiguator:
                 # equative use (okul KADAR kalabalık, çocuk GİBİ) — only
                 # a non-Nom mismatched case kills the reading
                 s += 6.0 if prev_case in ("Dat", "Nom", "NomP",
-                                          "NomPl", "NomD") else -6.0
+                                          "NomPl", "NomD",
+                                          "NomDq") else -6.0
             else:
                 s += 6.0  # postpositions (için, gibi, kadar) beat noun rivals
         if first == "Det":
@@ -804,7 +806,7 @@ class HeuristicDisambiguator:
             first == "Noun"
             and suffix
             and "P3sg" in tag_set
-            and prev_case in ("Nom", "NomPl", "NomD")
+            and prev_case in ("Nom", "NomPl", "NomD", "NomDq")
             and has_adj_whole_rival
             # scoped to the CLOSED loan-î homograph class (merkez+i/
             # merkezî, tarih+i/tarihî, asker+i/askerî), where noun and
@@ -840,13 +842,19 @@ class HeuristicDisambiguator:
             and "Nom" in tag_set
             and has_acc_rival
             and (
-                prev_case not in ("Nom", "NomP", "Gen", "NomPl", "NomD")
+                prev_case not in ("Nom", "NomP", "Gen", "NomPl", "NomD", "NomDq")
                 # a PLURAL bare-Nom licenses izafet only for the closed
                 # institutional-head class (Bakanlar KURULU, öğretmenler
                 # ODASI); an open-class plural (Organizatörler
                 # ETKİNLİĞİ erteledi) is a subject next to an object,
                 # so the Acc reading wins
                 or (prev_case == "NomPl"
+                    and root not in _PL_IZAFET_HEADS)
+                # a QUALITY dual stem licenses no plural izafet at
+                # all: a plural possessed after one reads attributive +
+                # Acc (kışlık LASTİKLERİ); substance duals keep the
+                # license (DOLU taneleri = hailstones)
+                or (prev_case == "NomDq" and "A3pl" in tag_set
                     and root not in _PL_IZAFET_HEADS)
             )
         ):
@@ -1288,8 +1296,14 @@ def py_analyze_tokens(tokens: Sequence[str],
             # a bare Noun/Adj DUAL stem (kaçak, dolu) licenses singular
             # izafet heads (dolu YAĞIŞI) but not PLURAL possessed ones
             # (kaçak YAPILARI = the Acc object of a transitive, with
-            # kaçak attributive) — see the matching demotion in score()
-            prev_case = "NomD"
+            # kaçak attributive) — see the matching demotion in score().
+            # QUALITY duals (kışlık, yazlık, antika) never head plural
+            # izafet at all (kışlık LASTİKLERİ is attributive + Acc),
+            # while substance duals keep it (DOLU taneleri = hailstones)
+            prev_case = ("NomDq"
+                         if analysis.split("+", 1)[0]
+                         in ("kışlık", "yazlık", "antika")
+                         else "NomD")
     # LVC-nominal repair (needs RIGHT context the per-token pass lacks):
     # a chosen finite-verb reading directly before a light-verb finite
     # (tahliyesine KARAR verdi = karar the noun + ver-, never kar+Aor +

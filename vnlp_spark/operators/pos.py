@@ -780,7 +780,16 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and tags & {"With", "Without"}
             and not (i + 1 < n and out[i + 1] in ("ADJ", "DET", "NUM")
                      or (i + 1 < n and out[i + 1] in ("NOUN", "PROPN")
-                         and _case_of(analyses[i + 1]) in ("Nom", "")))
+                         and _case_of(analyses[i + 1]) in ("Nom", "")
+                         # ... unless that bare-Nom noun is itself a
+                         # dual attributive feeding a later nominal
+                         # (GÖREVLİ kışlık lastikleri çıkardı): the -lI
+                         # word cannot stack over another modifier, so
+                         # it exits to the zero-derived subject
+                         and not ("bare_adj" in _readings(tokens[i + 1])
+                                  and i + 2 < n
+                                  and out[i + 2] in ("NOUN", "PROPN")
+                                  and i == 0)))
             # before a CASE-MARKED noun the -lI word is attributive when
             # the clause subject is already filled to its left
             # (Teknisyenler ARIZALI hattı onardı); with no earlier

@@ -3521,6 +3521,18 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
     ),
+    # a sentence-initial -lI word before a QUALITY-dual attributive
+    # chain exits to the zero-derived subject, and the quality dual
+    # (kışlık/yazlık/antika NomDq class) never heads plural izafet —
+    # substance duals keep it (DOLU taneleri stays the izafet subject)
+    dict(
+        text='Görevli kışlık lastikleri depodan çıkardı.',
+        tokens=['Görevli', 'kışlık', 'lastikleri', 'depodan',
+                'çıkardı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
