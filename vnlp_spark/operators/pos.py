@@ -767,6 +767,18 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # the noun 'cause' is possessed/case-marked/determined
             out[i] = "ADV"
         elif (
+            low == "ancak"
+            and out[i] == "CCONJ"
+            and i > 0
+            and not any(out[j] == "VERB" for j in range(i))
+        ):
+            # mid-sentence 'ancak' with no finite first conjunct before
+            # it is the focalizer 'only' (hatayı ANCAK gece fark etti);
+            # clause coordination needs a complete clause on its left
+            # (üretim arttı ANCAK ihracat azaldı), and sentence-initial
+            # contrastive Ancak keeps its cc reading (i > 0 guard)
+            out[i] = "ADV"
+        elif (
             low == "ne"
             and sum(1 for t in tokens if to_lower(t) == "ne") >= 2
             and i + 1 < n and out[i + 1] in ("NOUN", "PROPN", "ADJ",

@@ -3533,6 +3533,17 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
     ),
+    # mid-sentence 'ancak' with no finite clause on its left is the
+    # focalizer 'only', never clause coordination
+    dict(
+        text='Denetçiler eksiği ancak akşam fark etti.',
+        tokens=['Denetçiler', 'eksiği', 'ancak', 'akşam', 'fark',
+                'etti', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 6, 6, 6, 6, 0, 6],
+        deprels=['nsubj', 'obj', 'advmod', 'obl', 'compound', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
