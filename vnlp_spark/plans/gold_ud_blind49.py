@@ -1,0 +1,218 @@
+"""Forty-ninth BLIND gold split — round 4, after the tenth probe sweep
+(blind-48 scored 0.900 first-run; rolling-last-five 0.930 — a ≥0.95
+here lifts the window back to the gate).
+
+Protocol (same as gold_ud_blind{,2..48}.py): these 20 NEW sentences were
+written and UD-annotated by hand from the conventions list in
+gold_ud.py's docstring, and are COMMITTED BEFORE the engine touches them
+in any way.  The first-run score is recorded as-is in BENCH.md
+regardless of outcome.  Pre-freeze vetting was single-word lexicon
+coverage only (zero out-of-lexicon words); the parser was not run on
+any candidate sentence.
+
+Register: REPRESENTATIVE web-news prose, fresh vocabulary across
+burned categories: izafet subjects before ambiguous plural-Acc objects
+(Otel resepsiyonu rezervasyonları; Semt pazarı tezgahları); material
+modifiers (cam şişeleri, yün kazakları); quality-dual attributives
+(kışlık montları); focal ancak (ancak sabah bitirdi); abilitative and
+negative finites (ulaşamadı, taşıyamadı); grammaticalized ADPs
+(yüzünden, sayesinde, boyunca); participle acls (eriyen, onaylanan);
+agentive-passive frames (müfettişler tarafından); kal-participles
+(emanet kalan tabloyu); genitive chains with amods (derneğin eski
+tüzüğünü); LVC predicates (tamir etti, ilan etti).  Natural inventory
+probes: kavurdu, mayaladı, cilaladı, perdahlıyor is avoided as
+out-of-lexicon risk.
+
+Convention notes made BEFORE scoring, where the list is silent:
+'ancak sabah' reads ancak as the focalizer ADV; 'emanet' is compound
+on its kal-participle per the bequest-class convention; material
+nouns modify as NOUN+nmod.
+"""
+from typing import List
+
+BLIND49: List[dict] = [
+    dict(
+        text="Otel resepsiyonu rezervasyonları sabah onayladı.",
+        tokens=["Otel", "resepsiyonu", "rezervasyonları", "sabah",
+                "onayladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=["nmod", "nsubj", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Gönüllüler cam şişeleri ayrı kasalarda biriktirdi.",
+        tokens=["Gönüllüler", "cam", "şişeleri", "ayrı",
+                "kasalarda", "biriktirdi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Semt pazarı tezgahları akşam toplandı.",
+        tokens=["Semt", "pazarı", "tezgahları", "akşam", "toplandı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=["nmod", "nmod", "nsubj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Örgü kursu yün kazakları sergide tanıttı.",
+        tokens=["Örgü", "kursu", "yün", "kazakları", "sergide",
+                "tanıttı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["nmod", "nsubj", "nmod", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Mağaza kışlık montları indirime soktu.",
+        tokens=["Mağaza", "kışlık", "montları", "indirime", "soktu",
+                "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "amod", "obj", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Çevirmen raporu ancak sabah bitirdi.",
+        tokens=["Çevirmen", "raporu", "ancak", "sabah", "bitirdi",
+                "."],
+        upos=["NOUN", "NOUN", "ADV", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 5, 0, 5],
+        deprels=["nsubj", "obj", "advmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Dağ köyleri yoğun kar yüzünden elektriğe ulaşamadı.",
+        tokens=["Dağ", "köyleri", "yoğun", "kar", "yüzünden",
+                "elektriğe", "ulaşamadı", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "ADP", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 4, 7, 4, 7, 0, 7],
+        deprels=["nmod", "nsubj", "amod", "obl", "case", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Hamal ağır sandıkları tek başına taşıyamadı.",
+        tokens=["Hamal", "ağır", "sandıkları", "tek", "başına",
+                "taşıyamadı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "ADJ", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 5, 6, 0, 6],
+        deprels=["nsubj", "amod", "obj", "amod", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Kaportacı ezik çamurluğu öğleden önce tamir etti.",
+        tokens=["Kaportacı", "ezik", "çamurluğu", "öğleden", "önce",
+                "tamir", "etti", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "ADP", "NOUN", "VERB",
+              "PUNCT"],
+        heads=[7, 3, 7, 7, 4, 7, 0, 7],
+        deprels=["nsubj", "amod", "obj", "obl", "case", "compound",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Güneşte eriyen karlar dere yataklarını doldurdu.",
+        tokens=["Güneşte", "eriyen", "karlar", "dere", "yataklarını",
+                "doldurdu", "."],
+        upos=["NOUN", "VERB", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 3, 6, 5, 6, 0, 6],
+        deprels=["obl", "acl", "nsubj", "nmod", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Onaylanan projeler belediye sitesinde ilan edildi.",
+        tokens=["Onaylanan", "projeler", "belediye", "sitesinde",
+                "ilan", "edildi", "."],
+        upos=["VERB", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=["acl", "nsubj", "nmod", "obl", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Depo çalışanları koliler müfettişler tarafından"
+             " sayılırken bekledi.",
+        tokens=["Depo", "çalışanları", "koliler", "müfettişler",
+                "tarafından", "sayılırken", "bekledi", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "VERB",
+              "PUNCT"],
+        heads=[2, 7, 6, 5, 6, 7, 0, 7],
+        deprels=["nmod", "nsubj", "nsubj", "nmod", "obl", "advcl",
+                 "root", "punct"],
+    ),
+    dict(
+        text="Müzeye emanet kalan tabloyu uzmanlar temizledi.",
+        tokens=["Müzeye", "emanet", "kalan", "tabloyu", "uzmanlar",
+                "temizledi", "."],
+        upos=["NOUN", "NOUN", "VERB", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 4, 6, 6, 0, 6],
+        deprels=["obl", "compound", "acl", "obj", "nsubj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Üyeler derneğin eski tüzüğünü oylamayla değiştirdi.",
+        tokens=["Üyeler", "derneğin", "eski", "tüzüğünü", "oylamayla",
+                "değiştirdi", "."],
+        upos=["NOUN", "NOUN", "ADJ", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[6, 4, 4, 6, 6, 0, 6],
+        deprels=["nsubj", "nmod", "amod", "obj", "obl", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Kavurmacı fındıkları bakır kazanda kavurdu.",
+        tokens=["Kavurmacı", "fındıkları", "bakır", "kazanda",
+                "kavurdu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=["nsubj", "obj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Fırıncı hamuru gece boyunca mayaladı.",
+        tokens=["Fırıncı", "hamuru", "gece", "boyunca", "mayaladı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADP", "VERB", "PUNCT"],
+        heads=[5, 5, 5, 3, 0, 5],
+        deprels=["nsubj", "obj", "obl", "case", "root", "punct"],
+    ),
+    dict(
+        text="Mobilyacı ceviz masaları tek tek cilaladı.",
+        tokens=["Mobilyacı", "ceviz", "masaları", "tek", "tek",
+                "cilaladı", "."],
+        upos=["NOUN", "NOUN", "NOUN", "ADV", "ADV", "VERB", "PUNCT"],
+        heads=[6, 3, 6, 6, 4, 0, 6],
+        deprels=["nsubj", "nmod", "obj", "advmod", "compound", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Rehberin sürpriz programı geziye renk kattı.",
+        tokens=["Rehberin", "sürpriz", "programı", "geziye", "renk",
+                "kattı", "."],
+        upos=["NOUN", "ADJ", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[3, 3, 6, 6, 6, 0, 6],
+        deprels=["nmod", "amod", "nsubj", "obl", "obj", "root",
+                 "punct"],
+    ),
+    dict(
+        text="Sayaç memurları abonelerin tüketimini kaydetti.",
+        tokens=["Sayaç", "memurları", "abonelerin", "tüketimini",
+                "kaydetti", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "nmod", "obj", "root", "punct"],
+    ),
+    dict(
+        text="Aşure kazanları cami avlusunda kaynadı.",
+        tokens=["Aşure", "kazanları", "cami", "avlusunda", "kaynadı",
+                "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=["nmod", "nsubj", "nmod", "obl", "root", "punct"],
+    ),
+    dict(
+        text="Noter satış sözleşmesini taraflara okudu.",
+        tokens=["Noter", "satış", "sözleşmesini", "taraflara",
+                "okudu", "."],
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=["nsubj", "nmod", "obj", "obl", "root", "punct"],
+    ),
+]
