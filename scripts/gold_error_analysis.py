@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind48" in sys.argv:
+    if "--blind49" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind49 import BLIND49 as entries
+    elif "--blind48" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind48 import BLIND48 as entries
     elif "--blind47" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind47 import BLIND47 as entries

@@ -66,6 +66,7 @@ SPLITS = [
     ("blind46", "vnlp_spark.plans.gold_ud_blind46", "BLIND46"),
     ("blind47", "vnlp_spark.plans.gold_ud_blind47", "BLIND47"),
     ("blind48", "vnlp_spark.plans.gold_ud_blind48", "BLIND48"),
+    ("blind49", "vnlp_spark.plans.gold_ud_blind49", "BLIND49"),
 ]
 
 

@@ -182,6 +182,9 @@ _TRANSITIVE_ROOTS = {
     # (deri botları rafa ÇIKARDI); the intransitive çık- is a separate
     # stem and never reaches these rules
     "çıkar",
+    # blind-49: artisanal process transitives (fındıkları KAVURDU,
+    # hamuru MAYALADI, masaları CİLALADI)
+    "kavur", "mayala", "cilala",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
@@ -1240,7 +1243,8 @@ def py_parse_tokens(
                     # reading (KAPTAN yolcuları kalkıştan ÖNCE uyardı)
                     and not (j + 1 < n and upos[j + 1] == "ADP"
                              and to_lower(tokens[j + 1]) not in
-                             ("önce", "sonra", "itibaren", "beri")))
+                             ("önce", "sonra", "itibaren", "beri",
+                              "boyunca")))
                 # bare time expressions are obliques here too (Belediye
                 # simitçileri SABAH denetledi), mirroring
                 # _adjacent_to_verb

@@ -859,6 +859,21 @@ class HeuristicDisambiguator:
             )
         ):
             s -= 2.5
+        # a -CI agentive over a DEVERBAL -mA noun is a profession word
+        # (kavurma+cı, dondurma+cı): it outranks the paradigm-stealing
+        # rare-stem rival that the longest-root tie-break would pick
+        # (kavurmaç+ı 'his kavurmaç')
+        if (
+            first == "Noun"
+            and "Agt" in tag_set
+            and "DB" in tag_set
+            and root[-2:] in ("ma", "me")
+            # a real deverbal -mA noun, not an accidental short stem
+            # (maç+ı must never fall to ma+çı)
+            and len(root) >= 5
+            and self._in_stems(root)
+        ):
+            s += 5.0
         # nominal priors: unmarked possessive > P3sg > other
         if "Pnon" in tag_set:
             s += 4.0

@@ -39,6 +39,7 @@ _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
     "kağıt", "naylon", "porselen", "kadife", "kömür", "maden",
+    "ceviz",
     # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
     # ağırladı, rekor katılım)
     "rekor",
@@ -767,6 +768,17 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # the noun 'cause' is possessed/case-marked/determined
             out[i] = "ADV"
         elif (
+            low == "tek"
+            and out[i] == "NUM"
+            and i + 1 < n
+            and out[i + 1] in ("NOUN", "PROPN")
+            and "P3sg" in set(analyses[i + 1].replace("^", "+")
+                              .split("+"))
+        ):
+            # 'tek' before a possessed noun is the adjective 'sole/alone'
+            # (TEK başına taşıyamadı, takımın TEK golü), not a numeral
+            out[i] = "ADJ"
+        elif (
             low == "ancak"
             and out[i] == "CCONJ"
             and i > 0
@@ -891,7 +903,20 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "Nom" in tags
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
-            and _case_of(analyses[i + 1]) not in ("Nom", "")
+            and (_case_of(analyses[i + 1]) not in ("Nom", "")
+                 # ... or a P3sg+Nom head the parser's re-read will
+                 # resolve to Acc: an ambiguous object after the dual,
+                 # with a left subject and a transitive/LVC frame, is
+                 # case-marked in effect (Kaportacı EZİK çamurluğu
+                 # tamir etti)
+                 or ("P3sg" in set(analyses[i + 1].replace("^", "+")
+                                   .split("+"))
+                     and "acc" in _readings(tokens[i + 1])
+                     and any(
+                         out[j] == "NOUN"
+                         and _case_of(analyses[j]) in ("Nom", "")
+                         and not _is_possessed(tokens[j], analyses[j])
+                         for j in range(i))))
             and "bare_adj" in _readings(tokens[i])
             and low not in _MATERIAL_NOUNS
             # the complement slot of the agentive-passive frame and the

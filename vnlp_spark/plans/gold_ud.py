@@ -3544,6 +3544,41 @@ UD_GOLD: List[dict] = [
         deprels=['nsubj', 'obj', 'advmod', 'obl', 'compound', 'root',
                  'punct'],
     ),
+    # ---- blind-49 fix categories, pinned with fresh lexemes ----------
+    # a -CI agentive over a deverbal -mA noun is the profession word,
+    # outranking paradigm-stealing rare-stem rivals (never ma+çı)
+    dict(
+        text='Dondurmacı külahları tezgaha dizdi.',
+        tokens=['Dondurmacı', 'külahları', 'tezgaha', 'dizdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # artisanal process transitives joined the inventory
+    dict(
+        text='Ustalar parkeleri özenle cilaladı.',
+        tokens=['Ustalar', 'parkeleri', 'özenle', 'cilaladı', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'advmod', 'root', 'punct'],
+    ),
+    # a dual-stem attributive also reads ADJ before a P3sg-Nom head the
+    # re-read resolves to Acc (left subject + transitive frame)
+    dict(
+        text='Tamirci ezik tamponu boyadı.',
+        tokens=['Tamirci', 'ezik', 'tamponu', 'boyadı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
+    # 'tek' before a possessed noun is the adjective (tek başına)
+    dict(
+        text='Bekçi binayı tek başına korudu.',
+        tokens=['Bekçi', 'binayı', 'tek', 'başına', 'korudu', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:

