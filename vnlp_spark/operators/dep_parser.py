@@ -185,6 +185,13 @@ _TRANSITIVE_ROOTS = {
     # blind-49: artisanal process transitives (fındıkları KAVURDU,
     # hamuru MAYALADI, masaları CİLALADI)
     "kavur", "mayala", "cilala",
+    # eleventh valency sweep: craft/kitchen/process transitives whose
+    # stems the lexicon lists as verbs, each unambiguously transitive
+    # (the productive causatives kaynat/kızart/dondur need no listing —
+    # "Caus" in the tagset already obligates an object)
+    "soğut", "ısıt", "zımparala", "yoğur", "öğüt", "demle", "közle",
+    "ayıkla", "kırp", "aşıla", "istifle", "bük", "sar", "düğümle",
+    "sürgüle", "perçinle", "lehimle", "rendele", "kapa",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
