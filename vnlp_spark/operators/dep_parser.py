@@ -192,6 +192,10 @@ _TRANSITIVE_ROOTS = {
     "soğut", "ısıt", "zımparala", "yoğur", "öğüt", "demle", "közle",
     "ayıkla", "kırp", "aşıla", "istifle", "bük", "sar", "düğümle",
     "sürgüle", "perçinle", "lehimle", "rendele", "kapa",
+    # ... and administrative/tech/judicial transitives from the same
+    # sweep (mixed-valency verbs like bak/çarp/an deliberately left out)
+    "feshet", "uyarla", "yedekle", "şifrele", "kodla", "dene",
+    "hesapla", "anımsa", "yinele", "tekrarla", "soruştur", "tutukla",
     # experiencer transitive: its bare event-nominal complement is the
     # object (sorun yaşadı, ürün kaybı yaşadı); the residence sense
     # takes Loc obliques which never reach the object rules anyway
