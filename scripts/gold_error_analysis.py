@@ -112,7 +112,9 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind49" in sys.argv:
+    if "--blind50" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind50 import BLIND50 as entries
+    elif "--blind49" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind49 import BLIND49 as entries
     elif "--blind48" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind48 import BLIND48 as entries

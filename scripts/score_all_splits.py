@@ -67,6 +67,7 @@ SPLITS = [
     ("blind47", "vnlp_spark.plans.gold_ud_blind47", "BLIND47"),
     ("blind48", "vnlp_spark.plans.gold_ud_blind48", "BLIND48"),
     ("blind49", "vnlp_spark.plans.gold_ud_blind49", "BLIND49"),
+    ("blind50", "vnlp_spark.plans.gold_ud_blind50", "BLIND50"),
 ]
 
 

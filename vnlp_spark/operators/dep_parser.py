@@ -1017,6 +1017,15 @@ def py_parse_tokens(
                 continue
             if _gen_oblique_mod(j, v):
                 continue
+            if (upos[j] in _NOMINAL and j + 1 < n
+                    and upos[j + 1] == "ADP"
+                    # ... except the concessive class, whose frame
+                    # signals a compound subject (sakatlığına RAĞMEN
+                    # oynadı keeps the izafet reading)
+                    and to_lower(tokens[j + 1]) not in ("rağmen",
+                                                        "karşın")):
+                continue  # a bare-Nom ADP complement is inside an
+                # adjunct phrase (yazışmaları GÜVENLİK İÇİN şifreledi)
             if upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS:
                 continue  # bare time expressions are obliques too
             if _spatial_frame_mod(j):
@@ -1035,6 +1044,11 @@ def py_parse_tokens(
         if (to_lower(tokens[j]) == "sağanak"
                 and to_lower(tokens[j + 1]).startswith(("yağış",
                                                         "yağmur"))):
+            juxt_mod[j] = True
+        # lexicalized institution juxtaposition (SAHİL güvenlik
+        # botları = the Coast Guard's boats): same closed class
+        if (to_lower(tokens[j]) == "sahil"
+                and to_lower(tokens[j + 1]).startswith("güvenli")):
             juxt_mod[j] = True
 
     for i in range(n - 1, -1, -1):
@@ -1260,6 +1274,14 @@ def py_parse_tokens(
                 # simitçileri SABAH denetledi), mirroring
                 # _adjacent_to_verb
                 or (upos[j] == "NOUN" and roots_of[j] in _TEMPORAL_ROOTS)
+                # a bare-Nom complement of a following postposition is
+                # inside an adjunct phrase (yazışmaları GÜVENLİK İÇİN
+                # şifreledi), same as in subject_elsewhere — except the
+                # concessive class (sakatlığına RAĞMEN)
+                or (upos[j] in _NOMINAL and j + 1 < n
+                    and upos[j + 1] == "ADP"
+                    and to_lower(tokens[j + 1]) not in ("rağmen",
+                                                        "karşın"))
                 or _spatial_frame_mod(j)
                 # adjective inside an intervening oblique phrase
                 # (soruları SAKİN biçimde yanıtladı)
@@ -1839,9 +1861,12 @@ def py_parse_tokens(
         v = next_verbish(i)
         vt = v if v is not None else p  # local attachment for obj/obl
         if (
-            to_lower(tokens[i]) == "sağanak"
-            and i + 1 < n
-            and to_lower(tokens[i + 1]).startswith(("yağış", "yağmur"))
+            (to_lower(tokens[i]) == "sağanak"
+             and i + 1 < n
+             and to_lower(tokens[i + 1]).startswith(("yağış", "yağmur")))
+            or (to_lower(tokens[i]) == "sahil"
+                and i + 1 < n
+                and to_lower(tokens[i + 1]).startswith("güvenli"))
         ):
             # lexicalized bare weather juxtaposition: sağanak modifies
             # its precipitation head without possession (SAĞANAK yağış
@@ -2734,6 +2759,14 @@ def py_parse_tokens(
                 # is a conjunct object, never demoted (hem yolları hem
                 # parkları yeniledi)
                 if (eff_case[i] in ("Nom", "")
+                        # a POSSESSED-Nom nominal here is an izafet
+                        # subject candidate (Sahil güvenlik BOTLARI
+                        # ... topladı), not a duration adjunct — only
+                        # time-expression possesseds demote (hafta SONU)
+                        and (not eff_poss[i]
+                             or roots_of[i] in _TEMPORAL_ROOTS
+                             or roots_of[i] in ("son", "yarı", "baş",
+                                                "orta"))
                         and any(rels[k] == "nsubj" and heads[k] == vt + 1
                                 for k in range(i))
                         and any(

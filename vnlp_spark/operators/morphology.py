@@ -1342,6 +1342,45 @@ def py_analyze_tokens(tokens: Sequence[str],
         if low != out[idx].split("+", 1)[0] and "Noun" in gen.stem_dic.get(
                 low, ()):
             out[idx] = low + "+Noun+A3sg+Pnon+Nom"
+    # an Inf2 plural surface (-mAlArI) chosen as the Acc object after a
+    # bare-Nom possessor flips to its P3sg+Nom izafet twin when the
+    # clause predicate is PASSIVE (Kazı ÇALIŞMALARI ... sürdürülmektedir
+    # = the izafet subject); before an active verb the Acc object
+    # reading stands (Kurum YAZIŞMALARI ... şifreledi)
+    for idx in range(1, len(out)):
+        if ("+Inf2+" not in out[idx].replace("^", "+")
+                or not out[idx].endswith("+A3pl+Pnon+Acc")):
+            continue
+        prv = _TAG_SEP.split(out[idx - 1])
+        if not ("Noun" in prv and "Pnon" in prv and "Nom" in prv):
+            continue
+        nxt_verb = next((a for a in out[idx + 1:]
+                         if "Verb" in _TAG_SEP.split(a)
+                         and "Inf2" not in _TAG_SEP.split(a)), None)
+        if nxt_verb is not None and "Pass" in _TAG_SEP.split(nxt_verb):
+            out[idx] = out[idx].replace("+A3pl+Pnon+Acc",
+                                        "+A3pl+P3sg+Nom")
+    # every Turkish prose sentence needs a predicate: when NO chosen
+    # analysis in the sentence is verbal (finite, participle, converb or
+    # verbal noun) and the LAST content token has a plain finite rival,
+    # the nominal homograph stole the predicate slot (Pideci hamuru
+    # sabah erken YOĞURDU = yoğur+Past, never yoğurt+Acc — the noun's
+    # known-word bonus outscores the verb lexically, but the clause
+    # evidence is decisive).  Imperatives are excluded: zero-copula
+    # nominal sentences (Hedef büyüme.) keep their reading.
+    if not any("Verb" in _TAG_SEP.split(a) for a in out):
+        for idx in range(len(out) - 1, -1, -1):
+            if not any(ch.isalpha() for ch in tokens[idx]):
+                continue
+            for root, sfx, tags in gen.get_analysis_candidates(
+                    tokens[idx]):
+                if (not isinstance(tags, str) and tags[0] == "Verb"
+                        and "DB" not in tags
+                        and {"Aor", "Past", "Prog1", "Fut",
+                             "Narr"} & set(tags)):
+                    out[idx] = root + "+" + "+".join(tags)
+                    break
+            break
     # a lexicalized deverbal-noun homograph of the kal-participle
     # (kalan 'the remainder') directly after a bare-Nom noun and before
     # a nominal is the participle in its idiomatic collocation (miras

@@ -3579,6 +3579,44 @@ UD_GOLD: List[dict] = [
         heads=[5, 5, 4, 5, 0, 5],
         deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
     ),
+    # ---- blind-50 fix categories, pinned with fresh lexemes ----------
+    # a clause with no verbal analysis re-claims its predicate: the
+    # final token's finite rival beats the known-noun homograph
+    # (yoğur+Past, never yoğurt+Acc)
+    dict(
+        text='Usta çamuru elleriyle yoğurdu.',
+        tokens=['Usta', 'çamuru', 'elleriyle', 'yoğurdu', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # -mAlArI surfaces carry the full Acc/P3sg+Nom ambiguity: the Acc
+    # object before an active transitive ...
+    dict(
+        text='Sekreter görüşmeleri akşam kaydetti.',
+        tokens=['Sekreter', 'görüşmeleri', 'akşam', 'kaydetti', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 4, 4, 0, 4],
+        deprels=['nsubj', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # ... and the izafet subject under a passive
+    dict(
+        text='Onarım çalışmaları bölgede yürütülmektedir.',
+        tokens=['Onarım', 'çalışmaları', 'bölgede', 'yürütülmektedir',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
+    # lexicalized institution juxtaposition (sahil güvenlik)
+    dict(
+        text='Sahil güvenlik ekipleri tekneyi kurtardı.',
+        tokens=['Sahil', 'güvenlik', 'ekipleri', 'tekneyi', 'kurtardı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=['nmod', 'nmod', 'nsubj', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
