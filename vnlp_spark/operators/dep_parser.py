@@ -56,7 +56,7 @@ from pyspark.sql.types import (
 )
 
 from .morphology import py_analyze_tokens, to_lower
-from .pos import _MATERIAL_NOUNS, upos_from_analysis
+from .pos import _GRAMMAT_ADPS, _MATERIAL_NOUNS, upos_from_analysis
 
 MAX_TOKENS = 40  # reference hard cap (spu_context_dp.py:159-162)
 
@@ -2232,6 +2232,50 @@ def py_parse_tokens(
             # subject
             if i + 1 < n and upos[i + 1] == "ADP":
                 heads[i], rels[i] = vt + 1, "obl"
+                continue
+            # TWO-STEP juxtaposition chain: bare + bare + possessed-NOM
+            # head (Dalga ölçüm ŞAMANDIRALARI kıyıya sürüklendi; Tarım
+            # ilçe MÜDÜRLÜĞÜ çiftçileri bilgilendirdi): the first bare
+            # modifies the middle and the chain heads the clause —
+            # UNLESS the chain pair is some OTHER frame and the first
+            # bare is the subject: an ADP / grammaticalized-ADP after
+            # the head (sınav haftası BOYUNCA, bütçe yetersizliği
+            # NEDENİYLE), a subordinate verb taking the pair as its own
+            # argument (güneş paneli TAKMAYI öneriyor), or a longer
+            # zincirleme whose next link is itself possessed (tarım
+            # sigortası PRİMLERİNİ artırdı)
+            if (
+                i + 2 < n
+                and upos[i] == "NOUN"
+                and eff_case[i] in ("Nom", "")
+                and not eff_poss[i]
+                and roots_of[i] not in _TEMPORAL_ROOTS
+                and upos[i + 1] == "NOUN"
+                and eff_case[i + 1] in ("Nom", "")
+                and not eff_poss[i + 1]
+                and roots_of[i + 1] not in _TEMPORAL_ROOTS
+                and upos[i + 2] == "NOUN"
+                and eff_poss[i + 2]
+                and eff_case[i + 2] in ("Nom", "")
+                and "A3pl" not in tagsets[i]
+                and not (i + 3 < n
+                         and (upos[i + 3] == "ADP"
+                              or to_lower(tokens[i + 3])
+                              in _GRAMMAT_ADPS))
+                and not (i + 3 < n and upos[i + 3] == "VERB"
+                         and subord[i + 3])
+                and not (i + 3 < n and upos[i + 3] == "NOUN"
+                         and eff_poss[i + 3])
+                # ... and under an ACTIVE transitive with no other Acc,
+                # the pair is the OBJECT and the first bare the subject
+                # (yönetmen basın TOPLANTISI düzenledi): fire only when
+                # the predicate needs no object or has one elsewhere
+                and ("Pass" in tagsets[p]
+                     or _intrans(p)
+                     or any(eff_case[k] == "Acc"
+                            for k in range(i + 3, p)))
+            ):
+                heads[i], rels[i] = i + 2, "nmod"
                 continue
             # possessive compound: bare SINGULAR nominal before a possessed
             # nominal in the same mention scope.  With a non-Nom head the

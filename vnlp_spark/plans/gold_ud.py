@@ -3617,6 +3617,37 @@ UD_GOLD: List[dict] = [
         heads=[2, 3, 5, 5, 0, 5],
         deprels=['nmod', 'nmod', 'nsubj', 'obj', 'root', 'punct'],
     ),
+    # ---- twelfth probe sweep: the generic two-step chain -------------
+    # bare + bare + possessed-Nom head is the clause subject when the
+    # predicate needs no object or has one elsewhere ...
+    dict(
+        text='Tarım ilçe müdürlüğü çiftçileri bilgilendirdi.',
+        tokens=['Tarım', 'ilçe', 'müdürlüğü', 'çiftçileri',
+                'bilgilendirdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=['nmod', 'nmod', 'nsubj', 'obj', 'root', 'punct'],
+    ),
+    # ... including under passives ...
+    dict(
+        text='Dalga ölçüm şamandıraları kıyıya sürüklendi.',
+        tokens=['Dalga', 'ölçüm', 'şamandıraları', 'kıyıya',
+                'sürüklendi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=['nmod', 'nmod', 'nsubj', 'obl', 'root', 'punct'],
+    ),
+    # ... while an objectless active transitive keeps the pair as its
+    # event-nominal object and the first bare as subject
+    dict(
+        text='Ödülü kazanan yönetmen basın toplantısı düzenledi.',
+        tokens=['Ödülü', 'kazanan', 'yönetmen', 'basın', 'toplantısı',
+                'düzenledi', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 6, 5, 6, 0, 6],
+        deprels=['obj', 'acl', 'nsubj', 'nmod', 'obj', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
