@@ -797,7 +797,7 @@ def _q_triple_pr(spark, sf_dir):
              held["n_gold"], held["n_pred"], held["n_hit"]),
         ],
         ["gold_source", "precision", "recall", "n_gold", "n_pred", "n_hit"],
-    )
+    ).orderBy("gold_source")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1595,6 +1595,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         # KG chain: pinned annotations + REAL SQL replay of the relational
         # stages (triples / entities / edges)
+        # constant-expectation oracle (round-5 #4): the three P/R rows are
+        # deterministic on a frozen HEAD (pipeline + gold are both pinned
+        # in-repo), so pinning them converts the former rows-only check
+        # into a regression gate — any pipeline change that moves triple
+        # P/R off 1.0 at the driver's sf, or changes the gold/pred/hit
+        # counts, breaks the hash.  Counts verified by driving the query
+        # in a fresh driver-sim process at sf0.01.
+        "triple_precision_recall": (
+            "SELECT * FROM (VALUES "
+            "('pinned_fixture', 1.0::DOUBLE, 1.0::DOUBLE, "
+            " 5857::BIGINT, 5857::BIGINT, 5857::BIGINT), "
+            "('ud_tuning_gold', 1.0::DOUBLE, 1.0::DOUBLE, "
+            " 416::BIGINT, 416::BIGINT, 416::BIGINT), "
+            "('ud_heldout_gold', 1.0::DOUBLE, 1.0::DOUBLE, "
+            " 64::BIGINT, 64::BIGINT, 64::BIGINT)"
+            ") AS t(gold_source, precision, recall, n_gold, n_pred, n_hit) "
+            "ORDER BY gold_source"
+        ),
         "kg_triples": _kg_triples_oracle(),
         "kg_entities": _kg_entities_oracle(),
         "kg_edges": _kg_edges_oracle(),

@@ -517,6 +517,7 @@ def py_parse_tokens(
         cond = [False] * n
     non_punct = [i for i in range(n) if upos[i] != "PUNCT"]
     copular = not finite
+    cop_conj = None
     narr_acl0 = False
     narr_acl_mid: list = []
     cop_aux = None
@@ -638,6 +639,29 @@ def py_parse_tokens(
                 cop_aux = root
                 root = k
         preds = [root]
+        # zero-copula CLAUSE coordination (Hava güzel ANCAK deniz
+        # soğuk): a mid-sentence CCONJ whose RIGHT segment carries its
+        # own bare-Nom subject coordinates two verbless clauses — the
+        # FIRST clause's predicate roots, the final predicate is conj.
+        # Predicate coordination over ONE subject (Hava güzel ve
+        # güneşli) has no second subject and keeps the walk-back root.
+        if cop_aux is None:
+            for c in range(2, root):
+                if (upos[c] == "CCONJ"
+                        and upos[c - 1] in ("ADJ", "NOUN")
+                        and _case_of(analyses[c - 1]) in ("Nom", "")
+                        and not _is_possessed(tokens[c - 1],
+                                              analyses[c - 1])
+                        and any(upos[j] in ("NOUN", "PROPN", "PRON")
+                                and _case_of(analyses[j]) in ("Nom", "")
+                                for j in range(c - 1))
+                        and any(upos[m] in ("NOUN", "PROPN", "PRON")
+                                and _case_of(analyses[m]) in ("Nom", "")
+                                for m in range(c + 1, root))):
+                    cop_conj = root
+                    root = c - 1
+                    preds = [root, cop_conj]
+                    break
 
     heads = [-1] * n
     rels = [""] * n
@@ -647,6 +671,8 @@ def py_parse_tokens(
         heads[q], rels[q] = q + 2, "acl"
     if cop_aux is not None:
         heads[cop_aux], rels[cop_aux] = root + 1, "cop"
+    if cop_conj is not None:
+        heads[cop_conj], rels[cop_conj] = root + 1, "conj"
 
     # --- lexicalized fixed expressions ----------------------------------
     for i in range(1, n):
@@ -1048,7 +1074,7 @@ def py_parse_tokens(
         # lexicalized institution juxtaposition (SAHİL güvenlik
         # botları = the Coast Guard's boats): same closed class
         if (to_lower(tokens[j]) == "sahil"
-                and to_lower(tokens[j + 1]).startswith("güvenli")):
+                and to_lower(tokens[j + 1]).startswith("güvenlik")):
             juxt_mod[j] = True
 
     for i in range(n - 1, -1, -1):
@@ -1866,7 +1892,7 @@ def py_parse_tokens(
              and to_lower(tokens[i + 1]).startswith(("yağış", "yağmur")))
             or (to_lower(tokens[i]) == "sahil"
                 and i + 1 < n
-                and to_lower(tokens[i + 1]).startswith("güvenli"))
+                and to_lower(tokens[i + 1]).startswith("güvenlik"))
         ):
             # lexicalized bare weather juxtaposition: sağanak modifies
             # its precipitation head without possession (SAĞANAK yağış
@@ -2002,7 +2028,11 @@ def py_parse_tokens(
                 # a nominal fronted by a CLAUSAL correlative particle is
                 # its own clause's argument, not a conjunct of an earlier
                 # nominal (hem üretimi artırdı hem MALİYETLERİ düşürdü)
-                and i - 1 not in corr_cc_idx)
+                and i - 1 not in corr_cc_idx
+                # a CCONJ opening a coordinated zero-copula CLAUSE
+                # fronts that clause's SUBJECT, not a nominal conjunct
+                # (Hava güzel ancak DENİZ soğuk)
+                and not (cop_conj is not None and i - 1 < cop_conj))
                 or conj_via_amod):
             cc_at = i - 2 if conj_via_amod else i - 1
             first = next((j for j in range(cc_at - 1, -1, -1) if upos[j] in _NOMINAL), None)

@@ -130,6 +130,26 @@ SPATIAL_ROOTS = {
 _LOAN_I_ACC_ADJS = {"merkezi", "tarihi", "askeri", "resmi", "dini",
                     "ilmi"}
 
+# genuine -In-final lexemes whose truncation is ALSO a listed stem
+# (motor/motorin, albüm/albümin): these must keep their base paradigm
+# and stay out of the genitive-shaped junk-stem penalty below.  Curated
+# from the 257 stem-list entries matching the junk shape — the rest are
+# inflected genitives the reference list carries as stems (durumun,
+# istanbulun, krizin, personelin, ...)
+_GENUINE_IN_FINAL_STEMS = {
+    # substances / loanwords
+    "benzin", "motorin", "albümin", "sakarin", "parafin", "kafein",
+    "kokain", "florin", "baritin", "divitin", "kobaltin", "nitratin",
+    "istanbulin", "marjin", "kantin",
+    # native -In nouns / adjectives
+    "miskin", "keskin", "saygın", "baskın", "yangın", "tayfun",
+    "talkın", "terkin", "teskin", "tarhun", "memurin", "nazenin",
+    "apansızın", "birgün",
+    # proper-name lexemes in everyday use
+    "martin", "michelin", "kamerun", "filipin", "enderun", "feridun",
+    "yasemin", "nermin", "aytekin", "gültekin", "iskenderun",
+}
+
 _PL_IZAFET_HEADS = {
     "kurul", "oda", "cemiyet", "sendika", "birlik", "meclis", "derneğ",
     "dernek", "federasyon", "konfederasyon", "topluluk", "topluluğ",
@@ -779,6 +799,7 @@ class HeuristicDisambiguator:
             and root[-2:] in ("ın", "in", "un", "ün")
             and len(root) - 2 >= 4
             and self._in_stems(root[:-2])
+            and root not in _GENUINE_IN_FINAL_STEMS
         ):
             # every suffixed reading over the junk root competes with
             # the base-stem paradigm (durumun+u / durumun+a / ...);
@@ -1368,10 +1389,24 @@ def py_analyze_tokens(tokens: Sequence[str],
     # known-word bonus outscores the verb lexically, but the clause
     # evidence is decisive).  Imperatives are excluded: zero-copula
     # nominal sentences (Hedef büyüme.) keep their reading.
+    # ... and only with positive clause evidence: a case-marked nominal
+    # ARGUMENT earlier in the sentence (hamuru+Acc in the yoğurdu case).
+    # Bare copula-less equational sentences (Hedef büyüme. / Sonuç
+    # başarı.) carry no such argument and keep their nominal reading
+    # even when the final word has an Aor/Past noun-verb homograph.
     if not any("Verb" in _TAG_SEP.split(a) for a in out):
         for idx in range(len(out) - 1, -1, -1):
             if not any(ch.isalpha() for ch in tokens[idx]):
                 continue
+            if not any(
+                    ({"Acc", "Dat", "Loc", "Abl"} & set(tg))
+                    # a possessed-Nom nominal is the Acc-ambiguous
+                    # object shape (hamuru = hamur+P3sg+Nom / +Acc)
+                    # and counts as argument evidence too
+                    or {"P3sg", "Nom"} <= set(tg)
+                    for tg in (_TAG_SEP.split(out[j])
+                               for j in range(idx))):
+                break
             for root, sfx, tags in gen.get_analysis_candidates(
                     tokens[idx]):
                 if (not isinstance(tags, str) and tags[0] == "Verb"

@@ -22,7 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from .morphology import py_analyze_tokens
+from .morphology import _GENUINE_IN_FINAL_STEMS, py_analyze_tokens
 
 # lexicalized terrain/ground -lIk ADJECTIVES (dictionary adjectives, not
 # productive abstract -lIk nouns like işsizlik/kuraklık): attributive
@@ -106,7 +106,8 @@ def _readings(token: str) -> frozenset:
         if (_suffix and tags[0] == "Noun"
                 and _root[-2:] in ("ın", "in", "un", "ün")
                 and len(_root) - 2 >= 4
-                and _root[:-2] in gen.stem_dic):
+                and _root[:-2] in gen.stem_dic
+                and _root not in _GENUINE_IN_FINAL_STEMS):
             continue
         tset = set(tags)
         if tags[0] == "Adj" and len(tags) == 1:
@@ -783,6 +784,25 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i] == "CCONJ"
             and i > 0
             and not any(out[j] == "VERB" for j in range(i))
+            # a zero-copula PRESENT first conjunct has no VERB but is
+            # still a complete clause (Hava güzel ANCAK deniz soğuk):
+            # a bare predicate-capable ADJ/NOUN directly on the left
+            # preceded by a bare-Nom subject keeps the coordination
+            and not (
+                i >= 2
+                and out[i - 1] in ("ADJ", "NOUN")
+                and _case_of(analyses[i - 1]) in ("Nom", "")
+                # a POSSESSED Nom nominal is the Acc-ambiguous OBJECT
+                # shape, not a bare predicate (Çevirmen raporu ANCAK
+                # sabah bitirdi keeps the focalizer reading)
+                and not (set(analyses[i - 1].replace("^", "+")
+                             .split("+"))
+                         & {"P1sg", "P2sg", "P3sg",
+                            "P1pl", "P2pl", "P3pl"})
+                and any(out[j] in ("NOUN", "PROPN", "PRON")
+                        and _case_of(analyses[j]) in ("Nom", "")
+                        for j in range(i - 1))
+            )
         ):
             # mid-sentence 'ancak' with no finite first conjunct before
             # it is the focalizer 'only' (hatayı ANCAK gece fark etti);
