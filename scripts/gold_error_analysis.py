@@ -112,7 +112,12 @@ def run(entries, verbose=True):
 
 
 if __name__ == "__main__":
-    if "--blind50" in sys.argv:
+    # data-file splits (blind-51+, plans/gold_blind/*.conllu): --split NAME
+    if "--split" in sys.argv:
+        from vnlp_spark.plans.gold_ud_blind_data import load_split
+
+        entries = load_split(sys.argv[sys.argv.index("--split") + 1])
+    elif "--blind50" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind50 import BLIND50 as entries
     elif "--blind49" in sys.argv:
         from vnlp_spark.plans.gold_ud_blind49 import BLIND49 as entries

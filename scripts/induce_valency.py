@@ -113,6 +113,11 @@ EXCLUDED = {
     # mixed-valency middle class (transitive AND oblique/unaccusative
     # senses, deliberately unlisted like bak/çarp/an/işle)
     "bak", "çarp", "an", "işle", "geç", "acı", "bez", "eğle",
+    # caught by the frozen blind splits on first merge: sür has the
+    # unaccusative 'last/continue' sense (etkinlik SÜRDÜ), konuş is
+    # oblique-framed speech (velilerle KONUŞTU) whose possessed-Nom
+    # left neighbor is the subject
+    "sür", "konuş",
     # quotative 'de' (clitic-homograph, handled by its own rules)
     "de",
     # archaic / unanalyzable / derived-stem artifacts

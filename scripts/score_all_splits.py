@@ -75,8 +75,13 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gold_error_analysis import run
 
-    for name, mod, attr in SPLITS:
-        entries = getattr(importlib.import_module(mod), attr)
+    from vnlp_spark.plans.gold_ud_blind_data import available_splits, load_split
+
+    all_splits = [
+        (name, getattr(importlib.import_module(mod), attr))
+        for name, mod, attr in SPLITS
+    ] + [(name, load_split(name)) for name in available_splits()]
+    for name, entries in all_splits:
         buf = io.StringIO()
         with redirect_stdout(buf):
             run(entries, verbose=False)

@@ -260,6 +260,24 @@ _INTRANSITIVE_ROOTS = {
     "düzel", "dol", "değiş",
 }
 
+# round-5 bulk valency induction: the curated transitive list above is
+# the PRECISION core (~300 hand-verified roots, grown 12-per-sweep over
+# rounds 3-4); the induced file is the RECALL sweep over the whole
+# ~2,450-verb lexicon — verbs whose passive paradigm is attested >=3
+# independent ways in the known-words derivational dictionary
+# (personal passives presuppose a promotable object), minus a curated
+# oblique-frame/mixed-valency exclusion list (scripts/induce_valency.py).
+# Curated intransitives always win the merge.
+def _merged_transitives() -> frozenset:
+    from .. import resources
+
+    return frozenset(_TRANSITIVE_ROOTS) | (
+        resources.induced_transitives() - _INTRANSITIVE_ROOTS
+    )
+
+
+_TRANSITIVE_ROOTS = _merged_transitives()
+
 # nominal halves of gel-support constructions (GALİP geldi, denk
 # geldi): compound, never the subject/oblique of motion gel-
 _GEL_SUPPORT_NOMINALS = {"galip", "mağlup", "denk", "rast", "üstün"}
@@ -1370,6 +1388,12 @@ def py_parse_tokens(
             or obj_later
             or (not strict_adj and not obligate_v)
             or (subject_elsewhere and not obligate_v)
+            # inside an infinitive clause under a copular matrix
+            # (piknik ateşi YAKMAK yasak) there is no subject slot the
+            # bare modifier could fill — an overt infinitive subject
+            # would be genitive — so the compound reading stands
+            or (copular and subord[v]
+                and tagsets[v] & {"Inf", "Inf1", "Inf2", "Inf3"})
         ):
             eff_case[i], eff_poss[i] = "Nom", True
         elif _adjacent_to_verb(i, v):

@@ -1457,7 +1457,14 @@ def py_analyze_tokens(tokens: Sequence[str],
                     # a multiply-derived candidate is an artifact of the
                     # generator, not the support verb (taze ETTEN çekti
                     # must keep et+Abl 'from meat')
-                    and "DB" not in tags):
+                    and "DB" not in tags
+                    # ... and only SUFFIXED forms: the bare imperative
+                    # reading of the naked surface (Aşçı ET suyunu
+                    # süzdü) is never the support verb — every genuine
+                    # complex carries tense/converb morphology (etti,
+                    # edince, ederek), and the naked surface mid-
+                    # sentence is the noun (et suyu = broth)
+                    and "Imp" not in tags):
                 out[idx] = root + "+" + "+".join(tags).replace(
                     "+DB", "^DB")
                 break

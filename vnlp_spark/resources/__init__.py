@@ -33,6 +33,22 @@ def stop_words() -> frozenset[str]:
 
 
 @lru_cache(maxsize=None)
+def induced_transitives() -> frozenset[str]:
+    """Transitive verb roots induced in bulk from the vendored lexicons
+    (scripts/induce_valency.py): verbs from the 78k flagged stem list
+    whose passive paradigm is attested >=3 independent ways in the 111k
+    known-words derivational dictionary, minus a curated oblique-frame /
+    mixed-valency exclusion list.  Frozen as data; the dependency parser
+    merges these UNDER the curated lists (curated intransitives win)."""
+    out = set()
+    for line in _read_gz_lines("induced_transitives.txt.gz"):
+        parts = line.split("\t")
+        if parts and parts[0]:
+            out.add(parts[0])
+    return frozenset(out)
+
+
+@lru_cache(maxsize=None)
 def known_words() -> frozenset[str]:
     """111,899-word Turkish lexicon (reference: normalizer.py:25-35)."""
     return frozenset(
