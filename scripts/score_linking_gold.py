@@ -35,12 +35,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    seed_rows = [(surface, typ) for surface, typ, n in KB for _ in range(n)]
+    kb, gold_rows = KB, GOLD_LINKS
+    if "--split2" in sys.argv:
+        from vnlp_spark.plans.gold_linking2 import GOLD_LINKS2, KB2
+
+        kb, gold_rows = KB2, GOLD_LINKS2
+    seed_rows = [(surface, typ) for surface, typ, n in kb for _ in range(n)]
     seeds = spark.createDataFrame(seed_rows, "mention string, label string") \
         .withColumn("canon_key", canonical_key("mention"))
     entities = build_entities(seeds).cache()
 
-    rows = GOLD_LINKS + (TUNING_LINKS if "--tuning" in sys.argv else [])
+    rows = gold_rows + (TUNING_LINKS if "--tuning" in sys.argv else [])
     mentions = spark.createDataFrame(
         [(i, m, l, g) for i, (m, l, g) in enumerate(rows)],
         "mid int, mention string, label string, gold string",

@@ -41,6 +41,9 @@ def main() -> None:
     elif "--split3" in sys.argv:
         from vnlp_spark.plans.gold_sentiment3 import CATS3, GOLD_SENTIMENT3
         GOLD_SENTIMENT, CATS = GOLD_SENTIMENT3, CATS3
+    elif "--split4" in sys.argv:
+        from vnlp_spark.plans.gold_sentiment4 import CATS4, GOLD_SENTIMENT4
+        GOLD_SENTIMENT, CATS = GOLD_SENTIMENT4, CATS4
     preds = [py_sentiment(t) for t, _ in GOLD_SENTIMENT]
     golds = [lbl for _, lbl in GOLD_SENTIMENT]
     n_ok = sum(p == g for p, g in zip(preds, golds))

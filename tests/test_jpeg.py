@@ -94,7 +94,7 @@ def test_decode_real_baseline_jpegs():
             while p + 4 < len(payload):
                 assert payload[p] == 0xFF
                 m = payload[p + 1]
-                if m in (0xC0, 0xC1):
+                if m in (0xC0, 0xC1, 0xC2):
                     h = int.from_bytes(payload[p + 5:p + 7], "big")
                     w = int.from_bytes(payload[p + 7:p + 9], "big")
                     break
@@ -119,3 +119,54 @@ def test_decode_image_integration():
     # deterministic
     np.testing.assert_array_equal(
         feats, decode_image(encode_jpeg(img, quality=90)))
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) — round-5 #5
+# --------------------------------------------------------------------------
+
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive and baseline encodes of the same image quantize the
+    same coefficients, so the two DECODE paths must reconstruct
+    bit-identical pixels — this pins them to each other."""
+    yy, xx = np.mgrid[0:41, 0:53]
+    img = np.zeros((41, 53, 3), dtype=np.uint8)
+    img[..., 0] = (yy * 4) % 256
+    img[..., 1] = (xx * 3) % 256
+    img[..., 2] = 128
+    prog = decode_jpeg(encode_jpeg(img, quality=95, progressive=True))
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    np.testing.assert_array_equal(prog, base)
+    assert float(np.abs(prog.astype(int) - img.astype(int)).mean()) < 3.0
+
+
+def test_progressive_roundtrip_grayscale_and_noise():
+    x = np.linspace(0, 255, 64, dtype=np.uint8)
+    img = np.tile(x, (48, 1))
+    out = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+    noise = np.random.default_rng(7).integers(
+        0, 256, size=(24, 24), dtype=np.uint8)
+    prog = decode_jpeg(encode_jpeg(noise, quality=95, progressive=True))
+    base = decode_jpeg(encode_jpeg(noise, quality=95))
+    np.testing.assert_array_equal(prog, base)
+
+
+@pytest.mark.skipif(not os.path.isdir(SPARK_IMAGES),
+                    reason="Spark sample images not present")
+def test_decode_real_progressive_jpeg():
+    """grayscale.jpg in the Spark distribution is a REAL libjpeg
+    progressive stream (SOF2, 5-scan script with successive
+    approximation: DC Al=1 + AC bands Al=2 + AC refine Ah=2->1 + DC
+    refine + AC refine Ah=1->0).  Any bit mis-consumption in the
+    refinement paths desynchronizes the Huffman stream within a scan,
+    so a clean decode to plausible smooth content validates them."""
+    path = os.path.join(SPARK_IMAGES, "multi-channel", "grayscale.jpg")
+    payload = open(path, "rb").read()
+    img = decode_jpeg(payload)
+    assert img.shape == (215, 300)
+    assert img.dtype == np.uint8
+    assert 50.0 < float(img.mean()) < 230.0
+    # photographic smoothness: neighboring-pixel deltas are small on
+    # average (a desynced decode produces salt-and-pepper garbage)
+    assert float(np.abs(np.diff(img.astype(int), axis=1)).mean()) < 25.0

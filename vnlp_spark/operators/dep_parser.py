@@ -574,12 +574,27 @@ def py_parse_tokens(
                 q > 0 and q != preds[-1]
                 and any(f > q for f in preds)
                 and upos[q] == "VERB"
-                and "Pass" in tagsets[q]
+                and ("Pass" in tagsets[q]
+                     # ... or an UNACCUSATIVE root: its Narr participle
+                     # is the productive prenominal resultative (erimiş
+                     # MADENİ kalıba döktü, kurumuş dalları topladı) —
+                     # weather verbs stay out (Kar YAĞMIŞ sokaklar...)
+                     # and the matrix must be transitive, so a genuine
+                     # evidential chain keeps its own clause
+                     or (roots_of[q] in _INTRANSITIVE_ROOTS
+                         and roots_of[q] not in ("yağ", "es")
+                         and any(f > q and roots_of[f] in
+                                 _TRANSITIVE_ROOTS for f in preds)))
                 and tagsets[q] & {"Narr", "Fut"} and "A3sg" in tagsets[q]
                 and not tagsets[q] & {"Past", "Cond", "Neg"}
                 and q + 1 < n
-                and upos[q + 1] in ("NOUN", "PROPN")
-                and _case_of(analyses[q + 1]) in ("Nom", "", "Acc")
+                and ((upos[q + 1] in ("NOUN", "PROPN")
+                      and _case_of(analyses[q + 1]) in ("Nom", "", "Acc"))
+                     # the participle can stack before an adjective-
+                     # modified head (erimiş MADENİ kalıba — the loan-î
+                     # adjective re-reads as the object downstream)
+                     or (upos[q + 1] == "ADJ" and q + 2 < n
+                         and upos[q + 2] in ("NOUN", "PROPN")))
             ):
                 preds.remove(q)
                 if q in finite:
@@ -831,7 +846,12 @@ def py_parse_tokens(
                 # nominal belongs to the matrix — but its OBLIQUE frame
                 # is real (kazıda BULUNAN sikkeleri), so case-marked
                 # nominals attach locally
-                if (rels[j] == "acl" and "Pass" in tagsets[j]
+                if (rels[j] == "acl"
+                        and ("Pass" in tagsets[j]
+                             # unaccusative resultative participles
+                             # (erimiş MADENİ) have no object slot
+                             # either: same skip for Nom/Acc nominals
+                             or roots_of[j] in _INTRANSITIVE_ROOTS)
                         and eff_case[i] in ("Nom", "", "Acc")):
                     continue
                 return j
@@ -875,7 +895,8 @@ def py_parse_tokens(
             # the asker/resim/din loan-î trio reads attributive before a
             # nominal (resmi RAKAMLARI açıkladı) — adjust_upos's mirror
             # carries the same exclusion
-            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini")
+            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini",
+                                            "madeni")
             and upos[i - 1] == "NOUN"
             and eff_case[i - 1] in ("Nom", "")
             and not eff_poss[i - 1]
@@ -884,6 +905,56 @@ def py_parse_tokens(
         ):
             upos[i] = "NOUN"
             eff_case[i], eff_poss[i] = "Nom", True
+
+    # a loan-î whole-word adjective standing before a case-marked
+    # OBLIQUE nominal, with a transitive finite verb left otherwise
+    # objectless, hides the accusative object (erimiş MADENİ kalıba
+    # döktü = maden+Acc poured into the mold, never 'metallic mold'):
+    # the adjective reading would strand the verb without an object
+    # while an overt subject stands left
+    from .morphology import _LOAN_I_ACC_ADJS as _LOAN_I
+
+    for i in range(1, n - 1):
+        if (
+            upos[i] == "ADJ"
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and to_lower(tokens[i]) in _LOAN_I
+            and upos[i + 1] in _NOMINAL
+            and eff_case[i + 1] in ("Dat", "Loc", "Abl", "Ins")
+            and not (i + 2 < n and upos[i + 2] == "ADP")
+        ):
+            v = next((j for j in range(i + 1, n)
+                      if upos[j] == "VERB" and not subord[j]
+                      and not converb[j]), None)
+            if (
+                v is not None
+                and roots_of[v] in _TRANSITIVE_ROOTS
+                and "Pass" not in tagsets[v]
+                and not any(
+                    eff_case[j] == "Acc"
+                    # same clause: no other predicate between j and v
+                    and not any(p != v and min(j, v) < p < max(j, v)
+                                for p in preds)
+                    for j in range(n) if j != i
+                )
+                # ... and no BARE-Nom object candidate either (Dernek
+                # dini bayramlarda YARDIM dağıttı — yardım is the verb's
+                # bare object, dini stays attributive)
+                and not any(
+                    upos[j] in _NOMINAL
+                    and eff_case[j] in ("Nom", "")
+                    and not eff_poss[j]
+                    for j in range(i + 1, v)
+                )
+                and any(upos[j] in ("PROPN", "PRON")
+                        or (upos[j] in _NOMINAL
+                            and eff_case[j] in ("Nom", "")
+                            and not eff_poss[j])
+                        for j in range(i))
+            ):
+                upos[i] = "NOUN"
+                eff_case[i], eff_poss[i] = "Acc", False
 
     # whole-word-Adj / possessed-locative homographs directly before the
     # verb with an object to their left are the locative adverbial
@@ -2267,6 +2338,29 @@ def py_parse_tokens(
                 and upos[i + 1] == "CCONJ"
                 and to_lower(tokens[i + 1]) in ("de", "da")
             )
+            # case-marked oblique nominals and adverbs between the
+            # nominal and its verb are transparent for preverbality
+            # (öksürük şurubu RAFA dizdi, bronz kılıcı TOPRAĞA gömdü):
+            # the object slot reaches across the clause's own adjuncts
+            # — but not across ADP phrases (sakatlığına RAĞMEN oynadı
+            # keeps its compound subject, blocked by the ADP itself),
+            # and only toward a FINITE verb: a subordinate verb's
+            # arguments are genuinely adjacent, and a nominal reaching
+            # across an oblique INTO a subordinate clause is the matrix
+            # subject instead (Yolcular uçağa BİNMEYİ bekliyor)
+            preverbal = preverbal or (
+                vt is not None
+                and i + 1 < vt
+                and not subord[vt]
+                and not converb[vt]
+                and all(
+                    upos[j] == "ADV"
+                    or (upos[j] in _NOMINAL
+                        and eff_case[j] in ("Dat", "Loc", "Abl", "Ins")
+                        and not (j + 1 < n and upos[j + 1] == "ADP"))
+                    for j in range(i + 1, vt)
+                )
+            )
             # bare nominal before a possessed -ki relative adjective is
             # that adjective's compound dependent (Sanayi BÖLGESİNDEKİ
             # fabrikalar -> Sanayi nmod-> bölgesindeki), the adjectival
@@ -2910,6 +3004,23 @@ def py_parse_tokens(
             and i + 1 < n and rels[i + 1] == "conj"
         ):
             heads[i], rels[i] = i + 2, "punct"
+
+    # a bare-Nom non-temporal noun that fell to obl directly BEFORE the
+    # clause's object is that object's compound modifier (YABAN kazı
+    # avladı -> yaban nmod, 'wild goose'): two stacked bare nominals
+    # before a transitive verb are a compound, not an oblique + object
+    for i in range(n - 1):
+        if (
+            rels[i] == "obl"
+            and upos[i] == "NOUN"
+            and eff_case[i] in ("Nom", "")
+            and not eff_poss[i]
+            and roots_of[i] not in _TEMPORAL_ROOTS
+            and rels[i + 1] == "obj"
+            and upos[i + 1] == "NOUN"
+            and heads[i + 1] == heads[i]
+        ):
+            heads[i], rels[i] = i + 2, "nmod"
 
     # the FIRST conjunct carries the coordination's clause role: when a
     # bare conj child sits in object position directly before a

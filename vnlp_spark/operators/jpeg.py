@@ -7,12 +7,20 @@ canonical Huffman decode over the byte-stuffed entropy stream, run-length
 AC + differential DC, dequantize, zigzag, 8x8 IDCT as two matrix
 multiplies against the orthonormal DCT-II basis, nearest-neighbor chroma
 upsampling and JFIF YCbCr->RGB.  Grayscale and 4:4:4 / 4:2:2 / 4:2:0
-sampling are supported; progressive (SOF2) and arithmetic coding raise
-``NotImplementedError`` honestly.
+sampling are supported.  Progressive (SOF2, round-5 #5) decodes too:
+spectral-selection bands, successive-approximation DC/AC first and
+refinement scans with EOB runs (T.81 §G.2/G.1.2.3), accumulated into a
+per-component coefficient store and reconstructed at EOI — validated
+against the libjpeg-produced progressive stream shipped with the Spark
+distribution (5-scan script with AC successive approximation) and by
+the progressive encoder below.  Arithmetic coding and hierarchical
+(SOF3+) still raise ``NotImplementedError`` honestly.
 
-The matching encoder (baseline, 4:4:4 or grayscale, Annex-K tables)
-exists to build round-trip test fixtures without any imaging library —
-mirroring ``png.encode_png``.
+The matching encoders (baseline and spectral-selection progressive,
+4:4:4 or grayscale, Annex-K tables) exist to build round-trip test
+fixtures without any imaging library — mirroring ``png.encode_png``;
+progressive and baseline encodes of the same image decode
+bit-identically, pinning the two decode paths to each other.
 
 Reference parity note: the VNLP reference has no image path at all; this
 module serves the multimodal column contract in SURVEY §"LLM-data-
@@ -209,6 +217,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     out = None
+    prog_coefs = None
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -247,7 +256,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17: i + 17 + nsym])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -259,11 +268,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                # persistent DCT-coefficient store, filled scan by scan
+                # (zigzag order per block); reconstructed at EOI
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                prog_coefs = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                             dtype=np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential DCT (SOF0/SOF1) is supported")
+                "only baseline (SOF0/SOF1) and progressive (SOF2) DCT "
+                "are supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -273,17 +296,227 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cid)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
+                comp = next(
+                    (i, x) for i, x in enumerate(frame["comps"])
+                    if x["id"] == cid)
+                scan.append({**comp[1], "ci": comp[0],
+                             "dc": tt >> 4, "ac": tt & 0xF})
             entropy_start = pos + seg_len
-            out, pos = _decode_scan(data, entropy_start, frame, scan, qt,
-                                    huff_dc, huff_ac, restart_interval)
+            if frame.get("progressive"):
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    data, entropy_start, frame, scan, prog_coefs,
+                    huff_dc, huff_ac, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0xF)
+            else:
+                out, pos = _decode_scan(data, entropy_start, frame, scan,
+                                        qt, huff_dc, huff_ac,
+                                        restart_interval)
             continue  # pos already advanced past the scan
         pos += seg_len
 
+    if frame is not None and frame.get("progressive") and prog_coefs:
+        return _reconstruct_progressive(frame, prog_coefs, qt)
     if out is None:
         raise ValueError("corrupt JPEG: no scan decoded")
     return out
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Advance past entropy bytes to the next real marker (not a stuffed
+    0xFF00 and not an RSTn, which live inside the entropy stream)."""
+    while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+            and not 0xD0 <= data[p + 1] <= 0xD7):
+        p += 1
+    return p
+
+
+def _decode_scan_progressive(data, pos, frame, scan, coefs, huff_dc,
+                             huff_ac, restart_interval, ss, se, ah, al
+                             ) -> int:
+    """One progressive scan (ITU-T T.81 §G.2): spectral selection band
+    [ss, se] at successive-approximation bit position ``al`` (``ah`` is
+    the previous position, 0 for a first scan).  Updates the persistent
+    per-component zigzag coefficient store ``coefs`` in place and
+    returns the stream position after the scan's entropy data.
+
+    DC scans (ss == 0) may be interleaved in MCU order; AC scans carry
+    exactly one component in block-raster order over that component's
+    own (non-MCU-padded) block grid.  EOB runs (EOBn codes) span blocks
+    within an AC scan; the refinement path applies correction bits to
+    every nonzero-history coefficient it crosses (§G.1.2.3).
+    """
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(data, pos)
+    p1 = 1 << al
+
+    def restart(idx, state):
+        if restart_interval and idx and idx % restart_interval == 0:
+            br.align()
+            q = br.pos
+            if q + 1 < len(data) and data[q] == 0xFF and \
+                    0xD0 <= data[q + 1] <= 0xD7:
+                br.pos = q + 2
+            state["pred"] = [0] * len(scan)
+            state["eobrun"] = 0
+
+    state = {"pred": [0] * len(scan), "eobrun": 0}
+
+    if ss == 0:  # DC scan (first or refinement), possibly interleaved
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+
+        def dc_one(blk, si):
+            if ah == 0:
+                t = huff_dc[scan[si]["dc"]].decode(br)
+                diff = _extend(br.receive(t), t)
+                state["pred"][si] += diff
+                blk[0] = state["pred"][si] << al
+            elif br.bit():
+                blk[0] |= p1
+
+        if len(scan) > 1:  # interleaved, MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart(my * mcus_x + mx, state)
+                    for si, c in enumerate(scan):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_one(coefs[c["ci"]][my * c["v"] + by,
+                                                      mx * c["h"] + bx],
+                                       si)
+        else:  # non-interleaved: the component's own block grid
+            c = scan[0]
+            cw = (w * c["h"] + hmax - 1) // hmax
+            ch = (h * c["v"] + vmax - 1) // vmax
+            for yb in range((ch + 7) // 8):
+                for xb in range((cw + 7) // 8):
+                    restart(yb * ((cw + 7) // 8) + xb, state)
+                    dc_one(coefs[c["ci"]][yb, xb], 0)
+        return _skip_to_marker(data, br.pos)
+
+    # AC scan: exactly one component, raster order over its block grid
+    if len(scan) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC progressive scan")
+    c = scan[0]
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    nbx = (cw + 7) // 8
+    nby = (ch + 7) // 8
+    ac = huff_ac[c["ac"]]
+    store = coefs[c["ci"]]
+    bi = 0
+    for yb in range(nby):
+        for xb in range(nbx):
+            restart(bi, state)
+            bi += 1
+            blk = store[yb, xb]
+            if ah == 0:  # first scan for this band
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: band overflow")
+                    blk[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:  # refinement scan (§G.1.2.3)
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = ac.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                state["eobrun"] = (1 << r)
+                                if r:
+                                    state["eobrun"] += br.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG: bad refinement size")
+                            val = p1 if br.bit() else -p1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.bit() and not blk[k] & p1:
+                                    blk[k] += p1 if blk[k] > 0 else -p1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if state["eobrun"] > 0:
+                    # correction bits for nonzero-history coefficients in
+                    # the REMAINING band only — positions before k were
+                    # already refined by the loop above
+                    for kk in range(k, se + 1):
+                        if blk[kk] != 0:
+                            if br.bit() and not blk[kk] & p1:
+                                blk[kk] += p1 if blk[kk] > 0 else -p1
+                    state["eobrun"] -= 1
+    return _skip_to_marker(data, br.pos)
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the frame exactly like the baseline path."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        store = coefs[ci]
+        nby, nbx = store.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        q = qt[c["tq"]]
+        for yb in range(nby):
+            for xb in range(nbx):
+                cf = np.zeros(64, dtype=np.float64)
+                cf[ZIGZAG] = store[yb, xb]
+                plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = _idct2(
+                    cf.reshape(8, 8) * q)
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sy > 1 or sx > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0] + 128.0, 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        y = full[0] + 128.0
+        cb, cr = full[1], full[2]
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.stack([r, g, b], axis=-1), 0, 255
+                       ).astype(np.uint8)
+    raise NotImplementedError(f"{len(full)}-component JPEG")
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
@@ -438,9 +671,16 @@ def _blocks_of(plane: np.ndarray):
             yield padded[y:y + 8, x:x + 8]
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) or (h, w, 3) -> baseline JFIF bytes (grayscale or
-    4:4:4 YCbCr, Annex-K tables scaled by ``quality``)."""
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                progressive: bool = False) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> JFIF bytes (grayscale or 4:4:4
+    YCbCr, Annex-K tables scaled by ``quality``).  ``progressive=True``
+    emits a spectral-selection SOF2 stream (DC scan + two AC band scans
+    per component) — the decoder-validation twin of the progressive
+    decode path, mirroring how the baseline encoder validates the
+    baseline decoder without any imaging library."""
+    if progressive:
+        return _encode_progressive(np.asarray(img), quality)
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -503,6 +743,130 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
             _encode_single_block(bw, blocks_per[ci][bi], q, dce, ace, preds, ci)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive(img: np.ndarray, quality: int) -> bytes:
+    """Spectral-selection progressive encoder (SOF2): one interleaved DC
+    scan (Ss=0 Se=0 Al=0) followed by two AC band scans per component
+    (Ss=1..5, Ss=6..63) in raster order with per-block EOB0 — the legal
+    minimal scan script, exercising the progressive decoder's band
+    bookkeeping and EOB handling against ground-truth pixels."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _quality_scale(K_LUM_QUANT, quality).reshape(8, 8).astype(np.float64)
+    qc = _quality_scale(K_CHR_QUANT, quality).reshape(8, 8).astype(np.float64)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+
+    def seg(marker, body):
+        out.extend(marker)
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    seg(b"\xff\xdb", b"\x00" + qy.reshape(-1)[ZIGZAG].astype(np.uint8
+                                                            ).tobytes())
+    if not gray:
+        seg(b"\xff\xdb", b"\x01" + qc.reshape(-1)[ZIGZAG].astype(
+            np.uint8).tobytes())
+
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    seg(b"\xff\xc2", sof)
+
+    for tc_th, (bits, vals) in ((0x00, K_DC_LUM), (0x10, K_AC_LUM)):
+        seg(b"\xff\xc4", bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if not gray:
+        for tc_th, (bits, vals) in ((0x01, K_DC_CHR), (0x11, K_AC_CHR)):
+            seg(b"\xff\xc4", bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    dc_l, ac_l = _HuffEncoder(*K_DC_LUM), _HuffEncoder(*K_AC_LUM)
+    if gray:
+        planes = [(img.astype(np.float64) - 128.0, qy, dc_l, ac_l)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        dc_c, ac_c = _HuffEncoder(*K_DC_CHR), _HuffEncoder(*K_AC_CHR)
+        planes = [(y, qy, dc_l, ac_l), (cb, qc, dc_c, ac_c),
+                  (cr, qc, dc_c, ac_c)]
+
+    # quantized zigzag coefficients per component per block
+    comp_zz = []
+    for p, q, _, _ in planes:
+        comp_zz.append([
+            np.round(_dct2(blk) / q).astype(np.int64).reshape(-1)[ZIGZAG]
+            for blk in _blocks_of(p)
+        ])
+    n_blocks = len(comp_zz[0])
+
+    # scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += b"\x00\x00\x00"
+    seg(b"\xff\xda", sos)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for bi in range(n_blocks):
+        for ci, (_, _, dce, _) in enumerate(planes):
+            zz = comp_zz[ci][bi]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            t = int(abs(diff)).bit_length()
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            code, ln = dce.code[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(mag & ((1 << t) - 1), t)
+    bw.flush()
+    out += bw.out
+
+    # AC band scans, one component at a time
+    for ci, (_, _, _, ace) in enumerate(planes):
+        for ss, se in ((1, 5), (6, 63)):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11,
+                         ss, se, 0x00])
+            seg(b"\xff\xda", sos)
+            bw = _BitWriter()
+            for bi in range(n_blocks):
+                zz = comp_zz[ci][bi]
+                nz = [k for k in range(ss, se + 1) if zz[k]]
+                if not nz:
+                    code, ln = ace.code[0x00]  # EOB0
+                    bw.write(code, ln)
+                    continue
+                last_nz = nz[-1]
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ace.code[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    t = int(abs(v)).bit_length()
+                    mag = v if v > 0 else v + (1 << t) - 1
+                    code, ln = ace.code[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(mag & ((1 << t) - 1), t)
+                    run = 0
+                if last_nz < se:
+                    code, ln = ace.code[0x00]
+                    bw.write(code, ln)
+            bw.flush()
+            out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)
 

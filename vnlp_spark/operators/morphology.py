@@ -128,7 +128,7 @@ SPATIAL_ROOTS = {
 # asker+i, resim+i, din+i, ilim+i): the only adjective class where an
 # "Adj before finite verb" configuration hides an accusative object
 _LOAN_I_ACC_ADJS = {"merkezi", "tarihi", "askeri", "resmi", "dini",
-                    "ilmi"}
+                    "ilmi", "madeni"}
 
 # genuine -In-final lexemes whose truncation is ALSO a listed stem
 # (motor/motorin, albüm/albümin): these must keep their base paradigm
@@ -817,6 +817,22 @@ class HeuristicDisambiguator:
             and suffix[:1] == "t"
             and tag_set & {"Loc", "Abl"}
             and root[-1:] not in "fstkçşhp"
+        ):
+            s -= 1000.0
+        # the mirror phonological kill for the BARE -t causative: it
+        # attaches only to vowel/l/r-final stems (anla+t, otur+t,
+        # azal+t); after any other consonant the causative surfaces as
+        # -DIr/-It (uçuş+tur, kork+ut), so a t-initial segmentation
+        # that is not the -DIr shape (t + high vowel + r) over a
+        # consonant-final root is illegal — uçuş+t+an 'uçuştan' must
+        # lose to uç+uş+tan Inf3+Abl
+        if (
+            first == "Verb"
+            and "Caus" in tag_set
+            and suffix[:1] == "t"
+            and root[-1:] not in "aeıioöuülr"
+            and not (len(suffix) >= 3 and suffix[1] in "ıiuü"
+                     and suffix[2] == "r")
         ):
             s -= 1000.0
         # a possessed segmentation directly after a bare-Nom noun is the
@@ -1524,10 +1540,10 @@ def py_analyze_tokens(tokens: Sequence[str],
     # heads (ülke tarihi, şehir merkezi) and stay untouched
     for idx in range(len(out) - 1):
         low = to_lower(tokens[idx])
-        if low not in ("askeri", "resmi", "dini"):
+        if low not in ("askeri", "resmi", "dini", "madeni"):
             continue
         parts = _TAG_SEP.split(out[idx])
-        if parts[0] not in ("asker", "resim", "din") \
+        if parts[0] not in ("asker", "resim", "din", "maden") \
                 or "P3sg" not in parts:
             continue
         # the HOST test reads the final derivation group's PoS, so a

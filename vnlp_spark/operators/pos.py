@@ -1156,7 +1156,8 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # nominal (resmi RAKAMLARI açıkladı): their izafet-head uses
             # are rare, unlike kurul/oda/tarih/merkez (morphology.py's
             # sub-class rule chose the Adj deliberately)
-            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini")
+            and to_lower(tokens[i]) not in ("askeri", "resmi", "dini",
+                                            "madeni")
             and out[i - 1] == "NOUN"
             and _case_of(analyses[i - 1]) in ("Nom", "")
             and not _is_possessed(tokens[i - 1], analyses[i - 1])
@@ -1164,6 +1165,46 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and "p3nom" in _readings(tokens[i + 1])
         ):
             out[i] = "NOUN"
+    # a loan-î whole-word adjective before a case-marked OBLIQUE nominal
+    # with an otherwise objectless transitive finite verb is the hidden
+    # accusative object (erimiş MADENİ kalıba döktü = maden+Acc) —
+    # mirror of the parser's upos/eff_case re-read
+    from .morphology import _LOAN_I_ACC_ADJS as _LOAN_I_POS
+
+    for i in range(1, n - 1):
+        if (
+            out[i] == "ADJ"
+            and analyses[i].count("+") == 1
+            and analyses[i].endswith("+Adj")
+            and to_lower(tokens[i]) in _LOAN_I_POS
+            and out[i + 1] in ("NOUN", "PROPN")
+            and _case_of(analyses[i + 1]) in ("Dat", "Loc", "Abl", "Ins")
+            and not (i + 2 < n and out[i + 2] == "ADP")
+        ):
+            from .dep_parser import _TRANSITIVE_ROOTS as _TR_POS
+
+            v = next((j for j in range(i + 1, n) if out[j] == "VERB"),
+                     None)
+            if (
+                v is not None
+                and analyses[v].split("+", 1)[0] in _TR_POS
+                and "Pass" not in set(analyses[v].replace("^", "+")
+                                      .split("+"))
+                and not any(_case_of(analyses[j]) == "Acc"
+                            for j in range(n) if j != i)
+                and not any(out[j] in ("NOUN", "PROPN")
+                            and _case_of(analyses[j]) in ("Nom", "")
+                            and not _is_possessed(tokens[j], analyses[j])
+                            for j in range(i + 1, v))
+                and any(out[j] in ("PROPN", "PRON")
+                        or (out[j] == "NOUN"
+                            and _case_of(analyses[j]) in ("Nom", "")
+                            and not _is_possessed(tokens[j],
+                                                  analyses[j]))
+                        for j in range(i))
+            ):
+                out[i] = "NOUN"
+
     # whole-word-Adj / possessed-locative homographs directly before the
     # verb with a nominal to their left are the locative adverbial
     # (olayları YERİNDE inceledi) — mirror of the parser's re-read

@@ -82,6 +82,21 @@ _POSITIVE = {
     "şeffaf", "dürüst", "zarif", "düzenli", "masalsı", "özveri",
     "vaktinde", "zamanında", "donanımlı", "ergonomik", "maharetli",
     "değer", "değdi", "değiyor", "değmiş", "kıvamında", "pürüzsüz",
+    # round-5 bulk growth (open-vocabulary review register, curated in
+    # one sweep instead of per-split patching; prefix-collision scanned
+    # against the negative list and the known-words lexicon)
+    "fevkalade", "çarpıcı", "albeni", "alımlı", "berrak", "cazip",
+    "doygun", "dolgun", "eğlen", "estetik", "etkili", "gurur",
+    "içten", "incelik", "isabet", "istikrar", "iştah",
+    "kıyak", "lüks", "mest", "minnet", "nezaket", "nezih", "otantik",
+    "prestij", "randıman", "şirin", "tatmin", "tavsiye", "takdir",
+    "tutkun", "uyumlu", "vefa", "yakışıklı", "yaratıcı",
+    "yenilikçi", "yumuşacık", "zevk", "zengin", "afiyet", "aferin",
+    "bravo", "helal", "maşallah", "harikulade", "gıcır", "yepyeni",
+    "ekonomik", "orijinal", "birebir", "favori", "güvenilir",
+    "dayanıklı", "şipşak", "kusursuz", "becerikli",
+    "sevecen", "cıvıl", "kurtarıcı", "doyurucu",
+    "ödüllü", "garantili", "eksiksiz", "canayakın",
 }
 _NEGATIVE = {
     # core evaluatives
@@ -109,6 +124,20 @@ _NEGATIVE = {
     "pürüz", "çizik", "ezik", "yamuk", "buruş", "kırış", "aksa",
     "sızdır", "tıka", "sallan", "gevşe", "gıcırda", "sars", "kopuk",
     "ekşi", "yanık",
+    # round-5 bulk growth (open-vocabulary review register, curated in
+    # one sweep; üstünkörü/dayanılmaz beat shorter positive rivals by
+    # the longest-first ordering)
+    "alakasız", "anlamsız", "batak", "bezdir", "bıkkın", "bık",
+    "boğucu", "bunalt", "cılız", "cimri", "çakma", "çalıntı",
+    "çekilmez", "dayanılmaz", "defo", "dökül", "eskimiş", "fason",
+    "fos", "gıcık", "hantal", "hile", "hoyrat", "hurda",
+    "kazık", "köhne", "külüstür", "leş", "lime", "madara", "mızmız",
+    "paçavra", "paslan", "perişan", "sark", "sefil", "soygun",
+    "sönük", "tatsız", "usan", "uyduruk", "üstünkörü", "vahim",
+    "vasıfsız", "yetersiz", "yıpran", "zulüm", "çile", "zahmet",
+    "ağrı", "berelen", "kötürüm", "iğreti", "yılgın", "bezgin",
+    "mahcup", "utanç", "hüsran", "çözülmemiş", "savsakla", "oyalan",
+    "sürüncem", "ulaşamadı", "ulaşamıyor", "ulaşamadım",
 }
 # longest stem first so "değer"-class stems beat shorter prefixes
 _STEMS: List[Tuple[str, int]] = sorted(

@@ -3648,6 +3648,65 @@ UD_GOLD: List[dict] = [
         deprels=['obj', 'acl', 'nsubj', 'nmod', 'obj', 'root',
                  'punct'],
     ),
+    # --- blind-51 category pins (fresh tuning sentences; see BENCH.md
+    # fifty-first-split entry) ---
+    # compound object reaching across a Dat oblique (pins: preverbal
+    # transparency over the clause's own adjuncts)
+    dict(
+        text='Manav elma sandığını depoya taşıdı.',
+        tokens=['Manav', 'elma', 'sandığını', 'depoya', 'taşıdı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # -Iş noun + Abl over the illegal bare-t causative segmentation
+    # (pins: yarış+tan beats yarış+t+an, önce reads PCAbl)
+    dict(
+        text='Sporcular yarıştan önce salonda ısındı.',
+        tokens=['Sporcular', 'yarıştan', 'önce', 'salonda', 'ısındı',
+                '.'],
+        upos=['NOUN', 'NOUN', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 2, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'case', 'obl', 'root', 'punct'],
+    ),
+    # unaccusative resultative participle + loan-î hidden object across
+    # an oblique (pins: erimiş acl, madeni NOUN+obj)
+    dict(
+        text='Kuyumcu erimiş madeni kalıptan çıkardı.',
+        tokens=['Kuyumcu', 'erimiş', 'madeni', 'kalıptan', 'çıkardı',
+                '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'acl', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # two stacked bare nominals before a transitive verb are compound
+    # modifier + object (pins: yaban nmod, kazı obj)
+    dict(
+        text='Aşçı fırında yaban kazı pişirdi.',
+        tokens=['Aşçı', 'fırında', 'yaban', 'kazı', 'pişirdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obl', 'nmod', 'obj', 'root', 'punct'],
+    ),
+    # --- round-4 advisor-finding pins ---
+    # zero-copula clause coordination (pins: first predicate roots,
+    # second conj, its bare-Nom is nsubj, ancak stays cc)
+    dict(
+        text='Hava güzel ancak deniz soğuk.',
+        tokens=['Hava', 'güzel', 'ancak', 'deniz', 'soğuk', '.'],
+        upos=['NOUN', 'ADJ', 'CCONJ', 'NOUN', 'ADJ', 'PUNCT'],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=['nsubj', 'root', 'cc', 'nsubj', 'conj', 'punct'],
+    ),
+    # genuine -In-final lexeme keeps its base paradigm (pins: motorin
+    # out of the junk-stem penalty)
+    dict(
+        text='Motorinin fiyatı hızla arttı.',
+        tokens=['Motorinin', 'fiyatı', 'hızla', 'arttı', '.'],
+        upos=['NOUN', 'NOUN', 'ADV', 'VERB', 'PUNCT'],
+        heads=[2, 4, 4, 0, 4],
+        deprels=['nmod', 'nsubj', 'advmod', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:

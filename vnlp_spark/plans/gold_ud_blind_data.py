@@ -32,7 +32,8 @@ def available_splits() -> List[str]:
     if not os.path.isdir(_DATA_DIR):
         return []
     names = [
-        f[:-8] for f in os.listdir(_DATA_DIR) if f.endswith(".conllu")
+        f[: -len(".conllu")]
+        for f in os.listdir(_DATA_DIR) if f.endswith(".conllu")
     ]
 
     def _key(n: str):
