@@ -1100,12 +1100,43 @@ def _fx(name: str) -> str:
     return os.path.join(_FX_DIR, f"{name}.parquet").replace("'", "''")
 
 
-def _canon_sql(expr: str) -> str:
-    """canonical_key(surface) in DuckDB: turkish-lower of the
-    apostrophe-stripped last space-separated word (entity_resolution.py:32)."""
+# mirror of entity_resolution.GENERIC_ORG_HEADS for the SQL replicas
+_GENERIC_HEADS_SQL = (
+    "'banka','bankası','üniversite','üniversitesi','bakanlık',"
+    "'bakanlığı','ajans','ajansı','holding','jk','fk','kulüp','kulübü',"
+    "'belediye','belediyesi','müdürlük','müdürlüğü','başkanlık',"
+    "'başkanlığı','mahkeme','mahkemesi','kurum','kurumu','kurul',"
+    "'kurulu','grup','grubu','borsa','borsası','federasyon',"
+    "'federasyonu','dernek','derneği','vakıf','vakfı','oda','odası',"
+    "'birlik','birliği','sigorta','sigortası','yolları','takım','takımı'"
+)
+
+
+def _head_key_sql(expr: str) -> str:
+    """Apostrophe-stripped lowered last word of a surface, in DuckDB."""
     return (
         f"lower(translate(string_split_regex(string_split({expr}, ' ')[-1], "
         "'[''’]')[1], 'İIĞÜÖŞÇ', 'iığüöşç'))"
+    )
+
+
+def _canon_sql(expr: str) -> str:
+    """canonical_key(surface) in DuckDB: turkish-lower of the
+    apostrophe-stripped last space-separated word — except multiword
+    surfaces with a GENERIC organizational head, which key by the
+    clitic-stripped lowered FULL surface (entity_resolution.py:
+    GENERIC_ORG_HEADS)."""
+    head_key = _head_key_sql(expr)
+    nonhead = (
+        f"lower(translate(array_to_string(string_split({expr}, ' ')"
+        f"[1:len(string_split({expr}, ' ')) - 1], ' '), "
+        "'İIĞÜÖŞÇ', 'iığüöşç'))"
+    )
+    return (
+        f"CASE WHEN len(string_split({expr}, ' ')) > 1 "
+        f"AND {head_key} IN ({_GENERIC_HEADS_SQL}) "
+        f"THEN {nonhead} || ' ' || {head_key} "
+        f"ELSE {head_key} END"
     )
 
 
@@ -1145,10 +1176,13 @@ annm AS (
 mm AS (
   SELECT url, sent_id, m.mention AS mention, m.label AS label,
     m.first_tok AS first_tok, m.last_tok AS last_tok,
-    coalesce(
+    CASE WHEN len(string_split(m.mention, ' ')) > 1
+      AND {_head_key_sql('m.mention')} IN ({_GENERIC_HEADS_SQL})
+    THEN {_canon_sql('m.mention')}
+    ELSE coalesce(
       string_split(analyses[m.last_tok + 1], '+')[1],
-      {_canon_sql('m.mention')}
-    ) AS canon_key
+      {_head_key_sql('m.mention')}
+    ) END AS canon_key
   FROM annm
 )"""
 

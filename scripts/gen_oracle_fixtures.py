@@ -305,7 +305,15 @@ def main():
     # canon keys exactly as mentions_stage computes them: the mention
     # head's morphological root (analysis of token at last_tok), falling
     # back to the apostrophe-stripped lowered head surface
+    from vnlp_spark.operators.entity_resolution import GENERIC_ORG_HEADS
     from vnlp_spark.operators.morphology import to_lower
+
+    def py_canon_key(mention: str, root: str | None) -> str:
+        words = mention.split(" ")
+        head_key = to_lower(words[-1].replace("’", "'").split("'")[0])
+        if len(words) > 1 and head_key in GENERIC_ORG_HEADS:
+            return to_lower(" ".join(words[:-1])) + " " + head_key
+        return root if root is not None else head_key
 
     keys = set()
     for toks, anas, ms in zip(ann_c["tokens"], ann_c["analyses"],
@@ -313,10 +321,7 @@ def main():
         for m in ms:
             lt = m["last_tok"]
             root = anas[lt].split("+", 1)[0] if lt < len(anas) else None
-            if root is None:
-                head = m["mention"].split(" ")[-1]
-                root = to_lower(head.replace("’", "'").split("'")[0])
-            keys.add((root, m["label"]))
+            keys.add((py_canon_key(m["mention"], root), m["label"]))
     em = {"canon_key": [], "type": [], "entity_id": []}
     for k, t in sorted(keys):
         em["canon_key"].append(k)

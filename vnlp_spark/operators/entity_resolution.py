@@ -30,17 +30,49 @@ from pyspark.sql import functions as F
 from ..functions.normalizer import turkish_lower
 
 
+# generic organizational HEAD words (closed class): a multiword entity
+# ending in one of these is distinctive in its NON-head words — keying
+# it by the head alone conflates every "X Bankası" into one entity
+# (Ziraat/İş/Garanti/Merkez Bankası all collapsed to 'bankası'; Koç and
+# Sabancı Holding to 'holding').  Surfaced by the round-5 232-entity
+# linking gold; for these, the canon key is the clitic-stripped FULL
+# surface.  Bare-root and possessed-head forms both listed so the
+# morphological-root path triggers identically.
+GENERIC_ORG_HEADS = frozenset({
+    "banka", "bankası", "üniversite", "üniversitesi",
+    "bakanlık", "bakanlığı", "ajans", "ajansı", "holding",
+    "jk", "fk", "kulüp", "kulübü", "belediye", "belediyesi",
+    "müdürlük", "müdürlüğü", "başkanlık", "başkanlığı",
+    "mahkeme", "mahkemesi", "kurum", "kurumu", "kurul", "kurulu",
+    "grup", "grubu", "borsa", "borsası", "federasyon", "federasyonu",
+    "dernek", "derneği", "vakıf", "vakfı", "oda", "odası",
+    "birlik", "birliği", "sigorta", "sigortası", "yolları",
+    "takım", "takımı",
+})
+
+
 def canonical_key(mention_col: Column | str, analyses_root: Column | str | None = None) -> Column:
-    """Mention surface -> canonical entity key.  Prefers the morphological
-    root when supplied; falls back to the apostrophe-stripped lowered
-    surface of the head (last) word."""
+    """Mention surface -> canonical entity key.  The head (last) word,
+    apostrophe-clitic-stripped and lowered; the morphological root wins
+    over the head surface when supplied — EXCEPT when the head word is a
+    generic organizational head (GENERIC_ORG_HEADS) of a multiword
+    surface, where the key is the clitic-stripped lowered FULL surface
+    on both paths (the root path must not fragment from the surface
+    path: edge endpoints carry no analyses)."""
     m = F.col(mention_col) if isinstance(mention_col, str) else mention_col
-    head = F.element_at(F.split(m, " "), -1)
-    surface_key = turkish_lower(F.split(head, "['’]")[0])
+    words = F.split(m, " ")
+    nw = F.size(words)
+    head = F.element_at(words, -1)
+    head_key = turkish_lower(F.split(head, "['’]")[0])
+    full_key = F.concat(
+        turkish_lower(F.concat_ws(" ", F.slice(words, 1, nw - 1))),
+        F.lit(" "), head_key)
+    generic = (nw > 1) & head_key.isin(*GENERIC_ORG_HEADS)
+    surface_key = F.when(generic, full_key).otherwise(head_key)
     if analyses_root is None:
         return surface_key
     r = F.col(analyses_root) if isinstance(analyses_root, str) else analyses_root
-    return F.coalesce(r, surface_key)
+    return F.when(generic, full_key).otherwise(F.coalesce(r, head_key))
 
 
 def build_entities(mentions_df: DataFrame, key_col: str = "canon_key",
@@ -82,6 +114,34 @@ def fold_key(col: Column | str) -> Column:
     ``translate`` — no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     return F.translate(c, "çğıöşüâîû", "cgiosuaiu")
+
+
+# fold_key images of GENERIC_ORG_HEADS, for similarity-time stripping
+_GENERIC_FOLDED = (
+    "ajans", "ajansi", "bakanligi", "bakanlik", "banka", "bankasi",
+    "baskanligi", "baskanlik", "belediye", "belediyesi", "birligi",
+    "birlik", "borsa", "borsasi", "dernegi", "dernek", "federasyon",
+    "federasyonu", "fk", "grubu", "grup", "holding", "jk", "kulubu",
+    "kulup", "kurul", "kurulu", "kurum", "kurumu", "mahkeme",
+    "mahkemesi", "mudurlugu", "mudurluk", "oda", "odasi", "sigorta",
+    "sigortasi", "takim", "takimi", "universite", "universitesi",
+    "vakfi", "vakif", "yollari",
+)
+
+
+def strip_generic_head(folded_key: Column) -> Column:
+    """Drop a trailing generic organizational head from a FOLDED
+    multiword key for blocking/similarity only: the distinctive part
+    carries the identity ('akdeniz universitesi' vs 'ankara
+    universitesi' must NOT gram-match on the shared head; the partial
+    mention 'ziraat' MUST match 'ziraat bankasi')."""
+    words = F.split(folded_key, " ")
+    nw = F.size(words)
+    head = F.element_at(words, -1)
+    return F.when(
+        (nw > 1) & head.isin(*_GENERIC_FOLDED),
+        F.concat_ws(" ", F.slice(words, 1, nw - 1)),
+    ).otherwise(folded_key)
 
 
 def containment(cand: Column, mention: Column) -> Column:
@@ -250,10 +310,11 @@ def link_mentions(
         F.col("entity_id").alias("cand_id"),
         F.col("type").alias("_cand_label"),
         F.col(key_col).alias("cand_key"),
-        fold_key(key_col).alias("_cand_fkey"),
+        strip_generic_head(fold_key(key_col)).alias("_cand_fkey"),
     ).withColumn("_block", F.substring("_cand_fkey", 1, block_prefix)) \
         .withColumn("_cand_grams", char_ngrams("_cand_fkey"))
-    blocked_mentions = unresolved.withColumn("_fkey", fold_key(key_col)) \
+    blocked_mentions = unresolved.withColumn(
+        "_fkey", strip_generic_head(fold_key(key_col))) \
         .withColumn("_block", F.substring("_fkey", 1, block_prefix)) \
         .withColumn("_grams", char_ngrams("_fkey"))
 

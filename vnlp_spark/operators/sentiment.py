@@ -137,7 +137,12 @@ _NEGATIVE = {
     "vasıfsız", "yetersiz", "yıpran", "zulüm", "çile", "zahmet",
     "ağrı", "berelen", "kötürüm", "iğreti", "yılgın", "bezgin",
     "mahcup", "utanç", "hüsran", "çözülmemiş", "savsakla", "oyalan",
-    "sürüncem", "ulaşamadı", "ulaşamıyor", "ulaşamadım",
+    "sürüncem", "ulaşamadı", "ulaşamadım", "ulaşamıyor",
+    # split-4 category fixes: ache/fade/darken/break stems whose bare
+    # roots collide with common neutral words (sol 'left', karar
+    # 'decision', kır- vs kırmızı) land as inflected-form stems
+    "sızla", "gıcırtı", "kırd", "suç", "solmuş", "soldu", "solgun",
+    "kararmış", "karardı",
 }
 # longest stem first so "değer"-class stems beat shorter prefixes
 _STEMS: List[Tuple[str, int]] = sorted(
@@ -166,7 +171,15 @@ _CONTRAST = {
     "rağmen", "karşın", "gelgelelim",
 }
 _CONTRAST_BIGRAMS = {("var", "ki"), ("gör", "ki"), ("olsa", "da"),
-                     ("olsa", "bile")}
+                     ("olsa", "bile"),
+                     # conditional-concessive frames (split-4: "Fiyat
+                     # uygun GÖRÜNSE DE ... kazık yedik"): the -sA verb
+                     # + dA/bile pair is a clause-level contrast
+                     ("görünse", "de"), ("görünmese", "de"),
+                     ("olmasa", "da"), ("olmasa", "bile"),
+                     ("istese", "de"), ("istemese", "de"),
+                     ("dese", "de"), ("gelse", "de"), ("gitse", "de"),
+                     ("baksa", "da"), ("sevsen", "de")}
 # negated persistence verbs assert the anchor persists, not its absence
 _PERSIST_VERBS = ("kesil", "git", "din")
 # negated REMOVAL verbs beside a removable-defect anchor likewise assert
@@ -227,6 +240,7 @@ def py_sentiment_proba(text: str) -> float:
     low = to_lower(text)
     refusal_cue = bool(_REFUSAL_RE.search(low))
     score = 0.0
+    bare_negated = 0
     any_contrast = False
     post_contrast_contrib = False
     for clause in _CLAUSE_SPLIT_RE.split(low):
@@ -298,6 +312,23 @@ def py_sentiment_proba(text: str) -> float:
                     # negated DEGRADATION verb: the quality held
                     # ("kalitesi düşmemiş") — anchor stays positive
                     pass
+                elif (near and contribs[-1][1] < 0
+                      and toks[contribs[-1][0]].startswith("eksik")
+                      and any(c[1] < 0 for c in contribs[:-1])):
+                    # "GICIRTI hiç eksik olmuyor": a never-absent
+                    # DEFECT persists — drop the eksik pair, keep the
+                    # earlier negative anchor (the flip-to-positive
+                    # reading needs a neutral/positive subject: "depo
+                    # da eksik değildi" keeps it)
+                    contribs.pop()
+                elif (near and contribs[-1][1] < 0
+                      and (prev in ("kabul", "itiraf")
+                           or tok.startswith(("kabullen",
+                                              "üstlenm")))):
+                    # negated ACCEPTANCE ("hatasını kabul etmiyor",
+                    # "suçu üstlenmiyor") denies responsibility for the
+                    # anchor — the defect persists, no flip
+                    pass
                 elif near:
                     contribs[-1][1] *= -1.0
                 elif _MA_NOMINAL_RE.search(prev) and tok.startswith(
@@ -310,6 +341,10 @@ def py_sentiment_proba(text: str) -> float:
                     # emphatic hiç asserts stability — positive evidence
                     stable = any(tok.startswith(v) for v in _DEGRADE_VERBS)
                     contribs.append([i, 1.0 if stable else -1.0])
+                elif not any(tok.startswith(v) for v in _DEGRADE_VERBS):
+                    # negated DEGRADE verbs assert stability and never
+                    # count as denial ("solmadı, atmadı" is praise)
+                    bare_negated += 1
             elif tok == "geldi" and prev in _SIZE_ADJS:
                 # size-misfit frame: "küçük/büyük/dar geldi"
                 contribs.append([i, -1.0])
@@ -364,6 +399,11 @@ def py_sentiment_proba(text: str) -> float:
     # fronts the concession and ends on the (here unlexicalized) point
     if any_contrast and not post_contrast_contrib:
         score = -score - 0.25
+    # accumulated-denial register (split-4: "Usta randevuya GELMEDİ,
+    # telefonlara da ÇIKMIYOR"): two or more negated polarity-less
+    # verbs with nothing else scored is the no-show complaint frame
+    if score == 0.0 and bare_negated >= 2:
+        score = -1.0
     return 1.0 / (1.0 + math.exp(-1.5 * score))
 
 

@@ -10,6 +10,13 @@ distractors that must stay UNLINKED.
 Annotated before first scoring (same freeze-score-fix instrument as the
 UD and sentiment golds): `gold` is the canon_key of the correct KB
 entity, or None when the mention must not link to anything.
+
+Round-5 mechanical key rename: canonical keys for multiword entities
+with GENERIC organizational heads became the clitic-stripped full
+surface (entity_resolution.GENERIC_ORG_HEADS — the round-5 232-entity
+gold exposed that head-word keys conflate every "X Bankası"); the six
+affected gold rows were renamed identity-preservingly (yolları ->
+türk hava yolları, ...).  No judgment changed.
 """
 
 # --- knowledge base: (canonical surface, type, seed mention count) -------
@@ -94,15 +101,15 @@ GOLD_LINKS = [
     ("Turkiye", "LOC", "türkiye"),
     ("Turkiye'nin", "LOC", "türkiye"),
     # multi-word heads: the HEAD (last) token keys the entity
-    ("Türk Hava Yolları'nın", "ORG", "yolları"),
-    ("Ziraat Bankası'nda", "ORG", "bankası"),
-    ("Boğaziçi Üniversitesi'nde", "ORG", "üniversitesi"),
-    ("Sağlık Bakanlığı'ndan", "ORG", "bakanlığı"),
+    ("Türk Hava Yolları'nın", "ORG", "türk hava yolları"),
+    ("Ziraat Bankası'nda", "ORG", "ziraat bankası"),
+    ("Boğaziçi Üniversitesi'nde", "ORG", "boğaziçi üniversitesi"),
+    ("Sağlık Bakanlığı'ndan", "ORG", "sağlık bakanlığı"),
     ("Mehmet Demir'in", "PER", "demir"),
     ("Mustafa Şahin'e", "PER", "şahin"),
     ("Elif Çelik'ten", "PER", "çelik"),
     # abbreviations (hard class: 3-gram similarity cannot reach these)
-    ("THY", "ORG", "yolları"),
+    ("THY", "ORG", "türk hava yolları"),
     ("GS", "ORG", "galatasaray"),
     ("FB", "ORG", "fenerbahçe"),
     # head-entity skew: the hot keys appear many times more (the salted
@@ -145,7 +152,7 @@ TUNING_LINKS = [
     ("Mersn", "LOC", "mersin"),             # DL=1 typo
     ("Antalyya", "LOC", "antalya"),         # DL=1 typo
     ("BJK", "ORG", "beşiktaş"),             # curated club short form
-    ("AA", "ORG", "ajansı"),                # auto-initials
+    ("AA", "ORG", "anadolu ajansı"),                # auto-initials
     ("Fenerbahceli", "ORG", "fenerbahçe"),  # fold + containment
     ("Kayseri", "LOC", None),               # distractor stays unlinked
     ("Denizlispor", "ORG", None),           # distractor stays unlinked
