@@ -930,6 +930,9 @@ def py_parse_tokens(
             if (
                 v is not None
                 and roots_of[v] in _TRANSITIVE_ROOTS
+                # bare-object ACTIVITY verbs need no object (resmi
+                # TATİLDE çalıştı keeps the attributive reading)
+                and roots_of[v] not in ("oyna", "çalış", "yüz")
                 and "Pass" not in tagsets[v]
                 and not any(
                     eff_case[j] == "Acc"

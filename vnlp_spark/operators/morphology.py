@@ -260,6 +260,9 @@ _STEM_PATCH: dict = {
     # çıkardı) need the Adj twin for the NomD dual-stem machinery,
     # same class as kaçak/dolu
     "antika": ["Adj"], "kışlık": ["Adj"], "yazlık": ["Adj"],
+    # ... and 'ham' (raw), whose attributive use (HAM petrolü damıttı)
+    # is the modern default while the list carries only the Noun
+    "ham": ["Adj"],
     # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
     # bogus şehirleraras+P3sg cut and claimed the subject slot)
     "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],

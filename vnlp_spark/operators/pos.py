@@ -39,7 +39,7 @@ _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
     "kağıt", "naylon", "porselen", "kadife", "kömür", "maden",
-    "ceviz",
+    "ceviz", "zeytin",
     # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
     # ağırladı, rekor katılım)
     "rekor",
@@ -865,6 +865,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             # (uygulama hem HIZLI hem güvenli.)
             and not all(out[j] in ("CCONJ", "ADJ", "PUNCT")
                         for j in range(i + 1, n))
+            # ... and so is a coordinated zero-copula CLAUSE tail, where
+            # a bare-Nom subject follows the CCONJ (Yemek LEZZETLİ ama
+            # porsiyon küçük.)
+            and not (i + 1 < n and out[i + 1] == "CCONJ"
+                     and all(out[j] in ("CCONJ", "ADJ", "PUNCT")
+                             or (out[j] in ("NOUN", "PROPN")
+                                 and _case_of(analyses[j]) in ("Nom", "")
+                                 and j + 1 < n and out[j + 1] == "ADJ")
+                             for j in range(i + 1, n)))
             # manner-frame hosts keep their attributive adjective even
             # case-marked (dikkatli ŞEKİLDE, sakin BİÇİMDE)
             and not (i + 1 < n and out[i + 1] == "NOUN"
@@ -1188,6 +1197,11 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             if (
                 v is not None
                 and analyses[v].split("+", 1)[0] in _TR_POS
+                # bare-object ACTIVITY verbs need no object: the loan-î
+                # word before their oblique stays attributive (resmi
+                # TATİLDE çalıştı)
+                and analyses[v].split("+", 1)[0] not in ("oyna", "çalış",
+                                                         "yüz")
                 and "Pass" not in set(analyses[v].replace("^", "+")
                                       .split("+"))
                 and not any(_case_of(analyses[j]) == "Acc"

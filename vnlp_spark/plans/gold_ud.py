@@ -3707,6 +3707,45 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 4],
         deprels=['nmod', 'nsubj', 'advmod', 'root', 'punct'],
     ),
+    # --- blind-52 category pins (fresh tuning sentences; see BENCH.md
+    # fifty-second-split entry) ---
+    # ham gains its TDK Adj twin (pins: HAM before the ambiguous object)
+    dict(
+        text='Fabrika ham maddeyi yurtdışından getirtti.',
+        tokens=['Fabrika', 'ham', 'maddeyi', 'yurtdışından',
+                'getirtti', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # zeytin joins the material class (pins: NOUN+nmod before the
+    # possessed object, never the color adjective)
+    dict(
+        text='Lokanta zeytin ezmesini kahvaltıda sundu.',
+        tokens=['Lokanta', 'zeytin', 'ezmesini', 'kahvaltıda',
+                'sundu', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # -lI adjective stays the first conjunct's zero-copula predicate
+    # in clause coordination (pins: With-demotion exception)
+    dict(
+        text='Servis hızlı ama yemek sıradan.',
+        tokens=['Servis', 'hızlı', 'ama', 'yemek', 'sıradan', '.'],
+        upos=['NOUN', 'ADJ', 'CCONJ', 'NOUN', 'ADJ', 'PUNCT'],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=['nsubj', 'root', 'cc', 'nsubj', 'conj', 'punct'],
+    ),
+    # bare-object activity verbs stay out of the loan-î hidden-object
+    # re-read (pins: resmi attributive before the oblique)
+    dict(
+        text='Takım resmi sahada çalıştı.',
+        tokens=['Takım', 'resmi', 'sahada', 'çalıştı', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
