@@ -263,6 +263,9 @@ _STEM_PATCH: dict = {
     # ... and 'ham' (raw), whose attributive use (HAM petrolü damıttı)
     # is the modern default while the list carries only the Noun
     "ham": ["Adj"],
+    # the for-rent/for-sale pair, same citation-adjective class
+    # (KİRALIK daireyi gezdirdi)
+    "kiralık": ["Adj"], "satılık": ["Adj"],
     # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
     # bogus şehirleraras+P3sg cut and claimed the subject slot)
     "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],
@@ -1499,6 +1502,59 @@ def py_analyze_tokens(tokens: Sequence[str],
                 and {"Aor", "Past", "Prog1", "Fut", "Narr",
                      "Imp"} & set(nxt)):
             out[idx] = "son+Noun+A3sg+Pnon+Nom"
+    # a whole-word adjective directly before a plain finite verb, with
+    # an attributive-capable neighbor on its left and the clause's
+    # subject AND Acc object both standing earlier, is the case-marked
+    # noun rival (Emlakçı daireyi genç ÇİFTE gösterdi = çift+Dat 'to
+    # the couple'): the adjective reading strands its neighbor hostless
+    # before the verb, and the frame already has its arguments
+    for idx in range(2, len(out) - 1):
+        cur = out[idx]
+        if cur.count("+") != 1 or not cur.endswith("+Adj"):
+            continue
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if ("Verb" not in nxt
+                or not {"Aor", "Past", "Prog1", "Fut", "Narr"}
+                & set(nxt)):
+            continue
+        prv = _TAG_SEP.split(out[idx - 1])
+        prv_stem = prv[0]
+        # final derivation segment's PoS: a derived adjective (yaşlı =
+        # yaş+With, kiralık = kira+Ness) is attributive-capable too
+        if "DB" in prv:
+            last_db = len(prv) - 1 - prv[::-1].index("DB")
+            prv_final = prv[last_db + 1] if last_db + 1 < len(prv) else ""
+        else:
+            prv_final = prv[1] if len(prv) > 1 else prv[-1]
+        prev_attr = (prv[-1:] == ["Adj"]
+                     or prv_final == "Adj"
+                     or ("Adj" in gen.stem_dic.get(prv_stem, ())
+                         and "Noun" in prv and "Pnon" in prv
+                         and "Nom" in prv))
+        if not prev_attr:
+            continue
+        earlier = [set(_TAG_SEP.split(out[j])) for j in range(idx - 1)]
+        if not any("Acc" in t for t in earlier):
+            continue
+        if not any("Noun" in t and "Pnon" in t and "Nom" in t
+                   for t in earlier):
+            continue
+        cased = next(
+            (root + "+" + "+".join(tags)
+             for root, sfx, tags in gen.get_analysis_candidates(
+                 tokens[idx])
+             if not isinstance(tags, str) and sfx
+             and tags[-1] in ("Dat", "Loc", "Abl", "Ins")
+             and "Pnon" in tags),
+            None,
+        )
+        if cased is None:
+            continue
+        out[idx] = cased.replace("+DB+", "^DB+")
+        # the stranded neighbor re-reads as its attributive twin
+        if prv[-1:] != ["Adj"] and "Adj" in gen.stem_dic.get(
+                prv_stem, ()):
+            out[idx - 1] = prv_stem + "+Adj"
     # a loan-î citation adjective directly before a plain finite verb is
     # the Acc-object segmentation when the clause already has a subject
     # (Yetkililer MERKEZİ kapattı; Rehber TARİHİ anlatıyor): an

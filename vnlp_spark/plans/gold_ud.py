@@ -3746,6 +3746,26 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'amod', 'obl', 'root', 'punct'],
     ),
+    # --- blind-53 category pins ---
+    # whole-word adjective before a finite verb with a stranded
+    # attributive neighbor and a saturated frame reads as the
+    # case-marked noun rival (pins: çifte = çift+Dat, yaşlı re-read)
+    dict(
+        text='Garson menüyü yaşlı çifte uzattı.',
+        tokens=['Garson', 'menüyü', 'yaşlı', 'çifte', 'uzattı', '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # kiralık/satılık gain their citation-adjective twins (pins:
+    # attributive before the Acc object)
+    dict(
+        text='Aile satılık evi akşam gezdi.',
+        tokens=['Aile', 'satılık', 'evi', 'akşam', 'gezdi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
