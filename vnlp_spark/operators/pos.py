@@ -40,6 +40,10 @@ _MATERIAL_NOUNS = {
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
     "kağıt", "naylon", "porselen", "kadife", "kömür", "maden",
     "ceviz", "zeytin",
+    # offspring/kind attributives share the mechanism (YAVRU levrekleri
+    # kafeslere dağıttı — yavru modifies as NOUN+nmod per TDK's noun
+    # listing, like the material class)
+    "yavru",
     # degree-juxtaposition nouns share the mechanism (REKOR ziyaretçi
     # ağırladı, rekor katılım)
     "rekor",
@@ -908,7 +912,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                      # attributive (KAÇAK avlanma nedeniyle)
                      and to_lower(tokens[i + 2]) not in _GRAMMAT_ADPS
                      and (_case_of(analyses[i + 2]) in ("Nom", "")
-                          or _is_possessed(tokens[i + 2], analyses[i + 2]))
+                          or _is_possessed(tokens[i + 2], analyses[i + 2])
+                          # an overtly case-marked POSSESSED tail is a
+                          # chain too (SEYİS yarış atını eyerledi: the
+                          # izafet object ends the chain, the homograph
+                          # is the subject)
+                          or set(analyses[i + 2].replace("^", "+")
+                                 .split("+"))
+                          & {"P1sg", "P2sg", "P3sg",
+                             "P1pl", "P2pl", "P3pl"})
                      # ... unless that third nominal is a light-verb
                      # nominal (EK personel talep etti): the chain ends
                      # at the light-verb complex, the homograph modifies
@@ -1361,6 +1373,21 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                           or to_lower(tokens[i + 2]) == "tarafından")
                      and not any(out[j] in ("NOUN", "PROPN", "PRON")
                                  for j in range(i)))
+            # ... and not when the bare nominal is itself the bare
+            # MODIFIER of a following OVERTLY case-marked possessed
+            # head (SEYİS yarış atını eyerledi): that izafet chain is
+            # unambiguous and claims the bare nominal, so the homograph
+            # exits to the subject.  An ambiguous P3sg+NOM tail (Genç
+            # şirket üretimi hızla artırdı) keeps the attributive
+            # reading — the chain there is not yet resolved
+            and not (i == 0 and i + 2 < n
+                     and out[i + 2] in ("NOUN", "PROPN")
+                     and set(analyses[i + 2].replace("^", "+")
+                             .split("+"))
+                     & {"P1sg", "P2sg", "P3sg",
+                        "P1pl", "P2pl", "P3pl"}
+                     and _case_of(analyses[i + 2])
+                     in ("Acc", "Dat", "Loc", "Abl", "Gen", "Ins"))
         ):
             out[i] = "ADJ"
     # out-of-lexicon stems ending in a harmony-consistent With suffix

@@ -3766,6 +3766,27 @@ UD_GOLD: List[dict] = [
         heads=[5, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
     ),
+    # --- blind-54 category pins ---
+    # a dual homograph before a bare nominal feeding an OVERTLY
+    # case-marked possessed tail exits to the subject (pins: the
+    # unambiguous izafet chain claims the bare nominal)
+    dict(
+        text='Bekçi giriş kapısını geceleri kilitledi.',
+        tokens=['Bekçi', 'giriş', 'kapısını', 'geceleri', 'kilitledi',
+                '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # yavru joins the attributive-noun class (pins: NOUN+nmod over the
+    # listed Adj before a plural-Acc head)
+    dict(
+        text='Barınak yavru kedileri sahiplendirdi.',
+        tokens=['Barınak', 'yavru', 'kedileri', 'sahiplendirdi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
