@@ -39,7 +39,7 @@ _MATERIAL_NOUNS = {
     "cam", "demir", "çelik", "ahşap", "taş", "altın", "gümüş", "bakır",
     "mermer", "beton", "plastik", "deri", "yün", "ipek", "tahta",
     "kağıt", "naylon", "porselen", "kadife", "kömür", "maden",
-    "ceviz", "zeytin",
+    "ceviz", "zeytin", "bez",
     # offspring/kind attributives share the mechanism (YAVRU levrekleri
     # kafeslere dağıttı — yavru modifies as NOUN+nmod per TDK's noun
     # listing, like the material class)
@@ -1415,6 +1415,23 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         )
         if attributive or pred_final:
             out[i] = "ADJ"
+    # a dual homograph fronted by a correlative particle whose PAIRED
+    # conjunct is an adjective, in a verbless clause, is the adjective
+    # (Yeni perde hem ŞIK hem kullanışlı) — the correlative pair
+    # coordinates like categories
+    for i in range(1, n):
+        if (out[i] == "NOUN"
+                and "bare_adj" in _readings(tokens[i])
+                and to_lower(tokens[i - 1]) in ("hem", "ne", "ya",
+                                                "gerek")
+                and not any(out[j] == "VERB" for j in range(n))):
+            pair = next(
+                (j for j in range(i + 1, n - 1)
+                 if to_lower(tokens[j]) == to_lower(tokens[i - 1])),
+                None,
+            )
+            if pair is not None and out[pair + 1] == "ADJ":
+                out[i] = "ADJ"
     # reduplicated adjectives quantify the verb phrase adverbially
     # (bol bol kitap okudum)
     for i in range(n - 1):

@@ -3787,6 +3787,25 @@ UD_GOLD: List[dict] = [
         heads=[4, 3, 4, 0, 4],
         deprels=['nsubj', 'nmod', 'obj', 'root', 'punct'],
     ),
+    # --- blind-55 category pins ---
+    # bez joins the material class (pins: NOUN+nmod before the Dat head)
+    dict(
+        text='Manav üzümleri bez keselere koydu.',
+        tokens=['Manav', 'üzümleri', 'bez', 'keselere', 'koydu', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 5],
+        deprels=['nsubj', 'obj', 'nmod', 'obl', 'root', 'punct'],
+    ),
+    # a dual homograph fronted by a correlative particle with an ADJ
+    # pair in a verbless clause is the adjective (pins: hem ŞIK hem)
+    dict(
+        text='Yeni çanta hem şık hem dayanıklı.',
+        tokens=['Yeni', 'çanta', 'hem', 'şık', 'hem', 'dayanıklı',
+                '.'],
+        upos=['ADJ', 'NOUN', 'CCONJ', 'ADJ', 'CCONJ', 'ADJ', 'PUNCT'],
+        heads=[2, 4, 4, 0, 6, 4, 4],
+        deprels=['amod', 'nsubj', 'cc', 'root', 'cc', 'conj', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
