@@ -2356,6 +2356,11 @@ def py_parse_tokens(
                 and i + 1 < vt
                 and not subord[vt]
                 and not converb[vt]
+                # bare-object ACTIVITY verbs incorporate only strictly
+                # adjacent objects (ders ÇALIŞIYOR): across an oblique
+                # the bare nominal is their subject (Ustanın onardığı
+                # saat kulede ÇALIŞIYOR)
+                and roots_of[vt] not in ("oyna", "çalış", "yüz")
                 and all(
                     upos[j] == "ADV"
                     or (upos[j] in _NOMINAL
@@ -2687,6 +2692,11 @@ def py_parse_tokens(
                 # Kasaba PAZARI kuruluyor): fall through to the normal
                 # nominal machinery instead
                 and not (eff_poss[i] and eff_case[i] in ("Nom", ""))
+                # ... and so is an acl-MODIFIED time noun (Ustanın
+                # onardığı SAAT kulede çalışıyor — the participle makes
+                # it the clock, not the hour)
+                and not any(rels[j] == "acl" and heads[j] == i + 1
+                            for j in range(i))
             ):
                 # a bare time noun inside a subordinate clause modifies
                 # THAT clause, not the matrix predicate (enflasyonun

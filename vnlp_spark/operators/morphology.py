@@ -264,8 +264,9 @@ _STEM_PATCH: dict = {
     # is the modern default while the list carries only the Noun
     "ham": ["Adj"],
     # the for-rent/for-sale pair, same citation-adjective class
-    # (KİRALIK daireyi gezdirdi)
-    "kiralık": ["Adj"], "satılık": ["Adj"],
+    # (KİRALIK daireyi gezdirdi), and the purposive -lIk attributive
+    # (HEDİYELİK eşyaları sarmaladı)
+    "kiralık": ["Adj"], "satılık": ["Adj"], "hediyelik": ["Adj"],
     # fossilized -ArAsI compound adjectives (Şehirlerarası fell to a
     # bogus şehirleraras+P3sg cut and claimed the subject slot)
     "şehirlerarası": ["Adj"], "uluslararası": ["Adj"],

@@ -3806,6 +3806,28 @@ UD_GOLD: List[dict] = [
         heads=[2, 4, 4, 0, 6, 4, 4],
         deprels=['amod', 'nsubj', 'cc', 'root', 'cc', 'conj', 'punct'],
     ),
+    # --- blind-56 category pins ---
+    # hediyelik joins the citation-adjective twins (pins: amod over the
+    # productive -lIk noun before the ambiguous object)
+    dict(
+        text='Dükkan hediyelik magnetleri girişe koydu.',
+        tokens=['Dükkan', 'hediyelik', 'magnetleri', 'girişe',
+                'koydu', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'amod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # an acl-modified time noun is a referential NP, and activity
+    # verbs incorporate only adjacent bare objects (pins: saat nsubj
+    # across the oblique under çalış-)
+    dict(
+        text='Komşunun kurduğu saat duvarda çalışıyor.',
+        tokens=['Komşunun', 'kurduğu', 'saat', 'duvarda', 'çalışıyor',
+                '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'acl', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
