@@ -116,10 +116,12 @@ def test_decode_image_real_png_and_honest_stub():
     img = _rng().integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
     v = decode_image(encode_png(img), fake=False)
     assert v.shape == (FEATURE_DIM,)
-    # baseline JPEG now decodes for real (operators/jpeg.py); the honest
-    # NotImplementedError stub remains for formats with no codec (WebP)
+    # baseline+progressive JPEG and VP8L WebP now decode for real; the
+    # honest NotImplementedError stub remains for LOSSY VP8 WebP
+    lossy = (b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", fake=False)
+        decode_image(lossy, fake=False)
 
 
 def test_extract_features_real_decode_in_spark(spark):

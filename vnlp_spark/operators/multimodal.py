@@ -76,14 +76,17 @@ def _pseudo_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """PNG and baseline JPEG payloads decode for REAL (pure-python
-    codecs: operators/png.py zlib IDAT + numpy unfilter; operators/
-    jpeg.py Huffman + dequant + IDCT) and featurize as an 8x8 block-mean
-    thumbnail.  Progressive JPEG and WebP still need a codec library the
+    """PNG, baseline AND progressive JPEG, and lossless WebP (VP8L)
+    payloads decode for REAL (pure-python codecs: operators/png.py zlib
+    IDAT + numpy unfilter; operators/jpeg.py Huffman + dequant + IDCT
+    incl. progressive scans; operators/webp.py VP8L prefix codes + LZ77
+    + color cache + transforms) and featurize as an 8x8 block-mean
+    thumbnail.  Lossy VP8 WebP still needs a codec library the
     container lacks — honest NotImplementedError unless fake=True
     (deterministic pseudo-decode for tests)."""
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, image_features, is_png
+    from .webp import decode_webp, is_webp
 
     if payload and is_png(payload):
         return image_features(decode_png(payload), FEATURE_DIM)
@@ -94,11 +97,18 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             if not fake:
                 raise
             return _pseudo_decode(payload)
+    if payload and is_webp(payload):
+        try:
+            return image_features(decode_webp(payload)[..., :3], FEATURE_DIM)
+        except NotImplementedError:
+            if not fake:
+                raise
+            return _pseudo_decode(payload)
     if not fake:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires Pillow; PNG and baseline "
-            "JPEG decode natively, or run with fake=True for the "
-            "deterministic pseudo-decode"
+            "non-PNG/JPEG/WebP image decode requires Pillow; PNG, "
+            "baseline+progressive JPEG and VP8L WebP decode natively, "
+            "or run with fake=True for the deterministic pseudo-decode"
         )
     return _pseudo_decode(payload)
 
