@@ -250,7 +250,7 @@ _INTRANSITIVE_ROOTS = {
     # none can take an Acc object (YARIŞ bittikten sonra — the
     # preverbal Nom is the subject, never an incorporated object)
     "bit", "başla", "sön", "eri", "kuru", "çürü", "gecik", "uyan",
-    "doy",
+    "doy", "din",
     # physical-process unaccusatives (round-4 inventory sweep): burn,
     # collapse, burst, fade, freeze, leak, boil-over, tremble, slip —
     # none take Acc objects; -lAş 'Become' derivations are handled
@@ -756,6 +756,17 @@ def py_parse_tokens(
                          and not (j + 1 < n and upos[j + 1] in _NOMINAL))),
                     None,
                 )
+                # the particle fronts a whole NP: a bare-Nom modifier
+                # feeding a possessed izafet head makes the HEAD the
+                # conjunct (hem personel SAYISINI hem yatak
+                # KAPASİTESİNİ artırdı)
+                if (c is not None and upos[c] == "NOUN"
+                        and _case_of(analyses[c]) in ("Nom", "")
+                        and not _is_possessed(tokens[c], analyses[c])
+                        and c + 1 < n and upos[c + 1] == "NOUN"
+                        and _is_possessed(tokens[c + 1],
+                                          analyses[c + 1])):
+                    c += 1
             _conjs.append(c)
         if any(c is None for c in _conjs) or len(set(_conjs)) < 2:
             continue
@@ -1470,6 +1481,17 @@ def py_parse_tokens(
                 and tagsets[v] & {"Inf", "Inf1", "Inf2", "Inf3"})
         ):
             eff_case[i], eff_poss[i] = "Nom", True
+        elif (roots_of[i] in _TEMPORAL_ROOTS
+              and "A3pl" in tagsets[i]
+              and any(eff_case[j] == "Acc"
+                      and not any(pp != v and min(j, v) < pp < max(j, v)
+                                  for pp in preds)
+                      for j in range(n) if j != i)):
+            # distributive-plural time expression with the clause's
+            # object slot already filled (kapısını GECELERİ kilitledi =
+            # 'at nights'): the temporal adverbial reading, never a
+            # second object
+            eff_case[i], eff_poss[i] = "Nom", False
         elif _adjacent_to_verb(i, v):
             eff_case[i], eff_poss[i] = "Acc", False
         else:
@@ -1629,9 +1651,25 @@ def py_parse_tokens(
             # (gelir GELMEZ) compounds on the first
             heads[i], rels[i] = redup_converb[0] + 1, "compound"
         elif converb[i] or cond[i]:
-            # adverbial clause on the next finite predicate
+            # adverbial clause on the next finite predicate — unless an
+            # embedded COMPLEMENT clause with its own genitive subject
+            # stands between: the protasis/converb modifies the embedded
+            # proposition (fiyatlar düşerse TALEBİN ARTACAĞINI öngörüyor,
+            # konvoy geçerken YOLUN KAPATILACAĞINI duyurdu)
             fin = next((p for p in finite if p > i), root)
-            heads[i], rels[i] = fin + 1, "advcl"
+            emb = next(
+                (j for j in range(i + 1, fin)
+                 if upos[j] == "VERB" and subord[j]
+                 and tagsets[j] & {"Inf2", "FutPart", "PastPart"}
+                 and _case_of(analyses[j]) in ("Acc", "Dat")),
+                None,
+            )
+            if emb is not None and any(
+                    _case_of(analyses[j]) == "Gen"
+                    for j in range(i + 1, emb)):
+                heads[i], rels[i] = emb + 1, "advcl"
+            else:
+                heads[i], rels[i] = fin + 1, "advcl"
         elif subord[i]:
             p = next_pred(i)
             tags = tagsets[i]
@@ -1650,8 +1688,17 @@ def py_parse_tokens(
                     "ccomp" if roots_of[p] in _INF_CCOMP_ROOTS else "csubj"
                 )
                 heads[i], rels[i] = p + 1, rel_inf
-            elif tags & {"FutPart", "PastPart", "Inf2"} and case in ("Acc", "Dat"):
+            elif (tags & {"FutPart", "PastPart", "Inf2"}
+                  and case in ("Acc", "Dat")
+                  # -mAsInA rağmen/karşın is the concessive ADVERBIAL
+                  # clause (zarar ETMESİNE rağmen sürdürdü), never a
+                  # complement
+                  and not (i + 1 < n and to_lower(tokens[i + 1])
+                           in ("rağmen", "karşın"))):
                 heads[i], rels[i] = p + 1, "ccomp"
+            elif (tags & {"FutPart", "PastPart", "Inf2"}
+                  and case in ("Acc", "Dat")):
+                heads[i], rels[i] = p + 1, "advcl"
             elif "Inf2" in tags and case in ("", "Nom"):
                 # bare-Nom -mA nominalization heading the subject slot is
                 # the clausal SUBJECT of the matrix predicate (Projenin
@@ -1674,6 +1721,11 @@ def py_parse_tokens(
             elif tags & {"FutPart", "PastPart"}:
                 nom = next_nominal(i)
                 heads[i], rels[i] = (nom + 1 if nom is not None else p + 1), "acl"
+            elif (i + 1 < n
+                  and to_lower(tokens[i + 1]) in ("rağmen", "karşın")):
+                # -mAsInA rağmen is the concessive ADVERBIAL clause
+                # (zarar ETMESİNE rağmen sürdürdü), never a complement
+                heads[i], rels[i] = p + 1, "advcl"
             else:
                 heads[i], rels[i] = p + 1, "ccomp"
         else:
@@ -2019,7 +2071,13 @@ def py_parse_tokens(
                 or (upos[j] in _NOMINAL
                     and eff_case[j] in ("Nom", "")
                     and roots_of[j] not in _TEMPORAL_ROOTS)
-                for j in range(i)
+                # CLAUSE-aware: a nominal claimed by an own-subject
+                # converb clause to the left is not THIS clause's
+                # subject (Takım kaptanı sakatlanınca GENÇ OYUNCU forma
+                # şansı buldu — oyuncu is the matrix subject)
+                for j in range(
+                    max((pp + 1 for pp in preds if pp < i), default=0),
+                    i)
             )
         ):
             # bare link into a TWO-step izafet chain with the subject
@@ -2824,9 +2882,22 @@ def py_parse_tokens(
                         # subject-sharing converb is the matrix subject
                         # (İŞÇİLER dinlenmeden çalışmaya devam etti); a
                         # bare singular stays the converb's object (SU
-                        # içmeden yola çıktı)
-                        heads[i], rels[i] = p + 1, "nsubj"
-                        subj_of[p] = i
+                        # içmeden yola çıktı) — but a PASSIVE/
+                        # unaccusative converb with ANOTHER bare-Nom
+                        # candidate after it keeps this nominal as its
+                        # OWN subject (Kazanın NEDENİ araştırılırken YOL
+                        # trafiğe kapatıldı)
+                        if (("Pass" in tagsets[vt] or _intrans(vt))
+                                and any(
+                                    upos[j] in _NOMINAL
+                                    and eff_case[j] in ("Nom", "")
+                                    and not eff_poss[j]
+                                    and roots_of[j] not in _TEMPORAL_ROOTS
+                                    for j in range(vt + 1, p))):
+                            heads[i], rels[i] = vt + 1, "nsubj"
+                        else:
+                            heads[i], rels[i] = p + 1, "nsubj"
+                            subj_of[p] = i
                     elif (
                         subjish is not None
                         and vt != p
@@ -2843,7 +2914,16 @@ def py_parse_tokens(
                         and (_intrans(vt)
                              or "Pass" in tagsets[vt]
                              or (roots_of[vt] in _WEATHER_INTRANS_VERBS
-                                 and roots_of[i] in _WEATHER_NOUNS))
+                                 and roots_of[i] in _WEATHER_NOUNS)
+                             # ... and an UNLISTED/mixed-valency converb
+                             # with the MATRIX subject already filled:
+                             # the bare nominal is the converb's own
+                             # subject (Vali KONVOY geçerken ... duyurdu)
+                             or (p in subj_of
+                                 and roots_of[vt] not in _TRANSITIVE_ROOTS
+                                 and not (vt > 0
+                                          and roots_of[vt] in ("et", "yap",
+                                                               "ol"))))
                     ):
                         # an INTRANSITIVE or PASSIVE converb cannot take
                         # the bare nominal as object: it is the converb's
@@ -2897,7 +2977,10 @@ def py_parse_tokens(
                     else:
                         heads[i], rels[i] = vt + 1, "obj"
                 elif (
-                    converb[p] and tagsets[p] & {"When", "AsLongAs"}
+                    ((converb[p] and tagsets[p] & {"When", "AsLongAs"})
+                     # conditional protases host their own subject the
+                     # same way (Uzmanlar fiyatlar DÜŞERSE ... öngörüyor)
+                     or cond[p])
                     and any(
                         upos[j] in _NOMINAL
                         and eff_case[j] in ("Nom", "")
@@ -2909,10 +2992,15 @@ def py_parse_tokens(
                                     None)) is not None
                     and mp not in subj_of
                     and not any(
-                        upos[j] in ("PROPN", "PRON")
-                        or (upos[j] in _NOMINAL
-                            and eff_case[j] in ("Nom", "")
-                            and roots_of[j] not in _TEMPORAL_ROOTS)
+                        (upos[j] in ("PROPN", "PRON")
+                         or (upos[j] in _NOMINAL
+                             and eff_case[j] in ("Nom", "")
+                             and roots_of[j] not in _TEMPORAL_ROOTS))
+                        # a light-verb NOMINAL is no subject candidate
+                        # (veliler itiraz edince geziyi İPTAL etti)
+                        and not (j + 1 < n and upos[j + 1] == "VERB"
+                                 and roots_of[j + 1] in ("et", "yap",
+                                                         "ol"))
                         for j in range(p + 1, mp)
                     )
                 ):
@@ -2924,6 +3012,25 @@ def py_parse_tokens(
                     # (TURİSTLER güneş açınca plaja indi)
                     heads[i], rels[i] = mp + 1, "nsubj"
                     subj_of[mp] = i
+                elif (rels[p] == "conj" and heads[p] > 0
+                      and (heads[p] - 1) in subj_of
+                      and (roots_of[p] in _TRANSITIVE_ROOTS
+                           or "Caus" in tagsets[p])
+                      and "Pass" not in tagsets[p]
+                      and not eff_poss[i]
+                      and i + 1 < n
+                      and upos[i + 1] == "NOUN" and eff_poss[i + 1]
+                      # only under CORRELATIVE clause coordination,
+                      # which shares one subject by construction (ne X
+                      # ne Y); a plain fakat/ama clause owns its
+                      # subject (rüzgar şiddetini artırdı)
+                      and any(k in corr_cc_idx and heads[k] == p + 1
+                              for k in range(n))):
+                    # a correlative conj verb INHERITS the first
+                    # conjunct's subject (ne sergi SAYISINI azalttı —
+                    # Müze carries over); the bare nominal feeds its
+                    # izafet object instead
+                    heads[i], rels[i] = i + 2, "nmod"
                 else:
                     heads[i], rels[i] = p + 1, "nsubj"
                     subj_of[p] = i
@@ -2934,6 +3041,19 @@ def py_parse_tokens(
                            in _GEL_SUPPORT_NOMINALS))
                   and not lv_nominal and not eff_poss[i]):
                 heads[i], rels[i] = vt + 1, "compound"
+            elif (preverbal
+                  and upos[vt] == "VERB"
+                  and (converb[vt] or cond[vt])
+                  and vt != p and p in subj_of
+                  and roots_of[vt] not in _TRANSITIVE_ROOTS
+                  and "Caus" not in tagsets[vt]
+                  and not (vt > 0
+                           and roots_of[vt] in ("et", "yap", "ol"))):
+                # a bare nominal before an own-subject-capable converb
+                # of an UNLISTED/mixed-valency root, with the MATRIX
+                # subject already filled, is the converb's own subject
+                # (Vali KONVOY geçerken yolun kapatılacağını duyurdu)
+                heads[i], rels[i] = vt + 1, "nsubj"
             elif preverbal:
                 # bare preverbal nominal with the subject slot filled:
                 # object of a transitive verb (uçurtma uçurdu — causatives

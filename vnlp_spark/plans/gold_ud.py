@@ -3828,6 +3828,115 @@ UD_GOLD: List[dict] = [
         heads=[2, 3, 5, 5, 0, 5],
         deprels=['nsubj', 'acl', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # --- blind-57 category pins (hard-register probe; see BENCH.md) ---
+    # negative present participle -mAyAn (suffix fixture extension)
+    dict(
+        text='Davete gelmeyen konuklar aranmadı.',
+        tokens=['Davete', 'gelmeyen', 'konuklar', 'aranmadı', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 4, 0, 4],
+        deprels=['obl', 'acl', 'nsubj', 'root', 'punct'],
+    ),
+    # -mAsInA rağmen is advcl, never ccomp
+    dict(
+        text='Firma ceza almasına rağmen üretimi durdurmadı.',
+        tokens=['Firma', 'ceza', 'almasına', 'rağmen', 'üretimi',
+                'durdurmadı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 3, 6, 0, 6],
+        deprels=['nsubj', 'obj', 'advcl', 'case', 'obj', 'root',
+                 'punct'],
+    ),
+    # conditional protasis hosts its own subject and attaches to the
+    # embedded complement clause
+    dict(
+        text='Yöneticiler satışlar artarsa üretimin hızlanacağını söylüyor.',
+        tokens=['Yöneticiler', 'satışlar', 'artarsa', 'üretimin',
+                'hızlanacağını', 'söylüyor', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'VERB', 'PUNCT'],
+        heads=[6, 3, 5, 5, 6, 0, 6],
+        deprels=['nsubj', 'nsubj', 'advcl', 'nsubj', 'ccomp', 'root',
+                 'punct'],
+    ),
+    # While-converb of a mixed-valency root takes the bare nominal as
+    # its OWN subject when the matrix subject is filled
+    dict(
+        text='Muhabir tören sürerken konukların ayrıldığını fark etti.',
+        tokens=['Muhabir', 'tören', 'sürerken', 'konukların',
+                'ayrıldığını', 'fark', 'etti', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[7, 3, 5, 5, 7, 7, 0, 7],
+        deprels=['nsubj', 'nsubj', 'advcl', 'nsubj', 'ccomp',
+                 'compound', 'root', 'punct'],
+    ),
+    # passive converb keeps its izafet subject when a later bare-Nom
+    # serves the matrix
+    dict(
+        text='Sunucunun sesi kısılınca yayın reklama geçti.',
+        tokens=['Sunucunun', 'sesi', 'kısılınca', 'yayın', 'reklama',
+                'geçti', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 6, 6, 6, 0, 6],
+        deprels=['nmod', 'nsubj', 'advcl', 'nsubj', 'obl', 'root',
+                 'punct'],
+    ),
+    # light-verb nominals are no subject candidates in the two-bare
+    # converb distribution
+    dict(
+        text='Mahalle muhtarı sakinler şikayet edince denetimi başlattı.',
+        tokens=['Mahalle', 'muhtarı', 'sakinler', 'şikayet', 'edince',
+                'denetimi', 'başlattı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[2, 7, 5, 5, 7, 7, 0, 7],
+        deprels=['nmod', 'nsubj', 'nsubj', 'compound', 'advcl', 'obj',
+                 'root', 'punct'],
+    ),
+    # clause-aware two-step chain: the converb clause's subject does
+    # not license a chain in the matrix
+    dict(
+        text='Hakem maçı durdurunca yedek oyuncu ısınma turu attı.',
+        tokens=['Hakem', 'maçı', 'durdurunca', 'yedek', 'oyuncu',
+                'ısınma', 'turu', 'attı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'ADJ', 'NOUN', 'NOUN', 'NOUN',
+              'VERB', 'PUNCT'],
+        heads=[3, 3, 8, 5, 8, 7, 8, 0, 8],
+        deprels=['nsubj', 'obj', 'advcl', 'amod', 'nsubj', 'nmod',
+                 'obj', 'root', 'punct'],
+    ),
+    # correlative particles front whole NPs: the izafet HEAD is the
+    # conjunct
+    dict(
+        text='Firma hem ürün kalitesini hem teslimat hızını artırdı.',
+        tokens=['Firma', 'hem', 'ürün', 'kalitesini', 'hem',
+                'teslimat', 'hızını', 'artırdı', '.'],
+        upos=['NOUN', 'CCONJ', 'NOUN', 'NOUN', 'CCONJ', 'NOUN', 'NOUN',
+              'VERB', 'PUNCT'],
+        heads=[8, 4, 4, 8, 7, 7, 4, 0, 8],
+        deprels=['nsubj', 'cc', 'nmod', 'obj', 'cc', 'nmod', 'conj',
+                 'root', 'punct'],
+    ),
+    # correlative clause coordination shares the subject; the second
+    # conjunct's bare nominal feeds its izafet object
+    dict(
+        text='Kurum ne bütçe açığını kapattı ne personel sayısını artırdı.',
+        tokens=['Kurum', 'ne', 'bütçe', 'açığını', 'kapattı', 'ne',
+                'personel', 'sayısını', 'artırdı', '.'],
+        upos=['NOUN', 'CCONJ', 'NOUN', 'NOUN', 'VERB', 'CCONJ', 'NOUN',
+              'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 5, 4, 5, 0, 9, 8, 9, 5, 5],
+        deprels=['nsubj', 'cc', 'nmod', 'obj', 'root', 'cc', 'nmod',
+                 'obj', 'conj', 'punct'],
+    ),
+    # din- joins the unaccusative intransitives
+    dict(
+        text='Fırtına dinince ekipler yola çıktı.',
+        tokens=['Fırtına', 'dinince', 'ekipler', 'yola', 'çıktı', '.'],
+        upos=['NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 5, 5, 0, 5],
+        deprels=['nsubj', 'advcl', 'nsubj', 'obl', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
