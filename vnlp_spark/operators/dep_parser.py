@@ -1666,6 +1666,21 @@ def py_parse_tokens(
             )
             if emb is not None and any(
                     _case_of(analyses[j]) == "Gen"
+                    # a bare-Nom nominal ADJACENT to the embedded verb
+                    # and serving it (tanıklar dinlenmeden KARAR
+                    # verilmeyeceğini — the passive's promoted subject)
+                    # marks the embedded attachment the same way; an
+                    # ACTIVE light-verb nominal is the complex's own
+                    # material (tercih YAPMAYA başladı keeps the
+                    # converb on the matrix), and non-adjacent bare
+                    # nominals are the matrix's arguments
+                    or (j == emb - 1
+                        and upos[j] == "NOUN"
+                        and _case_of(analyses[j]) in ("Nom", "")
+                        and roots_of[j] not in _TEMPORAL_ROOTS
+                        and not (roots_of[emb] in ("et", "yap", "ol",
+                                                   "ver", "al", "kıl")
+                                 and "Pass" not in tagsets[emb]))
                     for j in range(i + 1, emb)):
                 heads[i], rels[i] = emb + 1, "advcl"
             else:
@@ -2488,6 +2503,12 @@ def py_parse_tokens(
                      or _intrans(p)
                      or any(eff_case[k] == "Acc"
                             for k in range(i + 3, p)))
+                # ... and never INTO an own-subject converb clause with
+                # a later matrix: the chain pair is the converb's
+                # subject and the first bare exits to the matrix
+                # (Organizatör bilet SATIŞLARI durunca ... güncelledi)
+                and not ((converb[p] or cond[p])
+                         and any(pp > p for pp in preds))
             ):
                 heads[i], rels[i] = i + 2, "nmod"
                 continue
@@ -2997,10 +3018,31 @@ def py_parse_tokens(
                              and eff_case[j] in ("Nom", "")
                              and roots_of[j] not in _TEMPORAL_ROOTS))
                         # a light-verb NOMINAL is no subject candidate
-                        # (veliler itiraz edince geziyi İPTAL etti)
+                        # (veliler itiraz edince geziyi İPTAL etti,
+                        # inişe İZİN verdi)
                         and not (j + 1 < n and upos[j + 1] == "VERB"
                                  and roots_of[j + 1] in ("et", "yap",
-                                                         "ol"))
+                                                         "ol", "ver",
+                                                         "al", "kıl"))
+                        # ... nor is a bare nominal DIRECTLY before the
+                        # transitive matrix verb — that is its
+                        # incorporated object (başlayınca ek PERSONEL
+                        # istedi)
+                        and not (j == mp - 1
+                                 and (roots_of[mp] in _TRANSITIVE_ROOTS
+                                      or "Caus" in tagsets[mp])
+                                 and "Pass" not in tagsets[mp])
+                        # ... nor is a bare modifier feeding a possessed
+                        # or Acc izafet head (AMBAR kapaklarını, KONSER
+                        # programını — object material, not a subject)
+                        and not (j + 1 < n and upos[j + 1] in _NOMINAL
+                                 and (eff_poss[j + 1]
+                                      or eff_case[j + 1] == "Acc"
+                                      or set(analyses[j + 1]
+                                             .replace("^", "+")
+                                             .split("+"))
+                                      & {"P1sg", "P2sg", "P3sg",
+                                         "P1pl", "P2pl", "P3pl"}))
                         for j in range(p + 1, mp)
                     )
                 ):
@@ -3043,16 +3085,33 @@ def py_parse_tokens(
                 heads[i], rels[i] = vt + 1, "compound"
             elif (preverbal
                   and upos[vt] == "VERB"
-                  and (converb[vt] or cond[vt])
+                  and (converb[vt] or cond[vt]
+                       or ("Pass" in tagsets[vt] and subord[vt])
+                       # -DIktAn sonra/önce temporal clauses host their
+                       # own subject the same way (turta PİŞTİKTEN
+                       # sonra fırını kapattı)
+                       or ("PastPart" in tagsets[vt]
+                           and _case_of(analyses[vt]) == "Abl"
+                           and vt + 1 < n
+                           and to_lower(tokens[vt + 1]) in ("sonra",
+                                                            "önce")))
                   and vt != p and p in subj_of
-                  and roots_of[vt] not in _TRANSITIVE_ROOTS
-                  and "Caus" not in tagsets[vt]
+                  and not any(rels[j] == "nsubj" and heads[j] == vt + 1
+                              for j in range(i))
+                  and (roots_of[vt] not in _TRANSITIVE_ROOTS
+                       or "Pass" in tagsets[vt]
+                       or _intrans(vt))
+                  and ("Pass" in tagsets[vt]
+                       or "Caus" not in tagsets[vt])
                   and not (vt > 0
-                           and roots_of[vt] in ("et", "yap", "ol"))):
+                           and roots_of[vt] in ("et", "yap", "ol")
+                           and "Pass" not in tagsets[vt])):
                 # a bare nominal before an own-subject-capable converb
-                # of an UNLISTED/mixed-valency root, with the MATRIX
-                # subject already filled, is the converb's own subject
-                # (Vali KONVOY geçerken yolun kapatılacağını duyurdu)
+                # or passive subordinate — of an unlisted/mixed root, a
+                # PASSIVE (eserler ASILIRKEN; karar VERİLMEYECEĞİNİ), or
+                # an intransitive (çalışanlar greve GİDİNCE) — with the
+                # MATRIX subject already filled and the subordinate
+                # still subjectless, is the subordinate's own subject
                 heads[i], rels[i] = vt + 1, "nsubj"
             elif preverbal:
                 # bare preverbal nominal with the subject slot filled:

@@ -250,7 +250,7 @@ _STEM_PATCH: dict = {
     # stem, Aşevi falls to a bogus aşev+Acc cut and becomes an object
     "aşevi": ["Noun"], "huzurevi": ["Noun"], "bakımevi": ["Noun"],
     "doğumevi": ["Noun"], "orduevi": ["Noun"], "öğretmenevi": ["Noun"],
-    "basımevi": ["Noun"], "yayınevi": ["Noun"],
+    "basımevi": ["Noun"], "yayınevi": ["Noun"], "gözlemevi": ["Noun"],
     # same fossil class, household/geography compounds (Buzdolabı fell
     # to a bogus buzdolab+Acc cut and became a fronted object)
     "buzdolabı": ["Noun"], "denizaltı": ["Noun"], "hanımeli": ["Noun"],
@@ -1556,6 +1556,30 @@ def py_analyze_tokens(tokens: Sequence[str],
         if prv[-1:] != ["Adj"] and "Adj" in gen.stem_dic.get(
                 prv_stem, ()):
             out[idx - 1] = prv_stem + "+Adj"
+    # a -mA deverbal nominal whose surface collides with a RARE noun's
+    # Dat (yükleme = yükle+Inf2 vs yüklem+Dat), directly before a PHASE
+    # verb (bit-/başla-/tamamlan-), is the event nominal: phase verbs
+    # select event subjects, and the Dat-goal reading has no licenser
+    # (YÜKLEME bitince ambarı mühürledi).  Scoped to the phase class so
+    # "bu ANLAMA gelir" keeps anlam+Dat.
+    for idx in range(len(out) - 1):
+        parts = _TAG_SEP.split(out[idx])
+        if parts[-1:] != ["Dat"] or parts[0:1] == ["Verb"]:
+            continue
+        nxt = _TAG_SEP.split(out[idx + 1])
+        if "Verb" not in nxt or nxt[0] not in ("bit", "başla", "sür",
+                                               "tamamlan", "uza"):
+            continue
+        inf2 = next(
+            (root + "+" + "+".join(tags).replace("+DB+", "^DB+")
+             for root, sfx, tags in gen.get_analysis_candidates(
+                 tokens[idx])
+             if not isinstance(tags, str) and tags[0] == "Verb"
+             and "Inf2" in tags and "Nom" in tags and "Pnon" in tags),
+            None,
+        )
+        if inf2 is not None:
+            out[idx] = inf2
     # a loan-î citation adjective directly before a plain finite verb is
     # the Acc-object segmentation when the clause already has a subject
     # (Yetkililer MERKEZİ kapattı; Rehber TARİHİ anlatıyor): an

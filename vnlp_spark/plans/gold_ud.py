@@ -3937,6 +3937,60 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 5, 5, 0, 5],
         deprels=['nsubj', 'advcl', 'nsubj', 'obl', 'root', 'punct'],
     ),
+    # --- blind-58 category pins (hard-register validation probe) ---
+    # a bare nominal before a PASSIVE -ArkEn converb is its subject
+    # when the matrix subject is filled
+    dict(
+        text='Müdür evraklar taranırken salonda bekledi.',
+        tokens=['Müdür', 'evraklar', 'taranırken', 'salonda',
+                'bekledi', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nsubj', 'advcl', 'obl', 'root', 'punct'],
+    ),
+    # ... and before an INTRANSITIVE -DIktAn sonra clause likewise
+    dict(
+        text='Şef turta piştikten sonra fırını kapattı.',
+        tokens=['Şef', 'turta', 'piştikten', 'sonra', 'fırını',
+                'kapattı', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'ADP', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[6, 3, 6, 3, 6, 0, 6],
+        deprels=['nsubj', 'nsubj', 'advcl', 'case', 'obj', 'root',
+                 'punct'],
+    ),
+    # ver-complexes join the light-verb exclusion in the two-bare
+    # distribution; the event nominal stays the converb's object
+    dict(
+        text='Site yöneticisi sakinler onay verince havuzu açtırdı.',
+        tokens=['Site', 'yöneticisi', 'sakinler', 'onay', 'verince',
+                'havuzu', 'açtırdı', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[2, 7, 5, 5, 7, 7, 0, 7],
+        deprels=['nmod', 'nsubj', 'nsubj', 'obj', 'advcl', 'obj',
+                 'root', 'punct'],
+    ),
+    # the two-step izafet chain never reaches INTO an own-subject
+    # converb clause with a later matrix
+    dict(
+        text='Müdür okul kayıtları başlayınca ek personel istedi.',
+        tokens=['Müdür', 'okul', 'kayıtları', 'başlayınca', 'ek',
+                'personel', 'istedi', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'ADJ', 'NOUN', 'VERB',
+              'PUNCT'],
+        heads=[7, 3, 4, 7, 6, 7, 0, 7],
+        deprels=['nsubj', 'nmod', 'nsubj', 'advcl', 'amod', 'obj',
+                 'root', 'punct'],
+    ),
+    # gözlemevi joins the fossil -evi compounds
+    dict(
+        text='Gözlemevi personeli yeni teleskobu kurdu.',
+        tokens=['Gözlemevi', 'personeli', 'yeni', 'teleskobu', 'kurdu',
+                '.'],
+        upos=['NOUN', 'NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 5, 4, 5, 0, 5],
+        deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
