@@ -2909,6 +2909,14 @@ def py_parse_tokens(
                         # OWN subject (Kazanın NEDENİ araştırılırken YOL
                         # trafiğe kapatıldı)
                         if (("Pass" in tagsets[vt] or _intrans(vt))
+                                # only when DIRECTLY adjacent to the
+                                # converb (Kazanın nedeni
+                                # ARAŞTIRILIRKEN): with a closer bare
+                                # nominal in between, THAT one is the
+                                # converb's subject and this izafet
+                                # head serves the matrix (Maden ekibi
+                                # GALERİ çökünce ... başlattı)
+                                and i + 1 == vt
                                 and any(
                                     upos[j] in _NOMINAL
                                     and eff_case[j] in ("Nom", "")

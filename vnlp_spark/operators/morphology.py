@@ -1556,6 +1556,23 @@ def py_analyze_tokens(tokens: Sequence[str],
         if prv[-1:] != ["Adj"] and "Adj" in gen.stem_dic.get(
                 prv_stem, ()):
             out[idx - 1] = prv_stem + "+Adj"
+    # the 'düşünce' homograph: the whole-word noun ('thought') directly
+    # after a Nom/possessed-Nom NOMINAL, with a later finite verb, is
+    # the düş- When-converb (tirajı DÜŞÜNCE kapağı yeniledi, üretimi
+    # DÜŞÜNCE jeneratörü devreye aldı): the noun reading would need its
+    # own izafet or determiner frame (bu düşünce, yeni bir düşünce),
+    # never a bare-Nom left neighbor
+    for idx in range(1, len(out)):
+        if out[idx] != "düşünce+Noun+A3sg+Pnon+Nom":
+            continue
+        prv = set(_TAG_SEP.split(out[idx - 1]))
+        if not ({"Noun", "Nom"} <= prv or {"Noun", "Acc"} <= prv):
+            continue
+        if any("Verb" in _TAG_SEP.split(out[j])
+               and {"Aor", "Past", "Prog1", "Fut", "Narr"}
+               & set(_TAG_SEP.split(out[j]))
+               for j in range(idx + 1, len(out))):
+            out[idx] = "düş+Verb+Pos+When"
     # a -mA deverbal nominal whose surface collides with a RARE noun's
     # Dat (yükleme = yükle+Inf2 vs yüklem+Dat), directly before a PHASE
     # verb (bit-/başla-/tamamlan-), is the event nominal: phase verbs

@@ -673,11 +673,25 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
                         and out[pv] in ("NOUN", "PRON"))
                     # incorporated bare-Nom object with a subject
                     # candidate further left (Firma ... ek PRİM ödemeyi
-                    # planlıyor) — same gate as the parser
+                    # planlıyor) — same gate as the parser.  Only for
+                    # UNPOSSESSED -mA forms: a POSSESSED Inf2 after a
+                    # bare nominal is the lexicalized izafet compound
+                    # (kurtarma ÇALIŞMASINI başlattı = the rescue
+                    # operation, a noun), while its Gen-subject twin
+                    # stays the ccomp verb via the case disjunct above
                     or (out[pv] == "NOUN"
                         and _case_of(analyses[pv]) in ("Nom", "")
                         and "Pnon" in set(
                             analyses[pv].replace("^", "+").split("+"))
+                        and (not tags & {"P1sg", "P2sg", "P3sg",
+                                         "P1pl", "P2pl", "P3pl"}
+                             # light-verb roots keep the VERB reading:
+                             # their bare left nominal is the complex's
+                             # own argument (ceza ALMASINA rağmen,
+                             # zarar ETMESİNE rağmen), not an izafet
+                             # modifier
+                             or analyses[i].split("+", 1)[0]
+                             in ("et", "ol", "yap", "ver", "al", "kıl"))
                         and any(
                             out[j] in ("NOUN", "PROPN", "PRON")
                             and _case_of(analyses[j]) in ("Nom", "")
@@ -777,11 +791,15 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
             and out[i] == "NUM"
             and i + 1 < n
             and out[i + 1] in ("NOUN", "PROPN")
-            and "P3sg" in set(analyses[i + 1].replace("^", "+")
-                              .split("+"))
+            # the reduplication 'tek tek' keeps NUM for the later
+            # ADV-pair rewrite
+            and to_lower(tokens[i + 1]) != "tek"
+            and not (i > 0 and to_lower(tokens[i - 1]) == "tek")
         ):
-            # 'tek' before a possessed noun is the adjective 'sole/alone'
-            # (TEK başına taşıyamadı, takımın TEK golü), not a numeral
+            # 'tek' before ANY noun is the adjective 'single/sole'
+            # (TEK başına taşıyamadı, takımın TEK golü, TEK şeride
+            # düşürüldü) — TDK lists tek as sıfat; the numeral reading
+            # has no adnominal use
             out[i] = "ADJ"
         elif (
             low == "ancak"

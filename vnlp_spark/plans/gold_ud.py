@@ -3991,6 +3991,49 @@ UD_GOLD: List[dict] = [
         heads=[2, 5, 4, 5, 0, 5],
         deprels=['nmod', 'nsubj', 'amod', 'obj', 'root', 'punct'],
     ),
+    # --- blind-59 category pins (third hard-register probe) ---
+    # düşünce after a Nom nominal with a later finite verb is the
+    # düş- When-converb, never the noun 'thought'
+    dict(
+        text='Borsa endeksi düşünce yatırımcılar satışa geçti.',
+        tokens=['Borsa', 'endeksi', 'düşünce', 'yatırımcılar',
+                'satışa', 'geçti', '.'],
+        upos=['NOUN', 'NOUN', 'VERB', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 3, 6, 6, 6, 0, 6],
+        deprels=['nmod', 'nsubj', 'advcl', 'nsubj', 'obl', 'root',
+                 'punct'],
+    ),
+    # tek before any noun is the adjective; tek tek keeps the ADV pair
+    dict(
+        text='Sürücü tek şeritte ilerledi.',
+        tokens=['Sürücü', 'tek', 'şeritte', 'ilerledi', '.'],
+        upos=['NOUN', 'ADJ', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[4, 3, 4, 0, 4],
+        deprels=['nsubj', 'amod', 'obl', 'root', 'punct'],
+    ),
+    # a POSSESSED -mA nominal after a bare nominal is the lexicalized
+    # izafet compound (noun), while light-verb roots keep the verbal
+    # complex reading
+    dict(
+        text='Dernek tanıtım çalışmasını köyde yürüttü.',
+        tokens=['Dernek', 'tanıtım', 'çalışmasını', 'köyde',
+                'yürüttü', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[5, 3, 5, 5, 0, 5],
+        deprels=['nsubj', 'nmod', 'obj', 'obl', 'root', 'punct'],
+    ),
+    # a possessed izafet head hands the converb its subject only when
+    # DIRECTLY adjacent; with a closer bare nominal the izafet serves
+    # the matrix
+    dict(
+        text='Tiyatro ekibi sahne çökünce provayı durdurdu.',
+        tokens=['Tiyatro', 'ekibi', 'sahne', 'çökünce', 'provayı',
+                'durdurdu', '.'],
+        upos=['NOUN', 'NOUN', 'NOUN', 'VERB', 'NOUN', 'VERB', 'PUNCT'],
+        heads=[2, 6, 4, 6, 6, 0, 6],
+        deprels=['nmod', 'nsubj', 'nsubj', 'advcl', 'obj', 'root',
+                 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
