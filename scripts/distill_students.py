@@ -58,8 +58,11 @@ def main() -> None:
 
     jobs = [
         ("pos", silver["pos"], len(S.UPOS_LABELS) + 1, 0.998),
-        ("rel", silver["rel"], len(S.DEPREL_LABELS) + 1, 0.9985),
-        ("arc", silver["arc"], S.ARC_CLASSES + 1, 0.9985),
+        # arc/rel train to full memorization: at 0.9985 the round-5
+        # final distillation left ONE held-out triple flipped (the
+        # round-4 re-distillation note documents the same fix)
+        ("rel", silver["rel"], len(S.DEPREL_LABELS) + 1, 0.9998),
+        ("arc", silver["arc"], S.ARC_CLASSES + 1, 0.9998),
         ("ner", ner_labels, 5, 0.998),
     ]
     epochs = 60 if QUICK else 400
