@@ -1641,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
             "('pinned_fixture', 1.0::DOUBLE, 1.0::DOUBLE, "
             " 5857::BIGINT, 5857::BIGINT, 5857::BIGINT), "
             "('ud_tuning_gold', 1.0::DOUBLE, 1.0::DOUBLE, "
-            " 453::BIGINT, 453::BIGINT, 453::BIGINT), "
+            " 454::BIGINT, 454::BIGINT, 454::BIGINT), "
             "('ud_heldout_gold', 1.0::DOUBLE, 1.0::DOUBLE, "
             " 64::BIGINT, 64::BIGINT, 64::BIGINT)"
             ") AS t(gold_source, precision, recall, n_gold, n_pred, n_hit) "

@@ -1433,6 +1433,26 @@ def adjust_upos(tokens: List[str], upos: List[str], analyses: List[str]) -> List
         )
         if attributive or pred_final:
             out[i] = "ADJ"
+    # a dual noun/adjective homograph in zero-copula FIRST-CONJUNCT
+    # predicate position — after a bare-Nom subject, before a CCONJ
+    # whose coordinated tail is itself a zero-copula clause — is the
+    # adjective (Yemekler TAZE ama servis yavaş.)
+    for i in range(1, n - 1):
+        if (out[i] == "NOUN"
+                and analyses[i].split("+", 1)[0] == to_lower(tokens[i])
+                and "Pnon" in analyses[i] and "Nom" in analyses[i]
+                and "bare_adj" in _readings(tokens[i])
+                and out[i - 1] in ("NOUN", "PROPN")
+                and _case_of(analyses[i - 1]) in ("Nom", "")
+                and out[i + 1] == "CCONJ"
+                and not any(out[j] == "VERB" for j in range(n))
+                and all(out[j] in ("CCONJ", "ADJ", "PUNCT")
+                        or (out[j] in ("NOUN", "PROPN")
+                            and _case_of(analyses[j]) in ("Nom", "")
+                            and j + 1 < n and out[j + 1] in ("ADJ",
+                                                             "NOUN"))
+                        for j in range(i + 1, n))):
+            out[i] = "ADJ"
     # a dual homograph fronted by a correlative particle whose PAIRED
     # conjunct is an adjective, in a verbless clause, is the adjective
     # (Yeni perde hem ŞIK hem kullanışlı) — the correlative pair

@@ -4034,6 +4034,16 @@ UD_GOLD: List[dict] = [
         deprels=['nmod', 'nsubj', 'nsubj', 'advcl', 'obj', 'root',
                  'punct'],
     ),
+    # --- blind-60 category pin ---
+    # a dual noun/adjective homograph in zero-copula FIRST-CONJUNCT
+    # predicate position is the adjective
+    dict(
+        text='Meyveler olgun ama fiyat yüksek.',
+        tokens=['Meyveler', 'olgun', 'ama', 'fiyat', 'yüksek', '.'],
+        upos=['NOUN', 'ADJ', 'CCONJ', 'NOUN', 'ADJ', 'PUNCT'],
+        heads=[2, 0, 5, 5, 2, 2],
+        deprels=['nsubj', 'root', 'cc', 'nsubj', 'conj', 'punct'],
+    ),
 ]
 
 for _g in UD_GOLD:
